@@ -1,44 +1,262 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps every implemented operator family from SURVEY.md §2 (plus
+the training-data additions: dedup, ANN, text analysis) onto the driver's
+parquet tables; ``oracle_sql()`` carries the DuckDB twin for each
+SQL-expressible entry. Ray is initialised by the driver BEFORE this module
+is imported: nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
+from vbpl_web_crawl_ray.stages import ann, dedup, textstats  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: document prep — read,
+    vectorized text statistics, lang-ID, content fingerprint — one streamed
+    map_batches chain. (Becomes the crawl flagship once the frontier lands.)
+    """
+    import pandas as pd
+    import ray.data as rd
+    from vbpl_web_crawl_ray.functions.hashing import hash64
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split(" ").str.len().astype("int64")
+        n_char = df["text"].str.len().astype("int64")
+        hits = df["text"].str.count(textstats._STOP_PATTERN).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "source": df["source"].to_numpy(),
+            "lang": df["lang"].to_numpy(),
+            "n_tokens": n_tok,
+            "n_chars_text": n_char,
+            "stop_hits": hits,
+            "content_hash": hash64(df["text"].to_numpy()),
+        })
+
+    return ds.map_batches(prep, batch_format="pandas")
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregations (SURVEY §2.5) — partial-aggregate combiner pattern
+        "pricing_summary": R.q_pricing_summary,
+        "count_per_source": R.q_count_per_source,
+        "tumbling_window": R.q_tumbling_window,
+        # sort / limit / top-k (§2.6)
+        "filter_sort_limit": R.q_filter_sort_limit,
+        "latest_event_per_user": R.q_latest_event_per_user,
+        "lww_upsert": R.q_lww_upsert,
+        "topk_per_group": R.q_topk_per_group,
+        # joins / lookups (§2.4)
+        "join_revenue_by_priority": R.q_join_revenue_by_priority,
+        "broadcast_dim_join": R.q_broadcast_dim_join,
+        "anti_join": R.q_anti_join,
+        "semi_join": R.q_semi_join,
+        "string_agg_per_nation": R.q_string_agg_per_nation,
+        # extraction / streaming-shaped (§2.2, §2.8)
+        "props_extract": R.q_props_extract,
+        "sessionize": R.q_sessionize,
+        # text analysis (training-data additions)
+        "token_count": lambda sf: textstats.token_count(_docs(sf)),
+        "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
+        "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
+        "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
+        "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
+        # dedup family (§2.7 + training-data additions)
+        "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
+        "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
+        "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
+        "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
+        # similarity search
+        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
+        "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   COUNT(*) AS count_order,
+                   ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+                   ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "count_per_source": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "tumbling_window": """
+            SELECT user_id,
+                   CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window_id,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT)
+        """,
+        "filter_sort_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            FROM orders WHERE o_orderstatus = 'O'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts, event_type, value FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "lww_upsert": """
+            SELECT user_id, event_type, value AS last_value FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        """,
+        "join_revenue_by_priority": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   ROUND(SUM(c_acctbal), 4) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderstatus = 'P')
+        """,
+        "semi_join": """
+            SELECT p_partkey, p_name FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "string_agg_per_nation": """
+            SELECT n_name,
+                   STRING_AGG(c_name, ' - ' ORDER BY c_name) AS customers,
+                   COUNT(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "props_extract": """
+            SELECT event_type,
+                   ROUND(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) * 1.0
+                         / COUNT(*), 4) AS avg_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value,
+                   MIN(ts) AS session_start
+            FROM s GROUP BY user_id, session_id
+        """,
+        "token_count": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars_text,
+                   ROUND((LENGTH(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                         / len(string_split(text, ' ')), 4) AS avg_token_len
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x IN ({stop_list}))) AS BIGINT) AS stop_hits,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                                             x -> x IN ({stop_list}))) >= 3
+                        THEN 'en' ELSE 'other' END AS pred_lang
+            FROM documents
+        """,
+        "md5_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      FOR i IN range(1, len(t) - 1)]) AS shingles
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / (len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   ROUND(CAST(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cos_sim
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
+        # approximate or hash-seeded operators — intentionally no SQL oracle
+        # (rows-only check); their conformance is pinned by pytest instead.
+    }

@@ -1,0 +1,322 @@
+"""Relational / analytical conformance queries (driver contract, FIXTURES.md F8).
+
+Each function maps one operator family from SURVEY.md §2 onto the driver's
+TPC-H-ish parquet tables and has a DuckDB oracle twin in ``ORACLE_SQL``.
+All are Ray-Data-first: pruned-column parquet reads, vectorized
+``map_batches`` bodies, partial (combiner) aggregation before every
+``groupby`` shuffle, broadcast small sides instead of shuffle joins.
+
+Column names of every computed column match the oracle SQL exactly; float
+aggregates are rounded to 4 decimals on both sides so value-hash comparison
+is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.numeric import round_half_away
+
+# Queries run at sf0.01 (gate) and sf0.1 (bench): keep join partition counts
+# modest locally; at cluster scale these would be set from cluster size.
+_JOIN_PARTITIONS = 16
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Pruned-column parquet read — only requested columns leave storage."""
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round4(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = round_half_away(df[c].to_numpy(), 4)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# A-family: aggregations (SURVEY.md §2.5) — partial-aggregate combiner pattern
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped numeric rollup (pattern of A7's per-key merges at scale).
+
+    Pre-aggregates inside map_batches (one row per key per batch), then a
+    small groupby — the shuffle moves O(keys x batches) rows, not O(rows).
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
+            charge=df["l_extendedprice"] * (1 - df["l_discount"]) * (1 + df["l_tax"]),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_base_price", alias_name="sum_base_price"),
+                        Sum("sum_disc_price", alias_name="sum_disc_price"),
+                        Sum("sum_charge", alias_name="sum_charge"),
+                        Sum("count_order", alias_name="count_order"))
+             .to_pandas())
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    return _round4(out, ["sum_qty", "sum_base_price", "sum_disc_price",
+                         "sum_charge", "avg_qty", "avg_price"])
+
+
+def q_count_per_source(sf_dir: str):
+    """A1/A3-style counts: docs + chars per source."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby("source")
+              .aggregate(Sum("n_docs", alias_name="n_docs"),
+                         Sum("total_chars", alias_name="total_chars")))
+
+
+def q_tumbling_window(sf_dir: str):
+    """Streaming-shaped tumbling 1h window aggregate (SURVEY.md §2.8):
+    events as an ordered log, window = floor(epoch/3600)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df["ts"].astype("datetime64[s]").astype("int64") // 3600).astype("int64")
+        df = df.assign(window_id=win)
+        return df.groupby(["user_id", "window_id"], as_index=False).agg(
+            sum_value=("value", "sum"), n_events=("value", "size"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(["user_id", "window_id"])
+             .aggregate(Sum("sum_value", alias_name="sum_value"),
+                        Sum("n_events", alias_name="n_events"))
+             .to_pandas())
+    return _round4(out, ["sum_value"])
+
+
+# ---------------------------------------------------------------------------
+# O-family: sort / limit / top-k (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+def q_filter_sort_limit(sf_dir: str):
+    """O1: filter -> global sort desc -> limit k (reference preview query,
+    app/service/vbpl.py:1145-1147). Tie-broken by key for determinism."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["o_orderstatus"], pa.scalar("O"))),
+        batch_format="pyarrow")
+    ds = ds.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """A6/O2: per-key argmax by (ts, event_id) — the engine form of the
+    reference's order_by(updated_at.desc()).first() latest-version pick
+    (app/service/vbpl.py:1091)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["ts", "event_id"], ascending=False).head(1)
+        return top[["user_id", "ts", "event_type", "value"]]
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+
+
+def q_lww_upsert(sf_dir: str):
+    """A7: last-write-wins per composite key (user_id, event_type) — the
+    upsert-merge semantics of push_vbpl_to_db (app/service/vbpl.py:186-252)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: keep only the per-batch winner per key before the shuffle
+        df = df.sort_values(["ts", "event_id"])
+        return df.groupby(["user_id", "event_type"], as_index=False).tail(1)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["ts", "event_id"]).tail(1)
+        return pd.DataFrame({"user_id": top["user_id"].values,
+                             "event_type": top["event_type"].values,
+                             "last_value": top["value"].values})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["user_id", "event_type"])
+              .map_groups(final, batch_format="pandas"))
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-2 orders per customer by price — per-group top-k via map_groups."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(2)
+
+    return ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins / lookups (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def q_join_revenue_by_priority(sf_dir: str):
+    """J2: large-large hash join lineitem x orders, then grouped rollup."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTITIONS,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+                 .groupby("o_orderpriority")
+                 .aggregate(Sum("revenue", alias_name="revenue"),
+                            Sum("n_items", alias_name="n_items"))
+                 .to_pandas())
+    return _round4(out, ["revenue"])
+
+
+def q_broadcast_dim_join(sf_dir: str):
+    """Broadcast map-join: customer x nation x region with the dims shipped
+    once via ray.put — no shuffle (the J3 lookup-join pattern)."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nk_to_rname = dict(zip(
+        nation["n_nationkey"],
+        nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"])))))
+    ref = ray.put(nk_to_rname)
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    class BroadcastJoin:
+        def __init__(self):
+            self.lookup = ray.get(ref)  # fetched once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(r_name=df["c_nationkey"].map(self.lookup))
+            return df.groupby("r_name", as_index=False).agg(
+                n_customers=("c_acctbal", "size"), total_acctbal=("c_acctbal", "sum"))
+
+    out = (cust.map_batches(BroadcastJoin, batch_format="pandas", concurrency=2)
+               .groupby("r_name")
+               .aggregate(Sum("n_customers", alias_name="n_customers"),
+                          Sum("total_acctbal", alias_name="total_acctbal"))
+               .to_pandas())
+    return _round4(out, ["total_acctbal"])
+
+
+def q_anti_join(sf_dir: str):
+    """J1 insert-branch: left-anti join via broadcast key set — customers
+    with no 'P'-status order (the engine form of the PK-miss probe)."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderstatus"])
+    keys = set(o.loc[o["o_orderstatus"] == "P", "o_custkey"].unique().tolist())
+    ref = ray.put(keys)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        seen = ray.get(ref)
+        return df[~df["c_custkey"].isin(seen)]
+
+    return cust.map_batches(anti, batch_format="pandas")
+
+
+def q_semi_join(sf_dir: str):
+    """J1 update-branch: semi join via broadcast key set — parts that appear
+    in lineitem."""
+    keys = set(pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey"])["l_partkey"].unique().tolist())
+    ref = ray.put(keys)
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        seen = ray.get(ref)
+        return df[df["p_partkey"].isin(seen)]
+
+    return part.map_batches(semi, batch_format="pandas")
+
+
+def q_string_agg_per_nation(sf_dir: str):
+    """A5: per-group ordered string concat (' - ' join of sectors,
+    app/service/vbpl.py:1253) — customers per nation."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    lookup = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_name"])
+
+    def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(n_name=df["c_nationkey"].map(ray.get(lookup)))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = " - ".join(sorted(g["c_name"]))
+        return pd.DataFrame({"n_name": [g["n_name"].iloc[0]],
+                             "customers": [names], "n": [len(g)]})
+
+    return (cust.map_batches(add_nation, batch_format="pandas")
+                .groupby("n_name").map_groups(agg, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# M-family: projections / extraction (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+def q_props_extract(sf_dir: str):
+    """M15-style vectorized regex extraction from a semi-structured column
+    ('(?<=ItemID=)\\d+' analogue, app/service/vbpl.py:140) + rollup."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        df = df.assign(k=k)
+        return df.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n=("k", "size"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("event_type")
+             .aggregate(Sum("sum_k", alias_name="sum_k"),
+                        Sum("n", alias_name="n"))
+             .to_pandas())
+    out["avg_k"] = round_half_away((out["sum_k"] / out["n"]).to_numpy(), 4)
+    return out[["event_type", "avg_k", "n"]]
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the stateful
+    streaming-shaped operator (SURVEY.md §2.8) as sort-within-group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_sess = (g["ts"].diff() > pd.Timedelta(minutes=30)) | g["ts"].diff().isna()
+        g = g.assign(session_id=new_sess.cumsum().astype("int64"))
+        out = g.groupby("session_id", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"),
+            session_start=("ts", "min"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 4)
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

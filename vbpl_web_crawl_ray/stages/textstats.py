@@ -1,0 +1,89 @@
+"""Text-analysis stages: token counts, quality scores, language-ID,
+document fingerprints.
+
+The reference's text handling is parse-and-store (SURVEY.md §2.2); a
+training-data pipeline additionally needs per-document statistics. All
+stages are vectorized pandas/pyarrow batch transforms; the semantics are
+chosen to be expressible in ANSI SQL so each has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.hashing import hash64
+from ..functions.numeric import round_half_away
+
+# stopword set used by the lang-ID heuristic; pattern form must stay in
+# sync with the oracle SQL in __ray_entry__
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_PATTERN = r"(?:^| )(?:" + "|".join(EN_STOPWORDS) + r")(?= |$)"
+
+
+def token_count(ds: rd.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> rd.Dataset:
+    """Whitespace token count per document (BPE-ish splitting belongs in the
+    same stage; semantics here = split on single space, like SQL
+    string_split)."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": df[text_col].str.split(" ").str.len().astype("int64"),
+        })
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_score(ds: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id") -> rd.Dataset:
+    """Length/avg-token-length quality features, all vectorized str kernels."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df[text_col].str.split(" ").str.len().astype("int64")
+        n_char = df[text_col].str.len().astype("int64")
+        avg_tok = round_half_away(((n_char - (n_tok - 1)) / n_tok).to_numpy(), 4)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "n_tokens": n_tok, "n_chars_text": n_char,
+                             "avg_token_len": avg_tok})
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def lang_id(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+            min_hits: int = 3) -> rd.Dataset:
+    """Heuristic language ID: count English stopword tokens (vectorized
+    regex count); >= min_hits -> 'en', else 'other'. The n-gram-heuristic
+    slot of the training-data stage family."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        hits = df[text_col].str.count(_STOP_PATTERN).astype("int64")
+        pred = np.where(hits >= min_hits, "en", "other")
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "stop_hits": hits, "pred_lang": pred})
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def md5_fingerprint(ds: rd.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id") -> rd.Dataset:
+    """Cryptographic content fingerprint (md5 hex) — the exact-identity key
+    for cross-run dedup manifests."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fp = [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]]
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "fingerprint": fp})
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def rolling_fingerprint(ds: rd.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", window: int = 8) -> rd.Dataset:
+    """Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03):
+    min of rolling-window shingle hashes — robust to local edits. Not
+    SQL-expressible; conformance is rows-only + pytest determinism."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fps = np.zeros(len(df), dtype=np.uint64)
+        for i, t in enumerate(df[text_col]):
+            toks = t.split(" ")
+            grams = [" ".join(toks[j:j + window])
+                     for j in range(max(1, len(toks) - window + 1))]
+            fps[i] = hash64(grams).min()
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "rolling_fp": fps})
+    return ds.map_batches(f, batch_format="pandas")
