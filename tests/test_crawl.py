@@ -1,0 +1,158 @@
+"""Crawl-engine conformance (north_rule): ordering, URL-seen set, robots,
+payload invariant, parallelism invariance, checkpoint/resume."""
+
+import glob
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from oracle_crawler import oracle_crawl
+from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+from vbpl_web_crawl_ray.sources.imaging import decode_image, gen_pixels, psnr
+from vbpl_web_crawl_ray.sources.simweb import SimWeb, SimWebConfig
+
+
+CFG = SimWebConfig(n_hosts=4, pages_per_host=2, docs_per_page=4,
+                   captions=tuple(f"Văn bản mẫu số {i} về thử nghiệm hệ thống"
+                                  for i in range(40)),
+                   flaky_rate=0.15, missing_rate=0.1)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return oracle_crawl(CFG)
+
+
+@pytest.fixture(scope="module")
+def engine_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl_out"))
+    eng = CrawlEngine(CFG, out, num_partitions=3, track_seen=True)
+    eng.seed(SimWeb(CFG).seed_urls())
+    eng.run(max_rounds=32)
+    return eng, out
+
+
+def _read_rounds(out_dir, sub, cols=None):
+    files = sorted(glob.glob(f"{out_dir}/{sub}/round=*/*.parquet"))
+    if not files:
+        return None
+    return pq.read_table(files, columns=cols) if len(files) > 1 else \
+        pq.read_table(files[0], columns=cols)
+
+
+def test_crawl_order_matches_oracle(engine_run, oracle):
+    eng, _ = engine_run
+    got = [(t, h, d, o, u) for (_, t, h, d, o, u) in eng.crawl_log]
+    assert got == oracle["log"]
+
+
+def test_seen_set_matches_oracle(engine_run, oracle):
+    eng, _ = engine_run
+    # engine tracks queued urls; oracle's seen includes robots-blocked and
+    # 404s too — compare the queued (fetchable) universe via the crawl log
+    got_fetched = {u for (_, _, _, _, _, u) in eng.crawl_log}
+    want_fetched = {u for (_, _, _, _, u) in oracle["log"]}
+    assert got_fetched == want_fetched
+    assert eng.seen_urls() == got_fetched
+
+
+def test_robots_blocking(engine_run, oracle):
+    eng, _ = engine_run
+    m = eng.metrics()["total"]
+    assert m["robots_blocked"] == oracle["robots_blocked"] > 0
+    assert not any("/private/" in u for (*_, u) in oracle["log"])
+    assert not any("/private/" in u for (*_, u) in eng.crawl_log)
+
+
+def test_payload_rows_match_oracle(engine_run, oracle):
+    _, out = engine_run
+    t = _read_rounds(out, "payload")
+    rows = {r["image_id"]: r for r in t.to_pylist()}
+    assert set(rows) == set(oracle["payloads"])
+    for iid, want in oracle["payloads"].items():
+        got = rows[iid]
+        assert got["bytes"] == want["bytes"]
+        assert got["caption"] == want["caption"]
+        assert got["w"] == want["w"] and got["h"] == want["h"]
+        assert np.uint64(got["phash"]).item() == want["phash"] % (1 << 64)
+
+
+def test_per_row_payload_invariant(engine_run):
+    """input_hint: decoded-pixel allclose (PSNR>=40 lossy) + caption
+    byte-equality vs the reference generator."""
+    _, out = engine_run
+    t = _read_rounds(out, "payload")
+    assert t.num_rows > 0
+    seen_fmts = set()
+    for r in t.to_pylist():
+        ref_px = gen_pixels(r["image_id"], r["w"], r["h"], CFG.seed)
+        got_px = decode_image(r["bytes"])
+        seen_fmts.add(r["fmt"])
+        if r["fmt"] == "png":
+            assert np.array_equal(ref_px, got_px)
+        else:
+            assert psnr(ref_px, got_px) >= 40.0
+        doc_id = int(r["image_id"][3:])
+        assert r["caption"] == CFG.captions[doc_id % len(CFG.captions)]
+    assert seen_fmts == {"png", "jpeg"}
+
+
+def test_edges_match_oracle(engine_run, oracle):
+    _, out = engine_run
+    t = _read_rounds(out, "edges")
+    got = sorted({(r["src"], r["dst"], r["label"]) for r in t.to_pylist()})
+    assert got == oracle["edges"]
+
+
+def test_parallelism_invariance(tmp_path, oracle):
+    """The determinism claim behind the N vs 4N scaling criterion: a
+    different partition/concurrency layout produces the identical crawl."""
+    eng = CrawlEngine(CFG, str(tmp_path / "o1"), num_partitions=1,
+                      fetch_concurrency=1, parse_concurrency=1)
+    eng.seed(SimWeb(CFG).seed_urls())
+    eng.run(max_rounds=32)
+    got = [(t, h, d, o, u) for (_, t, h, d, o, u) in eng.crawl_log]
+    assert got == oracle["log"]
+
+
+def test_checkpoint_resume(tmp_path, engine_run):
+    """Kill after 1 round, resume from checkpoint, finish — final crawl log
+    + payload set equal the uninterrupted run (FIXTURES.md F6)."""
+    eng_full, out_full = engine_run
+    ck = str(tmp_path / "ckpt")
+    out_a = str(tmp_path / "a")
+    eng = CrawlEngine(CFG, out_a, num_partitions=3)
+    eng.seed(SimWeb(CFG).seed_urls())
+    assert eng.run_round()
+    eng.checkpoint(ck)
+    del eng  # "crash"
+
+    eng2 = CrawlEngine.resume(ck, CFG, out_a)
+    assert eng2.round == 1
+    eng2.run(max_rounds=32)
+    assert eng2.crawl_log == eng_full.crawl_log
+    m = eng2.metrics()["total"]
+    mf = eng_full.metrics()["total"]
+    assert m["popped"] == mf["popped"] and m["queued"] == mf["queued"]
+    pa_resumed = _read_rounds(out_a, "payload", cols=["image_id"])
+    pa_full = _read_rounds(out_full, "payload", cols=["image_id"])
+    assert sorted(pa_resumed["image_id"].to_pylist()) == \
+        sorted(pa_full["image_id"].to_pylist())
+
+
+def test_hot_host_skew_cap(tmp_path):
+    """max_per_host_per_round time-slices the hot host across rounds; the
+    final fetched set is unchanged."""
+    cfg = SimWebConfig(n_hosts=3, pages_per_host=1, docs_per_page=3,
+                       captions=CFG.captions, hot_host_factor=4,
+                       flaky_rate=0.0, missing_rate=0.0)
+    base = oracle_crawl(cfg)
+    eng = CrawlEngine(cfg, str(tmp_path / "skew"), num_partitions=2,
+                      max_per_host_per_round=2)
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=64)
+    got_urls = {u for (*_, u) in eng.crawl_log}
+    assert got_urls == {u for (*_, u) in base["log"]}
+    # capped run needs more rounds than the uncapped oracle's barrier count
+    assert eng.round > 2

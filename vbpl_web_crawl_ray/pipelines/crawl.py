@@ -1,0 +1,200 @@
+"""Crawl-round driver: frontier drain -> fetch -> parse -> expand, looped to
+frontier exhaustion (the engine form of the reference's phase loop,
+app/service/vbpl.py:95-114, re-expressed per SURVEY.md §3.1).
+
+Each round is one Ray Data streaming pipeline over the popped URL batch:
+
+    from_items(pops) -> map_batches(FetchStage, actor pool)
+                     -> map_batches(ParseStage, actor pool)
+                     -> materialize (one round's working set)
+    payload rows -> parquet out_dir/payload/round={r}   (resumable layout)
+    edge rows    -> parquet out_dir/edges/round={r}
+    link rows    -> frontier.offer (hash(host)-routed)
+
+Rounds are the determinism barrier (the reference's three phase barriers):
+crawl order is a pure function of the link graph at every parallelism
+level, so an 8-CPU and a 32-CPU run produce identical crawl logs and
+URL-seen sets. Checkpoints are written between rounds — per-partition
+frontier snapshots + Bloom filters + metrics + the crawl log, committed by
+an atomic manifest (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..sources.simweb import SimWeb, SimWebConfig
+from ..stages.fetch import FetchStage
+from ..stages.parse import PARSE_SCHEMA, ParseStage
+from ..state.frontier import FrontierPartition, partition_of
+
+PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+EDGE_COLS = ["src", "dst", "label"]
+LOG_SCHEMA = pa.schema([
+    ("pop_seq", pa.int64()), ("fetch_time", pa.float64()),
+    ("host", pa.string()), ("depth", pa.int32()),
+    ("discovery_order", pa.int64()), ("url", pa.string()),
+])
+
+
+@ray.remote
+class FrontierActor(FrontierPartition):
+    def __init__(self, partition_id: int, num_partitions: int,
+                 cfg: SimWebConfig, **kw):
+        web = SimWeb(cfg)
+        super().__init__(partition_id, num_partitions,
+                         robots_fetch=web.get, **kw)
+
+
+def _kind_filter(kind: str):
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], pa.scalar(kind)))
+    return f
+
+
+class CrawlEngine:
+    def __init__(self, cfg: SimWebConfig, out_dir: str, num_partitions: int = 4,
+                 fetch_concurrency: int = 2, parse_concurrency: int = 2,
+                 batch_size: int = 64, max_per_host_per_round: int | None = None,
+                 default_delay: float = 1.0, bloom_capacity: int = 1_000_000,
+                 track_seen: bool = False):
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.num_partitions = num_partitions
+        self.fetch_concurrency = fetch_concurrency
+        self.parse_concurrency = parse_concurrency
+        self.batch_size = batch_size
+        self.max_per_host = max_per_host_per_round
+        self.actors = [
+            FrontierActor.remote(i, num_partitions, cfg,
+                                 default_delay=default_delay,
+                                 capacity=bloom_capacity, track_seen=track_seen)
+            for i in range(num_partitions)
+        ]
+        self.round = 0
+        self.crawl_log: list[tuple] = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    # ---- seeding / offering ----
+
+    def _offer(self, records: list[tuple[str, int, int]]) -> None:
+        """Route (url, depth, discovery_order) records to their partition.
+        Pre-sorted ascending (depth, order, url) so that Bloom first-wins
+        == min-discovery-order-wins, at any parallelism."""
+        records = sorted(set(records), key=lambda r: (r[1], r[2], r[0]))
+        buckets: list[list] = [[] for _ in self.actors]
+        for rec in records:
+            buckets[partition_of(rec[0], self.num_partitions)].append(rec)
+        ray.get([a.offer.remote(b) for a, b in zip(self.actors, buckets) if b])
+
+    def seed(self, urls: list[str]) -> None:
+        self._offer([(u, 0, i) for i, u in enumerate(urls)])
+
+    # ---- one crawl round ----
+
+    def run_round(self) -> bool:
+        pops = ray.get([a.pop_round.remote(self.max_per_host) for a in self.actors])
+        merged = sorted(t for part in pops for t in part)
+        if not merged:
+            return False
+        base = len(self.crawl_log)
+        self.crawl_log.extend(
+            (base + i, t, h, d, o, u) for i, (t, h, d, o, u) in enumerate(merged))
+
+        records = [{"url": u, "host": h, "depth": d, "discovery_order": o,
+                    "fetch_time": t} for (t, h, d, o, u) in merged]
+        n_blocks = max(1, len(records) // self.batch_size)
+        ds = (rd.from_items(records, override_num_blocks=n_blocks)
+                .map_batches(FetchStage, batch_format="pyarrow",
+                             batch_size=self.batch_size,
+                             fn_constructor_kwargs={"cfg": self.cfg},
+                             concurrency=self.fetch_concurrency)
+                .map_batches(ParseStage, batch_format="pyarrow",
+                             batch_size=self.batch_size,
+                             fn_constructor_kwargs={"cfg": self.cfg},
+                             concurrency=self.parse_concurrency))
+        mat = ds.materialize()     # one round's working set; 3 cheap consumers
+
+        payload = mat.map_batches(_kind_filter("payload"), batch_format="pyarrow") \
+                     .select_columns(PAYLOAD_COLS)
+        if payload.count() > 0:
+            payload.write_parquet(f"{self.out_dir}/payload/round={self.round}")
+        edges = mat.map_batches(_kind_filter("edge"), batch_format="pyarrow") \
+                   .select_columns(EDGE_COLS)
+        if edges.count() > 0:
+            edges.write_parquet(f"{self.out_dir}/edges/round={self.round}")
+
+        links = (mat.map_batches(_kind_filter("link"), batch_format="pyarrow")
+                    .select_columns(["out_url", "out_depth", "out_order"])
+                    .take_all())
+        self._offer([(r["out_url"], r["out_depth"], r["out_order"])
+                     for r in links])
+        self.round += 1
+        return True
+
+    def run(self, max_rounds: int = 64, checkpoint_dir: str | None = None) -> int:
+        while self.round < max_rounds and self.run_round():
+            if checkpoint_dir:
+                self.checkpoint(checkpoint_dir)
+        return self.round
+
+    # ---- introspection ----
+
+    def metrics(self) -> dict:
+        per_part = ray.get([a.get_metrics.remote() for a in self.actors])
+        total = {k: sum(m[k] for m in per_part) for k in per_part[0]}
+        return {"total": total, "partitions": per_part,
+                "rounds": self.round, "fetched": len(self.crawl_log)}
+
+    def seen_urls(self) -> set[str]:
+        parts = ray.get([a.get_seen_urls.remote() for a in self.actors])
+        return set(u for p in parts for u in p)
+
+    def crawl_log_table(self) -> pa.Table:
+        cols = list(zip(*self.crawl_log)) if self.crawl_log else [[]] * 6
+        return pa.table(
+            {f.name: pa.array(list(c), f.type)
+             for f, c in zip(LOG_SCHEMA, cols)})
+
+    # ---- checkpoint / resume (north_rule) ----
+
+    def checkpoint(self, ckpt_dir: str) -> None:
+        rdir = os.path.join(ckpt_dir, f"round_{self.round:04d}")
+        os.makedirs(rdir, exist_ok=True)
+        snaps = ray.get([a.snapshot.remote() for a in self.actors])
+        for i, blob in enumerate(snaps):
+            with open(os.path.join(rdir, f"part_{i}.pkl"), "wb") as f:
+                f.write(blob)
+        pq.write_table(self.crawl_log_table(), os.path.join(rdir, "crawl_log.parquet"))
+        # manifest last = atomic commit of the checkpoint
+        tmp = os.path.join(ckpt_dir, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"round": self.round, "num_partitions": self.num_partitions},
+                      f)
+        os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
+
+    @classmethod
+    def resume(cls, ckpt_dir: str, cfg: SimWebConfig, out_dir: str,
+               **engine_kw) -> "CrawlEngine":
+        with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        eng = cls(cfg, out_dir,
+                  num_partitions=manifest["num_partitions"], **engine_kw)
+        rdir = os.path.join(ckpt_dir, f"round_{manifest['round']:04d}")
+        blobs = []
+        for i in range(manifest["num_partitions"]):
+            with open(os.path.join(rdir, f"part_{i}.pkl"), "rb") as f:
+                blobs.append(f.read())
+        ray.get([a.restore.remote(b) for a, b in zip(eng.actors, blobs)])
+        log = pq.read_table(os.path.join(rdir, "crawl_log.parquet"))
+        eng.crawl_log = [tuple(r.values()) for r in log.to_pylist()]
+        eng.round = manifest["round"]
+        return eng

@@ -1,0 +1,225 @@
+"""Deterministic simulated web (FIXTURES.md F3) — the hermetic stand-in for
+vbpl.vn / anle.toaan.gov.vn.
+
+Every page is a PURE FUNCTION of (config, url): fetch actors need no shared
+page store, so the sim scales to any URL count and any parallelism while
+staying byte-deterministic. The URL shapes, listing pagination, attribute
+tables, related-document links and robots/politeness knobs mirror the
+reference's crawl surface (listing pages app/service/vbpl.py:116-144,
+detail tabs app/helper/enum.py:9-17, attribute tables vbpl.py:610-618,
+related-doc tabs vbpl.py:654-704) without copying any of its code.
+
+URL space per host ``host{k}.test``:
+  /robots.txt                     politeness + disallow rules
+  /listing.aspx?Page={n}          listing of docs_per_page docs (1-based n)
+  /doc.aspx?ItemID={id}           detail page: attributes, caption, image, links
+  /img/{id}.{png|jpeg}            encoded image payload (sources/imaging.py)
+  /private/...                    robots-disallowed (must be blocked, counted)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..functions.hashing import hash64_one
+from .imaging import encode_image, gen_pixels
+
+
+@dataclass
+class SimWebConfig:
+    n_hosts: int = 4
+    pages_per_host: int = 3
+    docs_per_page: int = 5
+    captions: tuple[str, ...] = ()          # caption source (documents.text)
+    crawl_delays: tuple[float, ...] = (1.0, 2.0, 3.0, 0.5)
+    seed: int = 42
+    flaky_rate: float = 0.1                 # fraction of doc URLs 500-ing once
+    missing_rate: float = 0.05              # fraction of doc links that 404
+    cross_host_every: int = 7               # every k-th doc links cross-host
+    hot_host_factor: int = 1                # host 0 gets factor x pages (skew knob)
+
+    def docs_per_host(self, k: int) -> int:
+        return self.pages_per_host_of(k) * self.docs_per_page
+
+    def pages_per_host_of(self, k: int) -> int:
+        return self.pages_per_host * (self.hot_host_factor if k == 0 else 1)
+
+    @property
+    def doc_base(self) -> int:
+        # id space stride per host; generous so hot host fits
+        return self.pages_per_host * self.hot_host_factor * self.docs_per_page * 2
+
+    def host_of_doc(self, doc_id: int) -> int:
+        return doc_id // self.doc_base
+
+    def delay_of(self, k: int) -> float:
+        return self.crawl_delays[k % len(self.crawl_delays)]
+
+    def total_docs(self) -> int:
+        return sum(self.docs_per_host(k) for k in range(self.n_hosts))
+
+
+_URL_RE = re.compile(
+    r"^https?://host(?P<host>\d+)\.test(?P<path>/[^?]*)(?:\?(?P<query>.*))?$")
+
+
+class SimWeb:
+    """Servable simulated web. ``get(url)`` -> (status, content_type, body)."""
+
+    def __init__(self, cfg: SimWebConfig):
+        self.cfg = cfg
+
+    # ---- deterministic per-url properties ----
+
+    def _caption(self, doc_id: int) -> str:
+        caps = self.cfg.captions
+        if not caps:
+            return f"Văn bản số {doc_id} về điều hành thử nghiệm"
+        return caps[doc_id % len(caps)]
+
+    def _fmt(self, doc_id: int) -> str:
+        return "png" if hash64_one(f"fmt{doc_id}") % 2 == 0 else "jpeg"
+
+    def _dims(self, doc_id: int) -> tuple[int, int]:
+        h = hash64_one(f"dims{doc_id}")
+        return 32 + int(h % 97), 32 + int((h >> 8) % 97)  # w, h in [32,128]
+
+    def is_flaky(self, url: str, attempt: int) -> bool:
+        """True -> this attempt returns 500 (succeeds on retry; S2 semantics,
+        reference app/service/anle.py:38-57)."""
+        if attempt > 0:
+            return False
+        return (hash64_one("flaky" + url) % 10_000) < self.cfg.flaky_rate * 10_000
+
+    def _is_missing_doc(self, doc_id: int) -> bool:
+        return (hash64_one(f"missing{doc_id}") % 10_000) < self.cfg.missing_rate * 10_000
+
+    def related_ids(self, doc_id: int) -> list[tuple[int, str]]:
+        """Deterministic related-document edges (doc-map analogue)."""
+        cfg = self.cfg
+        k = cfg.host_of_doc(doc_id)
+        n = cfg.docs_per_host(k)
+        base = k * cfg.doc_base
+        local = doc_id - base
+        out = []
+        if n > 1:
+            out.append((base + (local + 1) % n, "sửa đổi"))
+        if doc_id % cfg.cross_host_every == 0 and cfg.n_hosts > 1:
+            other = (k + 1) % cfg.n_hosts
+            tgt = other * cfg.doc_base + (local % cfg.docs_per_host(other))
+            out.append((tgt, "liên quan"))
+        return out
+
+    # ---- page bodies ----
+
+    def _robots_body(self, k: int) -> bytes:
+        return (f"User-agent: *\nDisallow: /private/\n"
+                f"Crawl-delay: {self.cfg.delay_of(k)}\n").encode()
+
+    def _listing_body(self, k: int, page: int) -> bytes:
+        cfg = self.cfg
+        base = k * cfg.doc_base
+        start = (page - 1) * cfg.docs_per_page
+        rows = []
+        for j in range(start, min(start + cfg.docs_per_page, cfg.docs_per_host(k))):
+            doc_id = base + j
+            title = self._caption(doc_id)[:60]
+            rows.append(
+                f'<p class="title"><a href="/doc.aspx?ItemID={doc_id}">{title}</a></p>'
+                f'<div class="des">Trích yếu {doc_id}</div>')
+        # canonicalization trap: duplicate link in non-canonical form
+        if rows:
+            trap_id = base + start
+            rows.append(f'<p class="title"><a href="HTTP://HOST{k}.TEST:80'
+                        f'/x/../doc.aspx?ItemID={trap_id}">trap</a></p>')
+        # robots-blocked link
+        rows.append(f'<a href="/private/secret{page}">private</a>')
+        total = cfg.docs_per_host(k)
+        return (f'<div class="message"><strong>{total}</strong></div>\n'
+                + "\n".join(rows)).encode()
+
+    def _doc_body(self, doc_id: int) -> bytes:
+        k = self.cfg.host_of_doc(doc_id)
+        cap = self._caption(doc_id)
+        fmt = self._fmt(doc_id)
+        h = hash64_one(f"date{doc_id}")
+        day, month, year = 1 + h % 28, 1 + (h >> 8) % 12, 2000 + (h >> 16) % 24
+        rels = "\n".join(
+            f'<li class="related"><a href="/doc.aspx?ItemID={rid}">liên quan</a>'
+            f'<span class="doc-type">{label}</span></li>'
+            for rid, label in self.related_ids(doc_id))
+        return f"""<div class="vbProperties">
+<tr><td>Số ký hiệu</td><td>{doc_id}/QĐ-TTg</td></tr>
+<tr><td>Ngày ban hành</td><td>{day:02d}/{month:02d}/{year}</td></tr>
+<tr><td>Loại văn bản</td><td>Quyết định</td></tr>
+<tr><td>Cơ quan ban hành</td><td>Bộ {k}</td></tr>
+</div>
+<td class="title">{cap}</td>
+<img class="payload" src="/img/{doc_id}.{fmt}"/>
+<ul class="relatedDoc">
+{rels}
+</ul>""".encode()
+
+    def _img_body(self, doc_id: int, fmt: str) -> bytes:
+        w, h = self._dims(doc_id)
+        return encode_image(gen_pixels(f"img{doc_id:08d}", w, h, self.cfg.seed), fmt)
+
+    # ---- the fetch entry point ----
+
+    def get(self, url: str, attempt: int = 0) -> tuple[int, str, bytes]:
+        """(status, content_type, body). Deterministic; ``attempt`` models
+        the transient-500 retry path."""
+        m = _URL_RE.match(url)
+        if not m:
+            return 404, "text/plain", b""
+        k = int(m.group("host"))
+        path, query = m.group("path"), m.group("query") or ""
+        if k >= self.cfg.n_hosts:
+            return 404, "text/plain", b""
+        if path == "/robots.txt":
+            return 200, "text/plain", self._robots_body(k)
+        if self.is_flaky(url, attempt):
+            return 500, "text/plain", b"transient"
+        if path == "/listing.aspx":
+            page = int(re.search(r"Page=(\d+)", query).group(1))
+            if not (1 <= page <= self.cfg.pages_per_host_of(k)):
+                return 404, "text/plain", b""
+            return 200, "text/html", self._listing_body(k, page)
+        if path == "/doc.aspx":
+            doc_id = int(re.search(r"ItemID=(\d+)", query).group(1))
+            if (self.cfg.host_of_doc(doc_id) != k
+                    or doc_id - k * self.cfg.doc_base >= self.cfg.docs_per_host(k)
+                    or self._is_missing_doc(doc_id)):
+                return 404, "text/plain", b""
+            return 200, "text/html", self._doc_body(doc_id)
+        img = re.match(r"^/img/(\d+)\.(png|jpeg)$", path)
+        if img:
+            doc_id = int(img.group(1))
+            if self.cfg.host_of_doc(doc_id) != k:
+                return 404, "text/plain", b""
+            return 200, f"image/{img.group(2)}", self._img_body(doc_id, img.group(2))
+        if path.startswith("/private/"):
+            return 200, "text/html", b"should never be fetched (robots)"
+        return 404, "text/plain", b""
+
+    def seed_urls(self) -> list[str]:
+        """Depth-0 seeds: every host's listing page 1 (pagination is then
+        discovered via next-page links... pages ascending, matching the
+        reference's ascending page loop app/service/vbpl.py:102-103)."""
+        return [f"http://host{k}.test/listing.aspx?Page={n}"
+                for k in range(self.cfg.n_hosts)
+                for n in range(1, self.cfg.pages_per_host_of(k) + 1)]
+
+
+def config_from_documents(sf_dir: str, n_hosts: int = 4, pages_per_host: int = 3,
+                          docs_per_page: int = 5, **kw) -> SimWebConfig:
+    """Build a SimWebConfig whose captions come from the driver's documents
+    table — entry()'s hermetic input (TESTDATA.md)."""
+    import pyarrow.parquet as pq
+    caps = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    return SimWebConfig(n_hosts=n_hosts, pages_per_host=pages_per_host,
+                        docs_per_page=docs_per_page,
+                        captions=tuple(caps["text"].to_pylist()), **kw)

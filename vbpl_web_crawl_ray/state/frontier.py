@@ -1,0 +1,176 @@
+"""Sharded URL frontier — the engine's core stateful component (north_rule).
+
+Replaces the reference's implicit frontier (a ``range(1, 1001)`` page loop
+plus a shared in-memory ``full_id_list``, app/service/vbpl.py:97-114) with
+hash(host)-partitioned stateful actors, each owning:
+
+- a per-host priority queue ordered by (depth, discovery_order) — the
+  deterministic analogue of the reference's pages-ascending / rows-in-page
+  crawl order (SURVEY.md §2.6 O3);
+- per-host politeness in VIRTUAL time: the i-th fetch from a host is
+  scheduled at i * crawl_delay (delay from robots.txt Crawl-delay, else the
+  configured default — the reference's sleep(3)/sleep(1) budget);
+- a Bloom filter over hash64(canonical URL) for seen-membership (the
+  reference's DB PK probes, app/service/vbpl.py:188-190);
+- robots.txt rules per host (fetched once, cached);
+- lineage metrics (offered / deduped / robots_blocked / queued / popped)
+  and snapshot/restore checkpointing.
+
+Determinism: pop order within a partition is a pure function of the offered
+(url, depth, discovery_order) set, NOT of arrival timing or parallelism —
+two runs (or N- vs 4N-CPU runs) produce identical crawl order. The global
+order across partitions is the merge by (fetch_time, host, depth,
+discovery_order) done by the crawl driver.
+
+Skew handling: ``max_per_host_per_round`` time-slices a hot host's queue
+across rounds so one domain cannot monopolize a round while other hosts'
+politeness windows go idle.
+"""
+
+from __future__ import annotations
+
+import heapq
+import pickle
+from typing import Callable
+
+import numpy as np
+
+from ..functions.canon import canonicalize_url, host_of
+from ..functions.hashing import hash64
+from .bloom import BloomFilter
+from .robots import ALLOW_ALL, RobotsRules, parse_robots
+
+METRIC_KEYS = ("offered", "deduped", "robots_blocked", "queued", "popped",
+               "robots_fetched")
+
+
+class FrontierPartition:
+    """Single partition; wrapped in a Ray actor by pipelines/crawl.py.
+
+    ``robots_fetch``: callable url -> (status, content_type, body). In this
+    sandbox it serves from the SimWeb; in production it is an HTTP client.
+    """
+
+    def __init__(self, partition_id: int, num_partitions: int,
+                 robots_fetch: Callable | None = None,
+                 default_delay: float = 1.0, capacity: int = 1_000_000,
+                 fp_rate: float = 0.01, track_seen: bool = False):
+        self.partition_id = partition_id
+        self.num_partitions = num_partitions
+        self.robots_fetch = robots_fetch
+        self.default_delay = default_delay
+        self.seen = BloomFilter(capacity, fp_rate)
+        self.heaps: dict[str, list] = {}           # host -> [(depth, order, url)]
+        self.next_free: dict[str, float] = {}      # host -> virtual next slot
+        self.robots: dict[str, RobotsRules] = {}
+        self.metrics = dict.fromkeys(METRIC_KEYS, 0)
+        self.track_seen = track_seen
+        self.seen_urls: list[str] = []
+
+    # ---- robots ----
+
+    def _rules(self, host: str) -> RobotsRules:
+        if host not in self.robots:
+            if self.robots_fetch is None:
+                self.robots[host] = ALLOW_ALL
+            else:
+                status, _, body = self.robots_fetch(f"http://{host}/robots.txt")
+                self.robots[host] = parse_robots(body) if status == 200 else ALLOW_ALL
+                self.metrics["robots_fetched"] += 1
+        return self.robots[host]
+
+    def _delay(self, host: str) -> float:
+        d = self._rules(host).crawl_delay
+        return self.default_delay if d is None else d
+
+    # ---- offer / pop ----
+
+    def offer(self, records: list[tuple[str, int, int]]) -> int:
+        """records: (url, depth, discovery_order), pre-sorted by the driver
+        ascending (depth, discovery_order) so first-wins == min-order-wins.
+        Returns number queued."""
+        if not records:
+            return 0
+        self.metrics["offered"] += len(records)
+        urls = [canonicalize_url(r[0]) for r in records]
+        new = self.seen.add(hash64(urls))
+        queued = 0
+        for is_new, url, (_, depth, order) in zip(new, urls, records):
+            if not is_new:
+                self.metrics["deduped"] += 1
+                continue
+            host = host_of(url)
+            path = url.split(host, 1)[1] if host in url else "/"
+            if not self._rules(host).allows(path):
+                self.metrics["robots_blocked"] += 1
+                continue
+            heapq.heappush(self.heaps.setdefault(host, []), (depth, order, url))
+            if self.track_seen:
+                self.seen_urls.append(url)
+            queued += 1
+        self.metrics["queued"] += queued
+        return queued
+
+    def pop_round(self, max_per_host: int | None = None) -> list[tuple]:
+        """Drain queued URLs (up to max_per_host each) in deterministic
+        priority order, assigning virtual fetch times.
+        Returns [(fetch_time, host, depth, discovery_order, url)]."""
+        out = []
+        for host in sorted(self.heaps):
+            heap = self.heaps[host]
+            delay = self._delay(host)
+            n = len(heap) if max_per_host is None else min(len(heap), max_per_host)
+            for _ in range(n):
+                depth, order, url = heapq.heappop(heap)
+                t = self.next_free.get(host, 0.0)
+                self.next_free[host] = t + delay
+                out.append((t, host, depth, order, url))
+            if not heap:
+                del self.heaps[host]
+        self.metrics["popped"] += len(out)
+        out.sort()
+        return out
+
+    def pending(self) -> int:
+        return sum(len(h) for h in self.heaps.values())
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)
+
+    def get_seen_urls(self) -> list[str]:
+        return list(self.seen_urls)
+
+    # ---- checkpoint (north_rule: frontier state + filter snapshot +
+    # lineage metrics per partition) ----
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({
+            "partition_id": self.partition_id,
+            "num_partitions": self.num_partitions,
+            "default_delay": self.default_delay,
+            "heaps": self.heaps,
+            "next_free": self.next_free,
+            "robots": self.robots,
+            "metrics": self.metrics,
+            "bloom": self.seen.snapshot(),
+            "track_seen": self.track_seen,
+            "seen_urls": self.seen_urls,
+        })
+
+    def restore(self, blob: bytes) -> None:
+        s = pickle.loads(blob)
+        self.partition_id = s["partition_id"]
+        self.num_partitions = s["num_partitions"]
+        self.default_delay = s["default_delay"]
+        self.heaps = s["heaps"]
+        self.next_free = s["next_free"]
+        self.robots = s["robots"]
+        self.metrics = s["metrics"]
+        self.seen = BloomFilter.restore(s["bloom"])
+        self.track_seen = s["track_seen"]
+        self.seen_urls = s["seen_urls"]
+
+
+def partition_of(url: str, num_partitions: int) -> int:
+    """hash(host) % P — the frontier's partitioning key (north_rule)."""
+    return int(hash64([host_of(canonicalize_url(url))])[0] % np.uint64(num_partitions))
