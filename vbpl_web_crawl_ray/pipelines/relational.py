@@ -21,10 +21,21 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.numeric import round_half_away
+from ..stages.shuffle import bucketed_group_apply
 
-# Queries run at sf0.01 (gate) and sf0.1 (bench): keep join partition counts
-# modest locally; at cluster scale these would be set from cluster size.
-_JOIN_PARTITIONS = 16
+_NUM_BUCKETS = 8
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the session: measured locally,
+    aggregator-actor count beyond ~cpus/4 inverts scaling (16 partitions was
+    6x slower than 8 on 32 CPUs). On a real cluster this would be
+    ~2x total cores."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(8, cpus // 4))
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -106,12 +117,13 @@ def q_tumbling_window(sf_dir: str):
         return df.groupby(["user_id", "window_id"], as_index=False).agg(
             sum_value=("value", "sum"), n_events=("value", "size"))
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-             .groupby(["user_id", "window_id"])
-             .aggregate(Sum("sum_value", alias_name="sum_value"),
-                        Sum("n_events", alias_name="n_events"))
-             .to_pandas())
-    return _round4(out, ["sum_value"])
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_id", "window_id"], as_index=False).agg(
+            sum_value=("sum_value", "sum"), n_events=("n_events", "sum"))
+        return _round4(out, ["sum_value"])
+
+    return bucketed_group_apply(ds, "user_id", final,
+                                num_buckets=_NUM_BUCKETS, partial_fn=partial)
 
 
 # ---------------------------------------------------------------------------
@@ -136,11 +148,18 @@ def q_latest_event_per_user(sf_dir: str):
     (app/service/vbpl.py:1091)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
 
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch winner per key — shrinks the shuffle to keys x batches
+        return (df.sort_values(["ts", "event_id"])
+                  .groupby("user_id", as_index=False).tail(1))
+
     def latest(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.sort_values(["ts", "event_id"], ascending=False).head(1)
+        top = (g.sort_values(["ts", "event_id"])
+                .groupby("user_id", as_index=False).tail(1))
         return top[["user_id", "ts", "event_type", "value"]]
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    return bucketed_group_apply(ds, "user_id", latest,
+                                num_buckets=_NUM_BUCKETS, partial_fn=combiner)
 
 
 def q_lww_upsert(sf_dir: str):
@@ -154,14 +173,14 @@ def q_lww_upsert(sf_dir: str):
         return df.groupby(["user_id", "event_type"], as_index=False).tail(1)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.sort_values(["ts", "event_id"]).tail(1)
-        return pd.DataFrame({"user_id": top["user_id"].values,
-                             "event_type": top["event_type"].values,
-                             "last_value": top["value"].values})
+        top = (g.sort_values(["ts", "event_id"])
+                .groupby(["user_id", "event_type"], as_index=False).tail(1))
+        return pd.DataFrame({"user_id": top["user_id"].to_numpy(),
+                             "event_type": top["event_type"].to_numpy(),
+                             "last_value": top["value"].to_numpy()})
 
-    return (ds.map_batches(partial, batch_format="pandas")
-              .groupby(["user_id", "event_type"])
-              .map_groups(final, batch_format="pandas"))
+    return bucketed_group_apply(ds, "user_id", final,
+                                num_buckets=_NUM_BUCKETS, partial_fn=partial)
 
 
 def q_topk_per_group(sf_dir: str):
@@ -169,10 +188,13 @@ def q_topk_per_group(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["o_totalprice", "o_orderkey"],
-                             ascending=[False, True]).head(2)
+        return (g.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True])
+                 .groupby("o_custkey", as_index=False).head(2))
 
-    return ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+    # top2 is also a valid per-batch combiner (top-k is mergeable)
+    return bucketed_group_apply(ds, "o_custkey", top2,
+                                num_buckets=_NUM_BUCKETS, partial_fn=top2)
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +205,7 @@ def q_join_revenue_by_priority(sf_dir: str):
     """J2: large-large hash join lineitem x orders, then grouped rollup."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTITIONS,
+    joined = li.join(orders, join_type="inner", num_partitions=_join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -220,7 +242,7 @@ def q_broadcast_dim_join(sf_dir: str):
             return df.groupby("r_name", as_index=False).agg(
                 n_customers=("c_acctbal", "size"), total_acctbal=("c_acctbal", "sum"))
 
-    out = (cust.map_batches(BroadcastJoin, batch_format="pandas", concurrency=2)
+    out = (cust.map_batches(BroadcastJoin, batch_format="pandas", concurrency=(1, 2))
                .groupby("r_name")
                .aggregate(Sum("n_customers", alias_name="n_customers"),
                           Sum("total_acctbal", alias_name="total_acctbal"))
@@ -308,15 +330,21 @@ def q_sessionize(sf_dir: str):
     streaming-shaped operator (SURVEY.md §2.8) as sort-within-group."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_sess = (g["ts"].diff() > pd.Timedelta(minutes=30)) | g["ts"].diff().isna()
-        g = g.assign(session_id=new_sess.cumsum().astype("int64"))
-        out = g.groupby("session_id", as_index=False).agg(
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across the whole bucket: session breaks computed over
+        # user-sorted rows with a per-user reset — no per-user Python loop
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        new_sess = (~same_user) | gap
+        sess_raw = new_sess.cumsum()
+        g = g.assign(session_id=(sess_raw - sess_raw.groupby(g["user_id"])
+                                 .transform("min") + 1).astype("int64"))
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"),
             session_start=("ts", "min"))
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 4)
         return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed_group_apply(ds, "user_id", sessions_bucket,
+                                num_buckets=_NUM_BUCKETS)

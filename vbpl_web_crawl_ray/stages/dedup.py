@@ -38,21 +38,23 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     shuffles only (hash, id) pairs. Collision-safe at the oracle level
     because representatives are re-keyed by full text within each group.
     """
+    from .shuffle import bucketed_group_apply
+
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "content_hash": hash64(df[text_col].to_numpy()),
+            "content_hash": hash64(df[text_col].to_numpy()).astype(np.int64),
             id_col: df[id_col].to_numpy(),
             text_col: df[text_col].to_numpy(),
         })
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        # within one hash bucket, split by exact text (collision guard)
+        # within one bucket, key by exact text (hash-collision guard)
         out = g.groupby(text_col, as_index=False)[id_col].min()
         return out[[id_col]]
 
-    return (ds.map_batches(add_hash, batch_format="pandas")
-              .groupby("content_hash")
-              .map_groups(first_per_text, batch_format="pandas"))
+    return bucketed_group_apply(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        "content_hash", first_per_text, num_buckets=8)
 
 
 # ---------------------------------------------------------------------------
@@ -76,16 +78,20 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
     hot shingles ('the quick brown'-style) mostly drop out of the shuffle.
     Verification computes exact Jaccard per candidate pair.
     """
+    from .shuffle import bucketed_group_apply
+
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[id_col, text_col])
 
     def to_shingle_sets(df: pd.DataFrame) -> pd.DataFrame:
         sets = [sorted(set(_shingles(t.split(" "), n))) for t in df[text_col]]
         return pd.DataFrame({id_col: df[id_col].to_numpy(), "shingles": sets})
 
-    sets_ds = ds.map_batches(to_shingle_sets, batch_format="pandas")
+    # reused by three consumers (freq, prefix emit, verify) -> pin once
+    sets_ds = ds.map_batches(to_shingle_sets, batch_format="pandas").materialize()
 
-    # pass 1: global shingle document frequencies (small: one row per
-    # distinct shingle after the partial count)
+    # pass 1: global shingle document frequencies via the coarse-bucket
+    # shuffle (per-batch dict combiner first, so each shingle ships once
+    # per batch, not once per occurrence)
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
         counts: dict[str, int] = {}
         for s in df["shingles"]:
@@ -93,13 +99,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
                 counts[sh] = counts.get(sh, 0) + 1
         return pd.DataFrame({"shingle": list(counts), "c": list(counts.values())})
 
-    from ray.data.aggregate import Sum
-    freq = (sets_ds.map_batches(df_partial, batch_format="pandas")
-                   .groupby("shingle").aggregate(Sum("c", alias_name="df"))
-                   .to_pandas())
+    freq = bucketed_group_apply(
+        sets_ds.map_batches(df_partial, batch_format="pandas"),
+        "shingle",
+        lambda g: g.groupby("shingle", as_index=False)["c"].sum(),
+        num_buckets=8,
+    ).to_pandas()
     # canonical global order: ascending df, then shingle text
     order = {s: i for i, s in enumerate(
-        freq.sort_values(["df", "shingle"])["shingle"])}
+        freq.sort_values(["c", "shingle"])["shingle"])}
     order_ref = ray.put(order)
 
     # pass 2: emit prefix (shingle_rank, doc) pairs only
@@ -118,30 +126,53 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
     prefix = sets_ds.map_batches(emit_prefix, batch_format="pandas")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+        # drop singleton ranks vectorized, then pair per surviving rank
+        g = g[g.groupby("shingle_rank")["shingle_rank"].transform("size") >= 2]
+        out_a, out_b = [], []
+        for _, sub in g.groupby("shingle_rank"):
+            ids = np.sort(sub[id_col].unique())
+            if len(ids) >= 2:
+                a, b = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[a]); out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    cand = (prefix.groupby("shingle_rank")
-                  .map_groups(pairs_in_bucket, batch_format="pandas")
-                  .to_pandas().drop_duplicates())
+    cand = (bucketed_group_apply(prefix, "shingle_rank", pairs_in_bucket,
+                                 num_buckets=16)
+            .to_pandas().drop_duplicates())
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
 
-    # verify candidates exactly against broadcast shingle sets (the sets are
-    # small relative to raw text; at larger scale verify would be a
-    # bucket-join keyed by id_a instead of a broadcast)
-    all_sets = {r[id_col]: set(r["shingles"])
-                for r in sets_ds.iter_rows()}
-    out = []
-    for ia, ib in cand.itertuples(index=False):
-        sa, sb = all_sets[ia], all_sets[ib]
-        inter = len(sa & sb)
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= threshold:
-            out.append((ia, ib, round_half_away(j, 4)))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
-        {"id_a": np.int64, "id_b": np.int64})
+    # verify distributed: shingle sets broadcast once, exact Jaccard per
+    # candidate pair inside map_batches (at 100 TB this broadcast becomes a
+    # bucket-join keyed by id_a; the verify math is unchanged)
+    sets_pdf = sets_ds.to_pandas()
+    sets_ref = ray.put(dict(zip(sets_pdf[id_col],
+                                (set(s) for s in sets_pdf["shingles"]))))
+
+    class Verify:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for ia, ib in zip(df["id_a"], df["id_b"]):
+                sa, sb = self.sets[ia], self.sets[ib]
+                inter = len(sa & sb)
+                j = inter / (len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    rows.append((ia, ib, round_half_away(j, 4)))
+            return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
+                {"id_a": np.int64, "id_b": np.int64})
+
+    return (rd.from_pandas(cand)
+              .map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+              .to_pandas())
 
 
 # ---------------------------------------------------------------------------
@@ -190,8 +221,10 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
     """
     rows = num_perm // bands
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, batch_format="pandas", concurrency=2,
-                          fn_constructor_kwargs={"num_perm": num_perm, "n": n})
+    sigs = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 8),
+                          batch_size=256,
+                          fn_constructor_kwargs={"num_perm": num_perm, "n": n}
+                          ).materialize()
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         out_band, out_hash, out_id = [], [], []
@@ -221,8 +254,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
     cand = (banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
                   .to_pandas().drop_duplicates())
 
-    sig_map = {r["doc_id"]: np.asarray(r["signature"], dtype=np.uint64)
-               for r in sigs.iter_rows()}
+    sig_pdf = sigs.to_pandas()
+    sig_map = {d: np.asarray(s, dtype=np.uint64)
+               for d, s in zip(sig_pdf["doc_id"], sig_pdf["signature"])}
     out = []
     for ia, ib in cand.itertuples(index=False):
         est = float((sig_map[ia] == sig_map[ib]).mean())
@@ -339,5 +373,5 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFra
             return pd.DataFrame({"id_a": ia[keep].astype(np.int64),
                                  "id_b": ib[keep].astype(np.int64)})
 
-    return (ds.map_batches(PairFinder, batch_format="pandas", concurrency=2)
+    return (ds.map_batches(PairFinder, batch_format="pandas", concurrency=(1, 2))
               .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
