@@ -21,33 +21,28 @@ from vbpl_web_crawl_ray.stages import ann, dedup, textstats  # noqa: E402
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001: document prep — read,
-    vectorized text statistics, lang-ID, content fingerprint — one streamed
-    map_batches chain. (Becomes the crawl flagship once the frontier lands.)
+    """Flagship: the full crawl pipeline on a deterministic simulated web
+    whose captions come from /root/testdata/sf0.001/documents.parquet.
+
+    frontier (sharded actors: politeness, robots, Bloom seen-filter)
+    -> fetch actor pool -> parse/decode actor pool -> payload parquet;
+    returns the crawled image+caption payload table (input_hint schema)
+    as a ray.data.Dataset.
     """
-    import pandas as pd
+    import tempfile
+
     import ray.data as rd
-    from vbpl_web_crawl_ray.functions.hashing import hash64
+    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
 
-    sf_dir = "/root/testdata/sf0.001"
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang", "source"])
-
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        n_tok = df["text"].str.split(" ").str.len().astype("int64")
-        n_char = df["text"].str.len().astype("int64")
-        hits = df["text"].str.count(textstats._STOP_PATTERN).astype("int64")
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "source": df["source"].to_numpy(),
-            "lang": df["lang"].to_numpy(),
-            "n_tokens": n_tok,
-            "n_chars_text": n_char,
-            "stop_hits": hits,
-            "content_hash": hash64(df["text"].to_numpy()),
-        })
-
-    return ds.map_batches(prep, batch_format="pandas")
+    cfg = config_from_documents("/root/testdata/sf0.001",
+                                n_hosts=4, pages_per_host=3, docs_per_page=5)
+    out = tempfile.mkdtemp(prefix="vbpl_crawl_entry_")
+    eng = CrawlEngine(cfg, out, num_partitions=2,
+                      fetch_concurrency=(1, 2), parse_concurrency=(1, 2))
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=16)
+    return rd.read_parquet(f"{out}/payload")
 
 
 def _docs(sf_dir: str):

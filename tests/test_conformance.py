@@ -33,4 +33,6 @@ def test_entry_smoke():
     ds = entrymod.entry()
     df = to_pandas(ds)
     assert len(df) > 0
-    assert "doc_id" in df.columns
+    # flagship returns the crawled payload table (input_hint schema)
+    assert {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"} \
+        <= set(df.columns)

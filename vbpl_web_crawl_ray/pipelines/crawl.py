@@ -33,11 +33,12 @@ import ray.data as rd
 
 from ..sources.simweb import SimWeb, SimWebConfig
 from ..stages.fetch import FetchStage
-from ..stages.parse import PARSE_SCHEMA, ParseStage
+from ..stages.parse import PAYLOAD_SCHEMA, ParseStage
 from ..state.frontier import FrontierPartition, partition_of
 
-PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-EDGE_COLS = ["src", "dst", "label"]
+PAYLOAD_COLS = [f.name for f in PAYLOAD_SCHEMA]
+EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                         ("label", pa.string())])
 LOG_SCHEMA = pa.schema([
     ("pop_seq", pa.int64()), ("fetch_time", pa.float64()),
     ("host", pa.string()), ("depth", pa.int32()),
@@ -54,24 +55,58 @@ class FrontierActor(FrontierPartition):
                          robots_fetch=web.get, **kw)
 
 
-def _kind_filter(kind: str):
-    def f(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["kind"], pa.scalar(kind)))
-    return f
+class _StatelessStage:
+    """Task-mode wrapper: constructs the stage lazily once per worker
+    process (cached on self after Ray's function-export ships it once)."""
+
+    def __init__(self, stage_cls, cfg, **kw):
+        self.stage_cls, self.cfg, self.kw = stage_cls, cfg, kw
+        self._stage = None
+
+    def __call__(self, batch):
+        if self._stage is None:
+            self._stage = self.stage_cls(self.cfg, **self.kw)
+        return self._stage(batch)
+
+
+@ray.remote(num_cpus=0)
+class RoundCollector:
+    """Per-round sink for small control data (edges, fetch failures)
+    pushed by parse tasks; drained by the driver at the round barrier."""
+
+    def __init__(self):
+        self.edges: list[tuple] = []
+        self.fails: list[tuple] = []
+
+    def add(self, edges: list[tuple], fails: list[tuple]) -> None:
+        self.edges.extend(tuple(e) for e in edges)
+        self.fails.extend(tuple(f) for f in fails)
+
+    def drain(self) -> tuple[list, list]:
+        e, self.edges = self.edges, []
+        f, self.fails = self.fails, []
+        return e, f
 
 
 class CrawlEngine:
     def __init__(self, cfg: SimWebConfig, out_dir: str, num_partitions: int = 4,
-                 fetch_concurrency: int = 2, parse_concurrency: int = 2,
+                 fetch_concurrency: int | tuple = 2,
+                 parse_concurrency: int | tuple = 2,
                  batch_size: int = 64, max_per_host_per_round: int | None = None,
                  default_delay: float = 1.0, bloom_capacity: int = 1_000_000,
-                 track_seen: bool = False):
+                 track_seen: bool = False, use_actors: bool = True):
         self.cfg = cfg
         self.out_dir = out_dir
         self.num_partitions = num_partitions
         self.fetch_concurrency = fetch_concurrency
         self.parse_concurrency = parse_concurrency
         self.batch_size = batch_size
+        # use_actors=True: fetch/parse as actor pools (real crawlers hold
+        # connection pools / models per worker). use_actors=False: stateless
+        # task stages — when per-actor state is trivial (the hermetic sim),
+        # tasks reuse warm workers and Ray Data fuses the fetch->parse chain
+        # into one pass, removing per-round pool-startup latency.
+        self.use_actors = use_actors
         self.max_per_host = max_per_host_per_round
         self.actors = [
             FrontierActor.remote(i, num_partitions, cfg,
@@ -79,8 +114,10 @@ class CrawlEngine:
                                  capacity=bloom_capacity, track_seen=track_seen)
             for i in range(num_partitions)
         ]
+        self.collector = RoundCollector.remote()
         self.round = 0
         self.crawl_log: list[tuple] = []
+        self.fail_log: list[tuple] = []
         os.makedirs(out_dir, exist_ok=True)
 
     # ---- seeding / offering ----
@@ -112,31 +149,41 @@ class CrawlEngine:
         records = [{"url": u, "host": h, "depth": d, "discovery_order": o,
                     "fetch_time": t} for (t, h, d, o, u) in merged]
         n_blocks = max(1, len(records) // self.batch_size)
-        ds = (rd.from_items(records, override_num_blocks=n_blocks)
-                .map_batches(FetchStage, batch_format="pyarrow",
-                             batch_size=self.batch_size,
-                             fn_constructor_kwargs={"cfg": self.cfg},
-                             concurrency=self.fetch_concurrency)
-                .map_batches(ParseStage, batch_format="pyarrow",
-                             batch_size=self.batch_size,
-                             fn_constructor_kwargs={"cfg": self.cfg},
-                             concurrency=self.parse_concurrency))
-        mat = ds.materialize()     # one round's working set; 3 cheap consumers
+        parse_kw = {"frontier_handles": self.actors, "collector": self.collector}
+        ds = rd.from_items(records, override_num_blocks=n_blocks)
+        if self.use_actors:
+            ds = (ds.map_batches(FetchStage, batch_format="pyarrow",
+                                 batch_size=self.batch_size,
+                                 fn_constructor_kwargs={"cfg": self.cfg},
+                                 concurrency=self.fetch_concurrency)
+                    .map_batches(ParseStage, batch_format="pyarrow",
+                                 batch_size=self.batch_size,
+                                 fn_constructor_kwargs={"cfg": self.cfg,
+                                                        **parse_kw},
+                                 concurrency=self.parse_concurrency))
+        else:
+            ds = (ds.map_batches(_StatelessStage(FetchStage, self.cfg),
+                                 batch_format="pyarrow",
+                                 batch_size=self.batch_size)
+                    .map_batches(_StatelessStage(ParseStage, self.cfg, **parse_kw),
+                                 batch_format="pyarrow",
+                                 batch_size=self.batch_size))
+        # ONE streaming pass: fetch -> parse -> payload parquet. Links/edges
+        # are pushed to the frontier/collector actors by the parse tasks and
+        # committed at the barrier below (deterministic sorted union).
+        ds.write_parquet(f"{self.out_dir}/payload/round={self.round}")
 
-        payload = mat.map_batches(_kind_filter("payload"), batch_format="pyarrow") \
-                     .select_columns(PAYLOAD_COLS)
-        if payload.count() > 0:
-            payload.write_parquet(f"{self.out_dir}/payload/round={self.round}")
-        edges = mat.map_batches(_kind_filter("edge"), batch_format="pyarrow") \
-                   .select_columns(EDGE_COLS)
-        if edges.count() > 0:
-            edges.write_parquet(f"{self.out_dir}/edges/round={self.round}")
-
-        links = (mat.map_batches(_kind_filter("link"), batch_format="pyarrow")
-                    .select_columns(["out_url", "out_depth", "out_order"])
-                    .take_all())
-        self._offer([(r["out_url"], r["out_depth"], r["out_order"])
-                     for r in links])
+        edges, fails = ray.get(self.collector.drain.remote())
+        if edges:
+            edges = sorted(set(edges))
+            os.makedirs(f"{self.out_dir}/edges/round={self.round}", exist_ok=True)
+            pq.write_table(
+                pa.table({"src": [e[0] for e in edges],
+                          "dst": [e[1] for e in edges],
+                          "label": [e[2] for e in edges]}, schema=EDGE_SCHEMA),
+                f"{self.out_dir}/edges/round={self.round}/edges.parquet")
+        self.fail_log.extend(sorted(set(fails)))
+        ray.get([a.commit.remote() for a in self.actors])
         self.round += 1
         return True
 

@@ -30,11 +30,15 @@ def gen_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
     """Deterministic grayscale pixels for an image_id (uint8, shape (h, w))."""
     from ..functions.hashing import hash64_one
     rng = np.random.default_rng((hash64_one(image_id) ^ seed) & 0x7FFFFFFFFFFFFFFF)
-    # smooth-ish field so phash is non-trivial: low-freq base + noise
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (128 + 80 * np.sin(xx / max(4, w / 4) + rng.uniform(0, 6.28))
-            * np.cos(yy / max(4, h / 4) + rng.uniform(0, 6.28)))
-    noise = rng.integers(-20, 20, size=(h, w))
+    # smooth low-freq base + per-pixel noise; the sin*cos field is separable,
+    # so build it as an outer product of 1-D waves (float32) instead of a
+    # full mgrid — ~10x less memory traffic, same picture
+    px = rng.uniform(0, 6.28)
+    py = rng.uniform(0, 6.28)
+    wave_x = np.sin(np.arange(w, dtype=np.float32) / max(4, w / 4) + px)
+    wave_y = np.cos(np.arange(h, dtype=np.float32) / max(4, h / 4) + py)
+    base = 128 + 80 * np.outer(wave_y, wave_x)
+    noise = rng.integers(-20, 20, size=(h, w), dtype=np.int16)
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 

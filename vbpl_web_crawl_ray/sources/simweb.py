@@ -40,6 +40,8 @@ class SimWebConfig:
     missing_rate: float = 0.05              # fraction of doc links that 404
     cross_host_every: int = 7               # every k-th doc links cross-host
     hot_host_factor: int = 1                # host 0 gets factor x pages (skew knob)
+    img_min: int = 32                       # min image dimension
+    img_range: int = 97                     # dims drawn from [img_min, img_min+img_range)
 
     def docs_per_host(self, k: int) -> int:
         return self.pages_per_host_of(k) * self.docs_per_page
@@ -85,7 +87,8 @@ class SimWeb:
 
     def _dims(self, doc_id: int) -> tuple[int, int]:
         h = hash64_one(f"dims{doc_id}")
-        return 32 + int(h % 97), 32 + int((h >> 8) % 97)  # w, h in [32,128]
+        lo, r = self.cfg.img_min, self.cfg.img_range
+        return lo + int(h % r), lo + int((h >> 8) % r)
 
     def is_flaky(self, url: str, attempt: int) -> bool:
         """True -> this attempt returns 500 (succeeds on retry; S2 semantics,

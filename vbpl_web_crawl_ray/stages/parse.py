@@ -3,22 +3,24 @@
 The engine analogue of the reference's BeautifulSoup parsers, re-expressed
 as regex-dict extractor configs (the U1 extension surface, SURVEY.md §2.9;
 reference regex dicts app/service/vbpl.py:610-618, 542-548,
-app/service/anle.py:75-84). One map_batches stage consumes fetched Arrow
-batches and emits a UNIFIED row stream discriminated by ``kind``:
+app/service/anle.py:75-84).
 
-  kind='payload'  image+caption payload row (input_hint schema)
-  kind='edge'     related-document edge (src, dst, label) — FIXTURES F4
-  kind='link'     discovered frontier candidate (out_url, out_depth, out_order)
-  kind='fail'     terminal fetch failure (status kept for lineage)
+Dataflow shape: the parse stage's DATASET output is the payload table only
+(input_hint schema) so the round pipeline streams from_items -> fetch ->
+parse -> write_parquet in ONE pass with no mid-round materialization.
+Discovered links and edges are small control data: they are pushed to the
+hash(host)-routed frontier partition actors (``stage``) and a per-round
+collector actor, then committed at the round barrier — the commit sorts
+the round's union by (depth, discovery_order, url), so frontier state is a
+pure function of the link graph, not of task arrival order.
 
 Attachment downloads happen INLINE within the doc parse (the reference's
 per-doc stage chain downloads PDFs inside the doc loop — M11,
 app/service/vbpl.py:990-1050), so payload rows are complete without a join.
 
-discovery_order of a child = parent_order * 4096 + (1 + position). This
-makes crawl order a pure function of the link graph (reference semantics:
-pages ascending, rows in page order — SURVEY.md §2.6 O3), independent of
-arrival timing and parallelism.
+discovery_order of a child = parent_order * 4096 + (1 + position), making
+crawl order deterministic at any parallelism (reference semantics: pages
+ascending, rows in page order — SURVEY.md §2.6 O3).
 """
 
 from __future__ import annotations
@@ -28,9 +30,11 @@ from urllib.parse import urljoin
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from ..sources.imaging import decode_image, phash64
 from ..sources.simweb import SimWeb, SimWebConfig
+from ..state.frontier import partition_of
 
 # ---- extractor configs (U1): field -> regex with one capture group ----
 
@@ -51,16 +55,7 @@ ITEMID_RE = re.compile(r"ItemID=(\d+)")
 
 ORDER_STRIDE = 4096  # child order = parent * STRIDE + position; depth<=4 safe
 
-PARSE_SCHEMA = pa.schema([
-    ("kind", pa.string()),
-    ("url", pa.string()),
-    ("host", pa.string()),
-    ("depth", pa.int32()),
-    ("discovery_order", pa.int64()),
-    ("fetch_time", pa.float64()),
-    ("status", pa.int32()),
-    ("retries", pa.int32()),
-    # payload columns (input_hint schema)
+PAYLOAD_SCHEMA = pa.schema([
     ("image_id", pa.string()),
     ("bytes", pa.binary()),
     ("w", pa.int32()),
@@ -68,14 +63,6 @@ PARSE_SCHEMA = pa.schema([
     ("fmt", pa.string()),
     ("caption", pa.string()),
     ("phash", pa.int64()),
-    # edge columns
-    ("src", pa.string()),
-    ("dst", pa.string()),
-    ("label", pa.string()),
-    # link columns
-    ("out_url", pa.string()),
-    ("out_depth", pa.int32()),
-    ("out_order", pa.int64()),
 ])
 
 
@@ -89,12 +76,17 @@ def extract_attributes(body: str, config: dict[str, str]) -> dict[str, str | Non
 
 
 class ParseStage:
-    """Stateful parse actor: compiled configs + an inline-attachment client
-    built once per actor (__init__), batch work in __call__."""
+    """Stateful parse stage: compiled configs + inline-attachment client
+    built once (__init__), batch work in __call__, link/edge push to the
+    frontier/collector actors with delivery confirmed before the batch
+    returns (so the round-barrier commit sees everything)."""
 
-    def __init__(self, cfg: SimWebConfig, max_retries: int = 3):
+    def __init__(self, cfg: SimWebConfig, frontier_handles=None,
+                 collector=None, max_retries: int = 3):
         self.web = SimWeb(cfg)
         self.max_retries = max_retries
+        self.frontier = list(frontier_handles or [])
+        self.collector = collector
         self.attr_config = {k: re.compile(v) for k, v in DOC_ATTR_CONFIG.items()}
 
     # ---- helpers ----
@@ -107,25 +99,13 @@ class ParseStage:
             status, _, body = self.web.get(url, attempt=r)
         return status, body
 
-    def _base_row(self, rec: dict) -> dict:
-        row = {f.name: None for f in PARSE_SCHEMA}
-        row.update(url=rec["url"], host=rec["host"], depth=rec["depth"],
-                   discovery_order=rec["discovery_order"],
-                   fetch_time=rec["fetch_time"], status=rec["status"],
-                   retries=rec["retries"])
-        return row
+    def _parse_listing(self, rec: dict, body: str, links: list) -> None:
+        for pos, href in enumerate(HREF_RE.findall(body), 1):
+            links.append((urljoin(rec["url"], href), rec["depth"] + 1,
+                          rec["discovery_order"] * ORDER_STRIDE + pos))
 
-    def _parse_listing(self, rec: dict, body: str, rows: list) -> None:
-        pos = 0
-        for href in HREF_RE.findall(body):
-            pos += 1
-            row = self._base_row(rec)
-            row.update(kind="link", out_url=urljoin(rec["url"], href),
-                       out_depth=rec["depth"] + 1,
-                       out_order=rec["discovery_order"] * ORDER_STRIDE + pos)
-            rows.append(row)
-
-    def _parse_doc(self, rec: dict, body: str, rows: list) -> None:
+    def _parse_doc(self, rec: dict, body: str, links: list, edges: list,
+                   payload_rows: list) -> None:
         doc_id = int(ITEMID_RE.search(rec["url"]).group(1))
         caption_m = CAPTION_RE.search(body)
         caption = caption_m.group(1) if caption_m else None
@@ -136,40 +116,47 @@ class ParseStage:
             if status == 200 and data:
                 px = decode_image(data)
                 h, w = px.shape
-                row = self._base_row(rec)
-                row.update(kind="payload", image_id=f"img{doc_id:08d}",
-                           bytes=data, w=w, h=h,
-                           fmt=img_url.rsplit(".", 1)[-1], caption=caption,
-                           phash=int(np.uint64(phash64(px)).astype(np.int64)))
-                rows.append(row)
-        pos = 0
-        for dst_id, label in EDGE_RE.findall(body):
-            pos += 1
-            edge = self._base_row(rec)
-            edge.update(kind="edge", src=str(doc_id), dst=dst_id, label=label)
-            rows.append(edge)
-            link = self._base_row(rec)
-            link.update(kind="link",
-                        out_url=urljoin(rec["url"], f"/doc.aspx?ItemID={dst_id}"),
-                        out_depth=rec["depth"] + 1,
-                        out_order=rec["discovery_order"] * ORDER_STRIDE + pos)
-            rows.append(link)
+                payload_rows.append({
+                    "image_id": f"img{doc_id:08d}", "bytes": data,
+                    "w": w, "h": h, "fmt": img_url.rsplit(".", 1)[-1],
+                    "caption": caption,
+                    "phash": int(np.uint64(phash64(px)).astype(np.int64)),
+                })
+        for pos, (dst_id, label) in enumerate(EDGE_RE.findall(body), 1):
+            edges.append((str(doc_id), dst_id, label))
+            links.append((urljoin(rec["url"], f"/doc.aspx?ItemID={dst_id}"),
+                          rec["depth"] + 1,
+                          rec["discovery_order"] * ORDER_STRIDE + pos))
 
     # ---- batch entry ----
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
+        links: list[tuple] = []
+        edges: list[tuple] = []
+        fails: list[tuple] = []
+        payload_rows: list[dict] = []
         for rec in batch.to_pylist():
             if rec["status"] != 200:
-                row = self._base_row(rec)
-                row["kind"] = "fail"
-                rows.append(row)
+                fails.append((rec["url"], rec["status"]))
                 continue
             body = rec["body"].decode()
             if "/listing.aspx" in rec["url"]:
-                self._parse_listing(rec, body, rows)
+                self._parse_listing(rec, body, links)
             elif "/doc.aspx" in rec["url"]:
-                self._parse_doc(rec, body, rows)
-        if not rows:
-            return PARSE_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=PARSE_SCHEMA)
+                self._parse_doc(rec, body, links, edges, payload_rows)
+        # push control data; ray.get ensures delivery before the batch ends
+        pending = []
+        if self.frontier and links:
+            buckets: dict[int, list] = {}
+            for rec in links:
+                buckets.setdefault(
+                    partition_of(rec[0], len(self.frontier)), []).append(rec)
+            pending += [self.frontier[p].stage.remote(b)
+                        for p, b in buckets.items()]
+        if self.collector is not None and (edges or fails):
+            pending.append(self.collector.add.remote(edges, fails))
+        if pending:
+            ray.get(pending)
+        if not payload_rows:
+            return PAYLOAD_SCHEMA.empty_table()
+        return pa.Table.from_pylist(payload_rows, schema=PAYLOAD_SCHEMA)

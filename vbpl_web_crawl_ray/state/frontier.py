@@ -66,6 +66,7 @@ class FrontierPartition:
         self.metrics = dict.fromkeys(METRIC_KEYS, 0)
         self.track_seen = track_seen
         self.seen_urls: list[str] = []
+        self._staged: list[tuple[str, int, int]] = []
 
     # ---- robots ----
 
@@ -85,10 +86,26 @@ class FrontierPartition:
 
     # ---- offer / pop ----
 
+    def stage(self, records: list[tuple[str, int, int]]) -> int:
+        """Buffer link candidates pushed mid-round by parse tasks (arrival
+        order is nondeterministic under parallelism). Nothing enters the
+        queues until :meth:`commit` sorts the round's union — which makes
+        frontier state a pure function of the offered SET, not of timing."""
+        self._staged.extend(records)
+        return len(self._staged)
+
+    def commit(self) -> int:
+        """Round barrier: sort staged candidates by (depth, order, url) and
+        run the normal offer path. Deterministic at any parallelism."""
+        staged, self._staged = self._staged, []
+        return self.offer(staged)
+
     def offer(self, records: list[tuple[str, int, int]]) -> int:
         """records: (url, depth, discovery_order), pre-sorted by the driver
         ascending (depth, discovery_order) so first-wins == min-order-wins.
         Returns number queued."""
+        records = sorted({tuple(r) for r in records},
+                         key=lambda r: (r[1], r[2], r[0]))
         if not records:
             return 0
         self.metrics["offered"] += len(records)
@@ -155,6 +172,7 @@ class FrontierPartition:
             "bloom": self.seen.snapshot(),
             "track_seen": self.track_seen,
             "seen_urls": self.seen_urls,
+            "staged": self._staged,   # empty at round barriers
         })
 
     def restore(self, blob: bytes) -> None:
@@ -169,6 +187,7 @@ class FrontierPartition:
         self.seen = BloomFilter.restore(s["bloom"])
         self.track_seen = s["track_seen"]
         self.seen_urls = s["seen_urls"]
+        self._staged = s.get("staged", [])
 
 
 def partition_of(url: str, num_partitions: int) -> int:
