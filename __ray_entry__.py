@@ -16,8 +16,9 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
-from vbpl_web_crawl_ray.stages import ann, dedup, textstats  # noqa: E402
+from vbpl_web_crawl_ray.stages import ann, dedup, enrich, textstats  # noqa: E402
 
 
 def entry() -> Any:
@@ -85,6 +86,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
+        # fuzzy similarity join (J4/J5 pattern, dictionary-blocked)
+        "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
+        # reference-parity parsers over deterministic pseudo-docs (rows-only)
+        "vbpl_fulltext_sections": P.q_fulltext_sections,
+        "anle_pdf_sections": P.q_pdf_sections,
+        # multimodal payload stages (rows-only)
+        "image_features": P.q_image_features,
+        "image_resize": P.q_image_resize,
+        "phash_near_dup": P.q_phash_near_dup,
     }
 
 
@@ -250,6 +260,16 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cos_sim
             FROM embeddings WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   ROUND(1.0 - levenshtein(a.p_name, b.p_name) * 1.0
+                         / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)), 4)
+                       AS name_sim
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE 1.0 - levenshtein(a.p_name, b.p_name) * 1.0
+                  / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) >= 0.8
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -1,0 +1,101 @@
+"""Multimodal stages (decode/resize/features/phash near-dup) and the
+idempotent upsert sink."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from vbpl_web_crawl_ray.sources.imaging import (decode_image, encode_image,
+                                                gen_pixels, phash64)
+from vbpl_web_crawl_ray.stages import multimodal as mm
+from vbpl_web_crawl_ray.stages.upsert import last_write_wins, upsert_parquet
+
+
+def _payload_rows(n=8):
+    rows = []
+    for i in range(n):
+        px = gen_pixels(f"img{i:08d}", 64 + i, 48 + i)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        rows.append({"image_id": f"img{i:08d}",
+                     "bytes": encode_image(px, fmt),
+                     "w": px.shape[1], "h": px.shape[0], "fmt": fmt,
+                     "caption": f"ảnh {i}",
+                     "phash": int(np.uint64(phash64(px)).astype(np.int64))})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def payload_ds():
+    return rd.from_items(_payload_rows()).materialize()
+
+
+class TestMultimodal:
+    def test_decode_stage(self, payload_ds):
+        out = payload_ds.map_batches(mm.DecodeImages, batch_format="pandas",
+                                     batch_size=4, concurrency=(1, 2)).to_pandas()
+        assert len(out) == 8
+        r = out.iloc[0]
+        px = np.frombuffer(r["pixels"], np.uint8).reshape(r["h"], r["w"])
+        assert np.array_equal(px, gen_pixels("img00000000", 64, 48))
+
+    def test_decode_unknown_fmt_raises(self):
+        df = pd.DataFrame({"image_id": ["x"], "bytes": [b"zz"], "fmt": ["mp4"]})
+        with pytest.raises(NotImplementedError):
+            mm.DecodeImages()(df)
+
+    def test_resize_stage(self, payload_ds):
+        out = mm.resize_images(payload_ds, tw=16, th=16,
+                               concurrency=(1, 2)).to_pandas()
+        assert (out["w"] == 16).all() and (out["h"] == 16).all()
+        px = decode_image(out["bytes"][0])
+        assert px.shape == (16, 16)
+        assert set(out.columns) >= {"image_id", "caption", "bytes", "fmt"}
+
+    def test_feature_stage(self, payload_ds):
+        out = mm.image_features(payload_ds, concurrency=(1, 2)).to_pandas()
+        assert len(out) == 8
+        assert (out["px_std"] > 0).all()
+        assert out["phash"].dtype == np.int64
+
+    def test_phash_near_dup(self):
+        # jpeg re-encode of the same pixels = planted near-dup pair
+        px = gen_pixels("imgdup", 80, 80)
+        rows = _payload_rows(6)
+        rows.append({"image_id": "imgdupA", "bytes": encode_image(px, "png"),
+                     "w": 80, "h": 80, "fmt": "png", "caption": "a",
+                     "phash": int(np.uint64(phash64(px)).astype(np.int64))})
+        px2 = decode_image(encode_image(px, "jpeg"))
+        rows.append({"image_id": "imgdupB", "bytes": encode_image(px2, "png"),
+                     "w": 80, "h": 80, "fmt": "png", "caption": "b",
+                     "phash": int(np.uint64(phash64(px2)).astype(np.int64))})
+        ds = rd.from_items(rows)
+        pairs = mm.phash_near_dup_pairs(ds, max_hamming=2)
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert ("imgdupA", "imgdupB") in got or ("imgdupB", "imgdupA") in got
+
+
+class TestUpsert:
+    def test_last_write_wins_deterministic(self):
+        rows = [{"k": 1, "ts": 2, "uid": 10, "v": "old"},
+                {"k": 1, "ts": 5, "uid": 11, "v": "new"},
+                {"k": 2, "ts": 1, "uid": 12, "v": "only"},
+                {"k": 1, "ts": 5, "uid": 9, "v": "tie-lower-uid"}]
+        out = last_write_wins(rd.from_items(rows), ["k"], ["ts", "uid"]) \
+            .to_pandas().sort_values("k")
+        assert list(out["v"]) == ["new", "only"]  # ties: higher uid wins
+
+    def test_upsert_parquet_merge_and_idempotence(self, tmp_path):
+        out_dir = str(tmp_path / "tbl")
+        batch1 = rd.from_items([{"k": 1, "ts": 1, "v": "a"},
+                                {"k": 2, "ts": 1, "v": "b"}])
+        upsert_parquet(batch1, out_dir, ["k"], "ts")
+        batch2 = rd.from_items([{"k": 2, "ts": 5, "v": "b2"},
+                                {"k": 3, "ts": 1, "v": "c"}])
+        upsert_parquet(batch2, out_dir, ["k"], "ts")
+        got = rd.read_parquet(out_dir).to_pandas().sort_values("k")
+        assert list(got["v"]) == ["a", "b2", "c"]
+        # replay the same batch — idempotent (reference resume-by-replay)
+        upsert_parquet(batch2, out_dir, ["k"], "ts")
+        got2 = rd.read_parquet(out_dir).to_pandas().sort_values("k")
+        assert list(got2["v"]) == ["a", "b2", "c"]

@@ -1,0 +1,138 @@
+"""Document-derived pipelines that exercise the reference-parity parsers
+and the multimodal stages through the driver contract (rows-only checks —
+the operators are not SQL-expressible).
+
+The driver's ``documents`` table is English synthetic text, so the
+Vietnamese-structure parsers get deterministic pseudo-documents wrapped
+around it: hierarchy markers derive from doc_id, body lines from the text.
+Everything is a pure function of (sf_dir, doc_id) — byte-identical across
+runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..sources.imaging import encode_image, gen_pixels, phash64
+from ..stages import multimodal as mm
+from ..stages.fulltext import parse_fulltext_batch, sectionize_pdf_batch
+
+_ROMAN = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X"]
+_BIG = ["nhất", "hai", "ba", "bốn", "năm"]
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def vbpl_style_docs(sf_dir: str) -> rd.Dataset:
+    """Wrap each document as a Vietnamese legal pseudo-doc: big part +
+    chapter headers, 3 'Điều' sections from text thirds, appendix for
+    every 5th doc."""
+    def wrap(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            third = max(1, len(toks) // 3)
+            parts = [" ".join(toks[i * third:(i + 1) * third]) or "trống"
+                     for i in range(3)]
+            lines = [
+                f"Phần thứ {_BIG[did % len(_BIG)]}",
+                f"QUY ĐỊNH CHUNG {did}",
+                f"Chương {_ROMAN[did % len(_ROMAN)]}",
+                f"TÊN CHƯƠNG {did}",
+                f"Điều 1. Phạm vi {did}",
+                parts[0],
+                f"Điều 2. Đối tượng {did}",
+                parts[1],
+                f"Điều 3. Hiệu lực {did}",
+                parts[2],
+            ]
+            if did % 5 == 0:
+                lines += ["PHỤ LỤC", f"DANH MỤC {did}",
+                          f"Phụ lục {_ROMAN[did % 3]} BIỂU MẪU {did}"]
+            lines.append("hết văn bản")
+            out.append({"doc_id": did, "text": "\n".join(lines)})
+        return pd.DataFrame(out)
+
+    return _docs(sf_dir).map_batches(wrap, batch_format="pandas")
+
+
+def q_fulltext_sections(sf_dir: str) -> rd.Dataset:
+    """Flagship parser (M5-M7) over pseudo-docs: 3 section rows per doc
+    (appendix docs delegate after section 2 -> deterministic count)."""
+    return parse_fulltext_batch(vbpl_style_docs(sf_dir))
+
+
+def q_pdf_sections(sf_dir: str) -> rd.Dataset:
+    """PDF sectioner (M12) over anle-style pseudo-texts."""
+    def wrap(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "text": [(f"Án lệ số {d}\nTình huống án lệ:\n"
+                      f"{' '.join(t[:10])}\n"
+                      f"Giải pháp pháp lý:\n{' '.join(t[10:20])}\n"
+                      f"Chú thích: xong\nNỘI DUNG ÁN LỆ\n"
+                      f"[1] {' '.join(t[20:40])}\n")
+                     for d, t in zip(df["doc_id"], toks)],
+        })
+    return sectionize_pdf_batch(_docs(sf_dir).map_batches(wrap, batch_format="pandas"))
+
+
+def payload_table(sf_dir: str, img_min: int = 48, img_range: int = 33) -> rd.Dataset:
+    """Deterministic image+caption payload table derived from documents
+    (the input_hint schema) — image synth runs distributed in map_batches."""
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            image_id = f"img{did:08d}"
+            w = img_min + did % img_range
+            h = img_min + (did * 7) % img_range
+            px = gen_pixels(image_id, w, h)
+            fmt = "png" if did % 2 == 0 else "jpeg"
+            rows.append({"image_id": image_id,
+                         "bytes": encode_image(px, fmt),
+                         "w": w, "h": h, "fmt": fmt,
+                         "caption": text[:120],
+                         "phash": int(np.uint64(phash64(px)).astype(np.int64))})
+        return pd.DataFrame(rows)
+    return _docs(sf_dir).map_batches(synth, batch_format="pandas",
+                                     batch_size=mm.MULTIMODAL_BATCH)
+
+
+def q_image_features(sf_dir: str) -> rd.Dataset:
+    return mm.image_features(payload_table(sf_dir))
+
+
+def q_image_resize(sf_dir: str) -> rd.Dataset:
+    return mm.resize_images(payload_table(sf_dir), tw=16, th=16) \
+             .select_columns(["image_id", "w", "h", "fmt"])
+
+
+def q_phash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """phash-banded Hamming near-dup over the payload table; every 10th
+    image gets a jpeg-requantized twin planted so the result is non-empty."""
+    base = payload_table(sf_dir)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        from ..sources.imaging import decode_image
+        extra = []
+        for r in df.itertuples(index=False):
+            did = int(r.image_id[3:])
+            if did % 10 == 0:
+                px2 = decode_image(encode_image(decode_image(r.bytes), "jpeg"))
+                extra.append({"image_id": r.image_id.replace("img", "dup"),
+                              "bytes": encode_image(px2, "png"),
+                              "w": r.w, "h": r.h, "fmt": "png",
+                              "caption": r.caption,
+                              "phash": int(np.uint64(phash64(px2))
+                                           .astype(np.int64))})
+        return pd.concat([df, pd.DataFrame(extra)], ignore_index=True) \
+            if extra else df
+
+    return mm.phash_near_dup_pairs(
+        base.map_batches(plant, batch_format="pandas"), max_hamming=2)

@@ -1,0 +1,162 @@
+"""Multimodal (image) stages over the payload table.
+
+Images are opaque ``binary`` columns with typed metadata (input_hint
+schema). Decode / resize / feature-extract run as actor-pool map_batches
+stages — codec/setup state in __init__, per-batch work in __call__. Batches
+stay SMALL (default 32) because each row carries a multi-KB..MB blob; the
+object store, not worker heaps, holds the bulk data.
+
+The decode step uses the repo's deterministic fake codecs
+(sources/imaging.py — real Pillow/libjpeg are not in this container);
+audio/video fmts raise the clearly-marked NotImplementedError. The Ray
+plumbing (schemas, actor signatures, batch sizing, output layout) is real
+and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..sources.imaging import decode_image, encode_image, phash64
+
+MULTIMODAL_BATCH = 32  # small: rows carry binary blobs
+
+
+class DecodeImages:
+    """bytes -> decoded pixel arrays (kept as raw bytes + dims so Arrow
+    holds them zero-copy; callers reshape via numpy view)."""
+
+    def __init__(self):
+        self.decode = decode_image  # real impl: per-fmt codec handles
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        pixels, ws, hs = [], [], []
+        for data, fmt in zip(df["bytes"], df["fmt"]):
+            if fmt not in ("png", "jpeg"):
+                raise NotImplementedError(
+                    f"decode for fmt={fmt!r} is stubbed in this container")
+            px = self.decode(data)
+            pixels.append(px.tobytes())
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        return pd.DataFrame({"image_id": df["image_id"].to_numpy(),
+                             "pixels": pixels,
+                             "w": np.array(ws, np.int32),
+                             "h": np.array(hs, np.int32)})
+
+
+class ResizeImages:
+    """Block-mean resize to target (tw, th) — the thumbnailing stage."""
+
+    def __init__(self, tw: int = 64, th: int = 64, fmt: str = "png"):
+        self.tw, self.th, self.fmt = tw, th, fmt
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape
+        ys = np.linspace(0, h, self.th + 1).astype(int)
+        xs = np.linspace(0, w, self.tw + 1).astype(int)
+        out = np.empty((self.th, self.tw), dtype=np.uint8)
+        for i in range(self.th):
+            rows = px[ys[i]:ys[i + 1]]
+            for j in range(self.tw):
+                out[i, j] = rows[:, xs[j]:xs[j + 1]].mean()
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for data in df["bytes"]:
+            out.append(encode_image(self._resize(decode_image(data)), self.fmt))
+        res = df[["image_id", "caption"]].copy()
+        res["bytes"] = out
+        res["w"] = np.int32(self.tw)
+        res["h"] = np.int32(self.th)
+        res["fmt"] = self.fmt
+        return res
+
+
+class ImageFeatures:
+    """Per-image numeric features: mean/std/edge-energy + phash — the
+    feature-extraction stage feeding dedup and quality filters."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        means, stds, edges, phashes = [], [], [], []
+        for data in df["bytes"]:
+            px = decode_image(data).astype(np.float32)
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+            edges.append(float(np.abs(np.diff(px, axis=1)).mean()))
+            phashes.append(int(np.uint64(phash64(px.astype(np.uint8)))
+                               .astype(np.int64)))
+        return pd.DataFrame({"image_id": df["image_id"].to_numpy(),
+                             "px_mean": np.round(means, 4),
+                             "px_std": np.round(stds, 4),
+                             "edge_energy": np.round(edges, 4),
+                             "phash": np.array(phashes, np.int64)})
+
+
+def image_features(ds: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(ImageFeatures, batch_format="pandas",
+                          batch_size=MULTIMODAL_BATCH, concurrency=concurrency)
+
+
+def resize_images(ds: rd.Dataset, tw: int = 64, th: int = 64,
+                  concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(ResizeImages, batch_format="pandas",
+                          batch_size=MULTIMODAL_BATCH, concurrency=concurrency,
+                          fn_constructor_kwargs={"tw": tw, "th": th})
+
+
+def phash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 2,
+                         num_chunks: int | None = None) -> pd.DataFrame:
+    """Near-duplicate image pairs by phash Hamming distance — the payload
+    table's analogue of the reference's PK-identity dedup (SURVEY.md §2.7):
+    band the 64-bit phash into (max_hamming+1) chunks (pigeonhole: pairs
+    within distance d agree on >=1 chunk), bucket-join, verify popcount."""
+    k = num_chunks or (max_hamming + 1)
+    chunk_bits = 64 // k
+
+    def to_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        ph = df["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        rows = {"chunk": [], "chunk_val": [], "image_id": [], "phash": []}
+        for c in range(k):
+            rows["chunk"].append(np.full(len(df), c, np.int32))
+            rows["chunk_val"].append(
+                ((ph >> np.uint64(c * chunk_bits))
+                 & np.uint64((1 << chunk_bits) - 1)).astype(np.int64))
+            rows["image_id"].append(df["image_id"].to_numpy())
+            rows["phash"].append(ph.astype(np.int64))
+        return pd.DataFrame({kk: np.concatenate(v) for kk, v in rows.items()})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, sub in g.groupby(["chunk", "chunk_val"]):
+            sub = sub.drop_duplicates("image_id").sort_values("image_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["image_id"].to_numpy()
+            hs = sub["phash"].to_numpy().astype(np.int64).view(np.uint64)
+            a, b = np.triu_indices(len(ids), k=1)
+            x = hs[a] ^ hs[b]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= max_hamming
+            out_a.append(ids[a][keep])
+            out_b.append(ids[b][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
+
+    from .shuffle import bucketed_group_apply
+    chunked = ds.select_columns(["image_id", "phash"]) \
+                .map_batches(to_chunks, batch_format="pandas")
+    return (bucketed_group_apply(chunked, "chunk_val", verify, num_buckets=8)
+            .to_pandas().drop_duplicates(["id_a", "id_b"])
+            .reset_index(drop=True))
