@@ -16,7 +16,8 @@ from vbpl_web_crawl_ray.functions.canon import canonicalize_url, host_of
 from vbpl_web_crawl_ray.sources.imaging import decode_image, phash64
 from vbpl_web_crawl_ray.sources.simweb import SimWeb
 from vbpl_web_crawl_ray.stages.parse import (CAPTION_RE, EDGE_RE, HREF_RE,
-                                             IMG_RE, ITEMID_RE, ORDER_STRIDE)
+                                             IMG_RE, ITEMID_RE, NEXT_RE,
+                                             ORDER_STRIDE)
 from vbpl_web_crawl_ray.state.robots import parse_robots
 
 
@@ -84,9 +85,14 @@ def oracle_crawl(cfg, max_per_host=None, default_delay=1.0, max_retries=3):
                 continue
             text = body.decode()
             if "/listing.aspx" in url:
+                next_m = NEXT_RE.search(text)
+                next_href = next_m.group(1) if next_m else None
                 for pos, href in enumerate(HREF_RE.findall(text), 1):
-                    cands.append((urljoin(url, href), depth + 1,
-                                  order * ORDER_STRIDE + pos))
+                    if href == next_href:
+                        cands.append((urljoin(url, href), depth, order + 1))
+                    else:
+                        cands.append((urljoin(url, href), depth + 1,
+                                      order * ORDER_STRIDE + pos))
             elif "/doc.aspx" in url:
                 doc_id = int(ITEMID_RE.search(url).group(1))
                 m = IMG_RE.search(text)

@@ -39,6 +39,12 @@ from ..state.frontier import FrontierPartition, partition_of
 PAYLOAD_COLS = [f.name for f in PAYLOAD_SCHEMA]
 EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
                          ("label", pa.string())])
+META_SCHEMA = pa.schema([("doc_id", pa.string()),
+                         ("serial_number", pa.string()),
+                         ("issuance_date", pa.string()),
+                         ("doc_type", pa.string()),
+                         ("issuing_authority", pa.string()),
+                         ("title", pa.string())])
 LOG_SCHEMA = pa.schema([
     ("pop_seq", pa.int64()), ("fetch_time", pa.float64()),
     ("host", pa.string()), ("depth", pa.int32()),
@@ -71,21 +77,26 @@ class _StatelessStage:
 
 @ray.remote(num_cpus=0)
 class RoundCollector:
-    """Per-round sink for small control data (edges, fetch failures)
-    pushed by parse tasks; drained by the driver at the round barrier."""
+    """Per-round sink for small control data (edges, fetch failures, doc
+    metadata) pushed by parse tasks; drained by the driver at the round
+    barrier."""
 
     def __init__(self):
         self.edges: list[tuple] = []
         self.fails: list[tuple] = []
+        self.metas: list[tuple] = []
 
-    def add(self, edges: list[tuple], fails: list[tuple]) -> None:
+    def add(self, edges: list[tuple], fails: list[tuple],
+            metas: list[tuple] = ()) -> None:
         self.edges.extend(tuple(e) for e in edges)
         self.fails.extend(tuple(f) for f in fails)
+        self.metas.extend(tuple(m) for m in metas)
 
-    def drain(self) -> tuple[list, list]:
+    def drain(self) -> tuple[list, list, list]:
         e, self.edges = self.edges, []
         f, self.fails = self.fails, []
-        return e, f
+        m, self.metas = self.metas, []
+        return e, f, m
 
 
 class CrawlEngine:
@@ -173,7 +184,7 @@ class CrawlEngine:
         # committed at the barrier below (deterministic sorted union).
         ds.write_parquet(f"{self.out_dir}/payload/round={self.round}")
 
-        edges, fails = ray.get(self.collector.drain.remote())
+        edges, fails, metas = ray.get(self.collector.drain.remote())
         if edges:
             edges = sorted(set(edges))
             os.makedirs(f"{self.out_dir}/edges/round={self.round}", exist_ok=True)
@@ -182,6 +193,14 @@ class CrawlEngine:
                           "dst": [e[1] for e in edges],
                           "label": [e[2] for e in edges]}, schema=EDGE_SCHEMA),
                 f"{self.out_dir}/edges/round={self.round}/edges.parquet")
+        if metas:
+            metas = sorted(set(metas))
+            os.makedirs(f"{self.out_dir}/meta/round={self.round}", exist_ok=True)
+            cols = list(zip(*metas))
+            pq.write_table(
+                pa.table({f.name: pa.array(list(c), f.type)
+                          for f, c in zip(META_SCHEMA, cols)}),
+                f"{self.out_dir}/meta/round={self.round}/meta.parquet")
         self.fail_log.extend(sorted(set(fails)))
         ray.get([a.commit.remote() for a in self.actors])
         self.round += 1

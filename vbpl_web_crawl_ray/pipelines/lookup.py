@@ -1,0 +1,63 @@
+"""Point lookups and previews over crawl output (SURVEY.md S9/J2/O1).
+
+The reference's ``fetch_vbpl_by_id`` (app/service/vbpl.py:1072-1140) is a
+PK select plus two inner joins to resolve related-document titles; its
+``get_vbpl_preview`` (vbpl.py:1142-1176) is filter + sort desc + limit.
+Engine forms over the partitioned parquet the crawl writes: predicate
+pushdown at the read, broadcast meta-lookup for the join (the edge side is
+filtered to one source — SURVEY.md J2 mapping)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _read_all(out_dir: str, sub: str):
+    files = sorted(glob.glob(f"{out_dir}/{sub}/round=*/*.parquet"))
+    return pq.read_table(files) if files else None
+
+
+def fetch_doc_by_id(out_dir: str, doc_id: int) -> dict | None:
+    """Point lookup: payload row + metadata + outgoing edges with the
+    related documents' titles resolved (two-join shape of J2)."""
+    image_id = f"img{doc_id:08d}"
+    payload = _read_all(out_dir, "payload")
+    meta = _read_all(out_dir, "meta")
+    edges = _read_all(out_dir, "edges")
+    if payload is None:
+        return None
+    hit = payload.filter(pc.equal(payload["image_id"], image_id))
+    if hit.num_rows == 0:
+        return None
+    row = hit.to_pylist()[0]
+    if meta is not None:
+        m = meta.filter(pc.equal(meta["doc_id"], str(doc_id)))
+        row["meta"] = m.to_pylist()[0] if m.num_rows else None
+        title_by_id = dict(zip(meta["doc_id"].to_pylist(),
+                               meta["title"].to_pylist()))
+    else:
+        row["meta"], title_by_id = None, {}
+    related = []
+    if edges is not None:
+        out_e = edges.filter(pc.equal(edges["src"], str(doc_id)))
+        for e in out_e.to_pylist():
+            related.append({"doc_id": e["dst"], "label": e["label"],
+                            "title": title_by_id.get(e["dst"])})
+    row["related"] = related
+    return row
+
+
+def preview_latest(out_dir: str, limit: int = 10) -> rd.Dataset:
+    """O1: newest documents by issuance_date — filter -> sort desc ->
+    limit over the crawled metadata table."""
+    files = sorted(glob.glob(f"{out_dir}/meta/round=*/*.parquet"))
+    ds = rd.read_parquet(files)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["issuance_date"])),
+        batch_format="pyarrow")
+    return ds.sort(["issuance_date", "doc_id"],
+                   descending=[True, False]).limit(limit)

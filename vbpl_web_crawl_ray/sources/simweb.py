@@ -42,6 +42,9 @@ class SimWebConfig:
     hot_host_factor: int = 1                # host 0 gets factor x pages (skew knob)
     img_min: int = 32                       # min image dimension
     img_range: int = 97                     # dims drawn from [img_min, img_min+img_range)
+    paginate_via_links: bool = False        # anle-style: seed page 1 only,
+                                            # discover page n+1 via a 'next' link
+                                            # (unknown-length pagination, S5)
 
     def docs_per_host(self, k: int) -> int:
         return self.pages_per_host_of(k) * self.docs_per_page
@@ -140,6 +143,9 @@ class SimWeb:
                         f'/x/../doc.aspx?ItemID={trap_id}">trap</a></p>')
         # robots-blocked link
         rows.append(f'<a href="/private/secret{page}">private</a>')
+        if cfg.paginate_via_links and page < cfg.pages_per_host_of(k):
+            rows.append(f'<a class="next" href="/listing.aspx?Page={page + 1}">'
+                        f'trang sau</a>')
         total = cfg.docs_per_host(k)
         return (f'<div class="message"><strong>{total}</strong></div>\n'
                 + "\n".join(rows)).encode()
@@ -209,12 +215,29 @@ class SimWeb:
         return 404, "text/plain", b""
 
     def seed_urls(self) -> list[str]:
-        """Depth-0 seeds: every host's listing page 1 (pagination is then
-        discovered via next-page links... pages ascending, matching the
-        reference's ascending page loop app/service/vbpl.py:102-103)."""
+        """Depth-0 seeds, pages ascending (matching the reference's
+        ascending page loop, app/service/vbpl.py:102-103). In
+        paginate_via_links mode only page 1 per host is seeded; the rest is
+        discovered through 'next' links (the anle while-loop analogue,
+        app/service/anle.py:158-191)."""
+        if self.cfg.paginate_via_links:
+            return [f"http://host{k}.test/listing.aspx?Page=1"
+                    for k in range(self.cfg.n_hosts)]
         return [f"http://host{k}.test/listing.aspx?Page={n}"
                 for k in range(self.cfg.n_hosts)
                 for n in range(1, self.cfg.pages_per_host_of(k) + 1)]
+
+    def get_total_docs(self, host: int) -> int:
+        """S3 analogue (reference get_total_doc, vbpl.py:75-92): fetch a
+        listing page and parse the '<strong>' corpus count."""
+        url = f"http://host{host}.test/listing.aspx?Page=1"
+        status, _, body = self.get(url)
+        attempt = 0
+        while status >= 500 and attempt < 3:
+            attempt += 1
+            status, _, body = self.get(url, attempt=attempt)
+        m = re.search(rb"<strong>(\d+)</strong>", body)
+        return int(m.group(1)) if status == 200 and m else 0
 
 
 def config_from_documents(sf_dir: str, n_hosts: int = 4, pages_per_host: int = 3,

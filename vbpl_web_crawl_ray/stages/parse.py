@@ -46,6 +46,7 @@ DOC_ATTR_CONFIG = {
 }
 
 CAPTION_RE = re.compile(r'<td class="title">(.*?)</td>', re.S)
+NEXT_RE = re.compile(r'<a class="next" href="([^"]+)">')
 IMG_RE = re.compile(r'<img class="payload" src="([^"]+)"')
 HREF_RE = re.compile(r'href="([^"]+)"')
 EDGE_RE = re.compile(
@@ -100,15 +101,32 @@ class ParseStage:
         return status, body
 
     def _parse_listing(self, rec: dict, body: str, links: list) -> None:
+        next_m = NEXT_RE.search(body)
+        next_href = next_m.group(1) if next_m else None
         for pos, href in enumerate(HREF_RE.findall(body), 1):
-            links.append((urljoin(rec["url"], href), rec["depth"] + 1,
-                          rec["discovery_order"] * ORDER_STRIDE + pos))
+            if href == next_href:
+                # pagination is a SIBLING, not a child: same depth,
+                # order+1 — keeps pages ascending (reference O3) and the
+                # order key bounded on arbitrarily long page chains
+                links.append((urljoin(rec["url"], href), rec["depth"],
+                              rec["discovery_order"] + 1))
+            else:
+                links.append((urljoin(rec["url"], href), rec["depth"] + 1,
+                              rec["discovery_order"] * ORDER_STRIDE + pos))
 
     def _parse_doc(self, rec: dict, body: str, links: list, edges: list,
-                   payload_rows: list) -> None:
+                   payload_rows: list, metas: list) -> None:
         doc_id = int(ITEMID_RE.search(rec["url"]).group(1))
         caption_m = CAPTION_RE.search(body)
         caption = caption_m.group(1) if caption_m else None
+        # M2-style attribute extraction (config-driven regex dict) + date
+        # parse with None-on-failure (reference vbpl.py:577-652)
+        attrs = {k: (m.group(1).strip() if (m := rx.search(body)) else None)
+                 for k, rx in self.attr_config.items()}
+        from ..functions.text import dmy_to_iso
+        metas.append((str(doc_id), attrs["serial_number"],
+                      dmy_to_iso(attrs["issuance_date"]),
+                      attrs["doc_type"], attrs["issuing_authority"], caption))
         img_m = IMG_RE.search(body)
         if img_m:
             img_url = urljoin(rec["url"], img_m.group(1))
@@ -134,6 +152,7 @@ class ParseStage:
         links: list[tuple] = []
         edges: list[tuple] = []
         fails: list[tuple] = []
+        metas: list[tuple] = []
         payload_rows: list[dict] = []
         for rec in batch.to_pylist():
             if rec["status"] != 200:
@@ -143,7 +162,7 @@ class ParseStage:
             if "/listing.aspx" in rec["url"]:
                 self._parse_listing(rec, body, links)
             elif "/doc.aspx" in rec["url"]:
-                self._parse_doc(rec, body, links, edges, payload_rows)
+                self._parse_doc(rec, body, links, edges, payload_rows, metas)
         # push control data; ray.get ensures delivery before the batch ends
         pending = []
         if self.frontier and links:
@@ -153,8 +172,8 @@ class ParseStage:
                     partition_of(rec[0], len(self.frontier)), []).append(rec)
             pending += [self.frontier[p].stage.remote(b)
                         for p, b in buckets.items()]
-        if self.collector is not None and (edges or fails):
-            pending.append(self.collector.add.remote(edges, fails))
+        if self.collector is not None and (edges or fails or metas):
+            pending.append(self.collector.add.remote(edges, fails, metas))
         if pending:
             ray.get(pending)
         if not payload_rows:
