@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, enrich, textstats  # noqa: E402
 
 
@@ -88,6 +89,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
         # fuzzy similarity join (J4/J5 pattern, dictionary-blocked)
         "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
+        # set ops / statistical aggregates / windows (batch 2)
+        "union_distinct": R2.q_union_distinct,
+        "stats_per_group": R2.q_stats_per_group,
+        "median_per_group": R2.q_median_per_group,
+        "orders_per_month": R2.q_orders_per_month,
+        "conditional_agg": R2.q_conditional_agg,
+        "distinct_users_per_type": R2.q_distinct_users_per_type,
+        "running_total": R2.q_running_total,
+        "sliding_window": R2.q_sliding_window,
+        "approx_distinct_users": R2.q_approx_distinct_users,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,
@@ -260,6 +271,61 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cos_sim
             FROM embeddings WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "union_distinct": """
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+        """,
+        "stats_per_group": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(MIN(l_discount), 6) AS min_disc,
+                   ROUND(MAX(l_discount), 6) AS max_disc,
+                   ROUND(STDDEV_SAMP(l_discount), 6) AS std_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "median_per_group": """
+            SELECT o_orderpriority,
+                   ROUND(MEDIAN(o_totalprice), 4) AS median_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "orders_per_month": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+            FROM orders GROUP BY 1
+        """,
+        "conditional_agg": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 4)
+                       AS running_value
+            FROM events
+        """,
+        "sliding_window": """
+            WITH w AS (
+                SELECT user_id, value,
+                       CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) AS slot
+                FROM events
+            ), e AS (
+                SELECT user_id, value, slot AS win_start_slot FROM w
+                UNION ALL
+                SELECT user_id, value, slot - 1 FROM w
+            )
+            SELECT user_id, win_start_slot, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM e GROUP BY user_id, win_start_slot
         """,
         "fuzzy_name_pairs": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

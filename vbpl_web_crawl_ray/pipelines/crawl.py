@@ -105,7 +105,8 @@ class CrawlEngine:
                  parse_concurrency: int | tuple = 2,
                  batch_size: int = 64, max_per_host_per_round: int | None = None,
                  default_delay: float = 1.0, bloom_capacity: int = 1_000_000,
-                 track_seen: bool = False, use_actors: bool = True):
+                 track_seen: bool = False, use_actors: bool = True,
+                 allow_deletions: bool = False, real_time: bool = False):
         self.cfg = cfg
         self.out_dir = out_dir
         self.num_partitions = num_partitions
@@ -119,10 +120,14 @@ class CrawlEngine:
         # into one pass, removing per-round pool-startup latency.
         self.use_actors = use_actors
         self.max_per_host = max_per_host_per_round
+        self.real_time = real_time
+        self.crawl_t0: float | None = None
+        self.allow_deletions = allow_deletions
         self.actors = [
             FrontierActor.remote(i, num_partitions, cfg,
                                  default_delay=default_delay,
-                                 capacity=bloom_capacity, track_seen=track_seen)
+                                 capacity=bloom_capacity, track_seen=track_seen,
+                                 allow_deletions=allow_deletions)
             for i in range(num_partitions)
         ]
         self.collector = RoundCollector.remote()
@@ -146,6 +151,15 @@ class CrawlEngine:
     def seed(self, urls: list[str]) -> None:
         self._offer([(u, 0, i) for i, u in enumerate(urls)])
 
+    def forget(self, urls: list[str]) -> int:
+        """Unlearn URLs (cuckoo-filter partitions only) so a follow-up
+        seed/offer re-crawls them — expired-document refresh."""
+        buckets: list[list] = [[] for _ in self.actors]
+        for u in urls:
+            buckets[partition_of(u, self.num_partitions)].append(u)
+        return sum(ray.get([a.forget.remote(b)
+                            for a, b in zip(self.actors, buckets) if b]))
+
     # ---- one crawl round ----
 
     def run_round(self) -> bool:
@@ -161,11 +175,17 @@ class CrawlEngine:
                     "fetch_time": t} for (t, h, d, o, u) in merged]
         n_blocks = max(1, len(records) // self.batch_size)
         parse_kw = {"frontier_handles": self.actors, "collector": self.collector}
+        fetch_kw = {"cfg": self.cfg}
+        if self.real_time:
+            import time as _time
+            if self.crawl_t0 is None:
+                self.crawl_t0 = _time.time()
+            fetch_kw["real_time_t0"] = self.crawl_t0
         ds = rd.from_items(records, override_num_blocks=n_blocks)
         if self.use_actors:
             ds = (ds.map_batches(FetchStage, batch_format="pyarrow",
                                  batch_size=self.batch_size,
-                                 fn_constructor_kwargs={"cfg": self.cfg},
+                                 fn_constructor_kwargs=fetch_kw,
                                  concurrency=self.fetch_concurrency)
                     .map_batches(ParseStage, batch_format="pyarrow",
                                  batch_size=self.batch_size,
@@ -173,7 +193,10 @@ class CrawlEngine:
                                                         **parse_kw},
                                  concurrency=self.parse_concurrency))
         else:
-            ds = (ds.map_batches(_StatelessStage(FetchStage, self.cfg),
+            ds = (ds.map_batches(_StatelessStage(FetchStage, self.cfg,
+                                                 **{k: v for k, v in
+                                                    fetch_kw.items()
+                                                    if k != "cfg"}),
                                  batch_format="pyarrow",
                                  batch_size=self.batch_size)
                     .map_batches(_StatelessStage(ParseStage, self.cfg, **parse_kw),

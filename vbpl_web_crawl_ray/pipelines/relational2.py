@@ -1,0 +1,246 @@
+"""Second batch of oracle-backed operators: set ops, statistical
+aggregates, calendar grouping, distinct counts, running totals, sliding
+windows, conditional aggregation — plus the HyperLogLog approximate
+distinct sketch (mergeable partials, the at-scale path for A4-style
+dedup counting)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.hashing import hash64
+from ..functions.numeric import round_half_away
+from ..stages.shuffle import bucketed_group_apply
+
+_NUM_BUCKETS = 8
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_union_distinct(sf_dir: str):
+    """Set op (§2.7): UNION (distinct) of two filtered customer sets —
+    union + bucketed exact-distinct."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment",
+                                      "c_acctbal"])
+    a = cust.map_batches(lambda df: df[df["c_mktsegment"] == "BUILDING"]
+                         [["c_custkey", "c_name"]], batch_format="pandas")
+    b = cust.map_batches(lambda df: df[df["c_acctbal"] > 5000]
+                         [["c_custkey", "c_name"]], batch_format="pandas")
+    return bucketed_group_apply(
+        a.union(b), "c_custkey",
+        lambda g: g.drop_duplicates(["c_custkey"]),
+        num_buckets=_NUM_BUCKETS,
+        partial_fn=lambda df: df.drop_duplicates(["c_custkey"]))
+
+
+def q_stats_per_group(sf_dir: str):
+    """Min/max/stddev rollup via mergeable moment partials
+    (n, sum, sumsq per batch -> exact sample stddev at the combine)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("l_discount", "size"), s=("l_discount", "sum"),
+            sq=("l_discount", lambda x: float((x.to_numpy() ** 2).sum())),
+            mn=("l_discount", "min"), mx=("l_discount", "max"))
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("l_returnflag", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), sq=("sq", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"))
+        var = (agg["sq"] - agg["s"] ** 2 / agg["n"]) / (agg["n"] - 1)
+        return pd.DataFrame({
+            "l_returnflag": agg["l_returnflag"],
+            "n": agg["n"].astype("int64"),
+            "min_disc": round_half_away(agg["mn"].to_numpy(), 6),
+            "max_disc": round_half_away(agg["mx"].to_numpy(), 6),
+            "std_disc": round_half_away(np.sqrt(var).to_numpy(), 6),
+        })
+
+    return bucketed_group_apply(ds, "l_returnflag", final,
+                                num_buckets=4, partial_fn=partial)
+
+
+def q_median_per_group(sf_dir: str):
+    """Per-group median (quantile_cont 0.5 = pandas linear interpolation)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", as_index=False)["o_totalprice"] \
+               .quantile(0.5, interpolation="linear")
+        return pd.DataFrame({
+            "o_orderpriority": out["o_orderpriority"],
+            "median_price": round_half_away(out["o_totalprice"].to_numpy(), 4),
+        })
+
+    # medians are not mergeable -> no combiner; groups are few and the
+    # bucketed shuffle still moves only (priority, price) pairs
+    return bucketed_group_apply(ds, "o_orderpriority", final, num_buckets=4)
+
+
+def q_orders_per_month(sf_dir: str):
+    """Calendar grouping: orders + revenue per month."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        df = df.assign(month=month)
+        return df.groupby("month", as_index=False).agg(
+            n=("o_totalprice", "size"), total=("o_totalprice", "sum"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("month", as_index=False).agg(
+            n=("n", "sum"), total=("total", "sum"))
+        out["total"] = round_half_away(out["total"].to_numpy(), 4)
+        return out
+
+    return bucketed_group_apply(ds, "month", final,
+                                num_buckets=4, partial_fn=partial)
+
+
+def q_conditional_agg(sf_dir: str):
+    """Conditional (FILTER) aggregation: status counts per priority."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = pd.crosstab(df["o_orderpriority"], df["o_orderstatus"])
+        x = x.reindex(columns=["F", "O", "P"], fill_value=0).reset_index()
+        return x.rename(columns={"F": "n_f", "O": "n_o", "P": "n_p"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", as_index=False)[
+            ["n_f", "n_o", "n_p"]].sum()
+        for c in ("n_f", "n_o", "n_p"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_apply(ds, "o_orderpriority", final,
+                                num_buckets=4, partial_fn=partial)
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) via per-batch pair dedup then bucketed final
+    distinct — the shuffle carries unique (type, user) pairs only."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["event_type", "user_id"])
+                .groupby("event_type", as_index=False)
+                .agg(n_users=("user_id", "size")))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return bucketed_group_apply(ds, "event_type", final,
+                                num_buckets=4, partial_fn=partial)
+
+
+def q_running_total(sf_dir: str):
+    """Running cumulative sum per user ordered by (ts, event_id) — the
+    ordered-log stateful shape (§2.8); bit-deterministic because the
+    addition order is a total order."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        run = g.groupby("user_id")["value"].cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "running_value": round_half_away(run.to_numpy(), 4),
+        })
+
+    return bucketed_group_apply(ds, "user_id", final, num_buckets=_NUM_BUCKETS)
+
+
+def q_sliding_window(sf_dir: str):
+    """Sliding 1h window hopping every 30min: each event lands in two
+    windows (flat-map duplication -> bucketed aggregate)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        slot = (df["ts"].astype("datetime64[s]").astype("int64") // 1800) \
+            .astype("int64")
+        a = pd.DataFrame({"user_id": df["user_id"], "win_start_slot": slot,
+                          "value": df["value"]})
+        b = a.assign(win_start_slot=slot - 1)
+        both = pd.concat([a, b], ignore_index=True)
+        return both.groupby(["user_id", "win_start_slot"], as_index=False) \
+                   .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_id", "win_start_slot"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 4)
+        return out
+
+    return bucketed_group_apply(ds, "user_id", final,
+                                num_buckets=_NUM_BUCKETS, partial_fn=explode)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — mergeable approximate distinct (the 10^10-scale path)
+# ---------------------------------------------------------------------------
+
+class HyperLogLog:
+    """Classic HLL (Flajolet et al. 2007, public algorithm), numpy
+    registers; per-batch partial sketches merge by elementwise max."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = np.asarray(h, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        lz = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            bits = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+            lz[nz] = (bits + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Distributed approximate COUNT DISTINCT: one serialized sketch per
+    batch, merged in a tiny driver-side reduce (sketches are ~4 KB)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p)
+        hll.add_hashes(hash64(df[col].astype(str).to_numpy()))
+        return pd.DataFrame({"sketch": [hll.registers.tobytes()]})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(partial, batch_format="pandas").iter_rows():
+        other = HyperLogLog(p)
+        other.registers = np.frombuffer(row["sketch"], dtype=np.uint8).copy()
+        merged.merge(other)
+    return merged.estimate()
+
+
+def q_approx_distinct_users(sf_dir: str):
+    est = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return pd.DataFrame({"approx_users": [round(est)]})

@@ -23,9 +23,15 @@ class FetchStage:
     Adds: status, content_type, body, retries.
     """
 
-    def __init__(self, cfg: SimWebConfig, max_retries: int = 3):
+    def __init__(self, cfg: SimWebConfig, max_retries: int = 3,
+                 real_time_t0: float | None = None):
         self.web = SimWeb(cfg)       # per-actor client, built once
         self.max_retries = max_retries
+        # real_time_t0: wall-clock origin of the crawl. When set, each URL
+        # is fetched no earlier than t0 + its virtual fetch_time — the
+        # frontier's politeness schedule enforced in wall time (the
+        # reference's sleep(3)/sleep(1) budget, app/service/vbpl.py:181).
+        self.real_time_t0 = real_time_t0
 
     def fetch_one(self, url: str) -> tuple[int, str, bytes, int]:
         retries = 0
@@ -38,7 +44,17 @@ class FetchStage:
         return status, ctype, body, retries
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        results = [self.fetch_one(u) for u in batch["url"].to_pylist()]
+        if self.real_time_t0 is not None:
+            import time
+            results = []
+            for u, ft in zip(batch["url"].to_pylist(),
+                             batch["fetch_time"].to_pylist()):
+                wait = (self.real_time_t0 + ft) - time.time()
+                if wait > 0:
+                    time.sleep(wait)
+                results.append(self.fetch_one(u))
+        else:
+            results = [self.fetch_one(u) for u in batch["url"].to_pylist()]
         status, ctype, body, retries = zip(*results)
         return (batch
                 .append_column("status", pa.array(status, pa.int32()))

@@ -38,7 +38,47 @@ import numpy as np
 from ..functions.canon import canonicalize_url, host_of
 from ..functions.hashing import hash64
 from .bloom import BloomFilter
+from .cuckoo import CuckooFilter
 from .robots import ALLOW_ALL, RobotsRules, parse_robots
+
+
+class _CuckooSeen:
+    """Cuckoo-filter adapter with the Bloom batch interface — the
+    deletion-capable fallback (north_rule): re-crawling expired documents
+    requires unlearning seen-ness, which a Bloom filter cannot do."""
+
+    def __init__(self, capacity: int):
+        self.filter = CuckooFilter(capacity)
+        self.count = 0
+
+    def add(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        for i, h in enumerate(np.asarray(hashes, dtype=np.uint64)):
+            if self.filter.contains(int(h)):
+                continue
+            out[i] = self.filter.add(int(h))
+        self.count += int(out.sum())
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.contains_batch(hashes)
+
+    def remove(self, hashes: np.ndarray) -> int:
+        removed = sum(self.filter.remove(int(h))
+                      for h in np.asarray(hashes, dtype=np.uint64))
+        self.count -= removed
+        return removed
+
+    def snapshot(self) -> dict:
+        return {"kind": "cuckoo", "count": self.count,
+                "filter": self.filter.snapshot()}
+
+    @classmethod
+    def restore(cls, snap: dict) -> "_CuckooSeen":
+        s = cls.__new__(cls)
+        s.filter = CuckooFilter.restore(snap["filter"])
+        s.count = snap["count"]
+        return s
 
 METRIC_KEYS = ("offered", "deduped", "robots_blocked", "queued", "popped",
                "robots_fetched")
@@ -54,12 +94,15 @@ class FrontierPartition:
     def __init__(self, partition_id: int, num_partitions: int,
                  robots_fetch: Callable | None = None,
                  default_delay: float = 1.0, capacity: int = 1_000_000,
-                 fp_rate: float = 0.01, track_seen: bool = False):
+                 fp_rate: float = 0.01, track_seen: bool = False,
+                 allow_deletions: bool = False):
         self.partition_id = partition_id
         self.num_partitions = num_partitions
         self.robots_fetch = robots_fetch
         self.default_delay = default_delay
-        self.seen = BloomFilter(capacity, fp_rate)
+        self.allow_deletions = allow_deletions
+        self.seen = (_CuckooSeen(capacity) if allow_deletions
+                     else BloomFilter(capacity, fp_rate))
         self.heaps: dict[str, list] = {}           # host -> [(depth, order, url)]
         self.next_free: dict[str, float] = {}      # host -> virtual next slot
         self.robots: dict[str, RobotsRules] = {}
@@ -148,6 +191,20 @@ class FrontierPartition:
         out.sort()
         return out
 
+    def forget(self, urls: list[str]) -> int:
+        """Unlearn URLs so a re-crawl can fetch them again (expired-document
+        semantics ≅ the reference's soft-delete + re-crawl, app/model/
+        base.py:38-44). Requires the cuckoo filter (allow_deletions=True)."""
+        if not self.allow_deletions:
+            raise RuntimeError("forget() requires allow_deletions=True "
+                               "(cuckoo filter); Bloom cannot unlearn")
+        canon = [canonicalize_url(u) for u in urls]
+        removed = self.seen.remove(hash64(canon))
+        if self.track_seen:
+            gone = set(canon)
+            self.seen_urls = [u for u in self.seen_urls if u not in gone]
+        return removed
+
     def pending(self) -> int:
         return sum(len(h) for h in self.heaps.values())
 
@@ -169,6 +226,7 @@ class FrontierPartition:
             "next_free": self.next_free,
             "robots": self.robots,
             "metrics": self.metrics,
+            "allow_deletions": self.allow_deletions,
             "bloom": self.seen.snapshot(),
             "track_seen": self.track_seen,
             "seen_urls": self.seen_urls,
@@ -184,7 +242,9 @@ class FrontierPartition:
         self.next_free = s["next_free"]
         self.robots = s["robots"]
         self.metrics = s["metrics"]
-        self.seen = BloomFilter.restore(s["bloom"])
+        self.allow_deletions = s.get("allow_deletions", False)
+        self.seen = (_CuckooSeen.restore(s["bloom"]) if self.allow_deletions
+                     else BloomFilter.restore(s["bloom"]))
         self.track_seen = s["track_seen"]
         self.seen_urls = s["seen_urls"]
         self._staged = s.get("staged", [])
