@@ -1,0 +1,81 @@
+"""Crawl emits the reference's full table set: sections (≅ vbpl_toan_van),
+anle_sections (≅ anle_section), meta (≅ vbpl/anle), edges, payload."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+from vbpl_web_crawl_ray.sources.simweb import SimWeb, SimWebConfig
+from vbpl_web_crawl_ray.stages.fulltext import parse_fulltext
+
+CFG = SimWebConfig(n_hosts=4, pages_per_host=1, docs_per_page=4,
+                   captions=tuple(
+                       f"văn bản điều hành số {i} nội dung quy định chi tiết "
+                       f"thi hành một số điều khoản mục tiêu phát triển {i}"
+                       for i in range(20)),
+                   flaky_rate=0.0, missing_rate=0.0)
+
+
+@pytest.fixture(scope="module")
+def crawl_out(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sections_out"))
+    eng = CrawlEngine(CFG, out, num_partitions=2)
+    eng.seed(SimWeb(CFG).seed_urls())
+    eng.run(max_rounds=16)
+    return out
+
+
+def _read(out, sub):
+    files = sorted(glob.glob(f"{out}/{sub}/round=*/*.parquet"))
+    return pq.read_table(files) if files else None
+
+
+def test_sections_match_offline_parse(crawl_out):
+    t = _read(crawl_out, "sections")
+    assert t is not None and t.num_rows > 0
+    by_doc = {}
+    for r in t.to_pylist():
+        by_doc.setdefault(r["vbpl_id"], []).append(r)
+    web = SimWeb(CFG)
+    # doc 0 is on host 0 (phapquy): reparse its fulltext block offline
+    some_doc = sorted(by_doc)[0]
+    block = web._fulltext_block(int(some_doc))
+    secs, subs = parse_fulltext(int(some_doc), block.split("\n"))
+    got = sorted((r["section_number"], r["section_name"])
+                 for r in by_doc[some_doc] if r["section_number"] > 0)
+    want = sorted((s["section_number"], s["section_name"]) for s in secs)
+    assert got == want
+    # hierarchy context flowed through
+    sec_rows = [r for r in by_doc[some_doc] if r["section_number"] > 0]
+    assert all(r["chapter_number"] for r in sec_rows)
+
+
+def test_appendix_rows_present(crawl_out):
+    t = _read(crawl_out, "sections")
+    sub_rows = [r for r in t.to_pylist() if r["section_number"] == 0]
+    # docs with id % 7 == 0 carry an appendix
+    assert sub_rows
+    assert any(r["section_name"] == "I" for r in sub_rows)
+
+
+def test_anle_sections_from_odd_hosts(crawl_out):
+    t = _read(crawl_out, "anle_sections")
+    assert t is not None and t.num_rows > 0
+    rows = t.to_pylist()
+    for r in rows[:5]:
+        assert CFG.host_of_doc(int(r["anle_id"])) % 2 == 1
+        assert r["context"] and r["solution"] and r["content"].startswith("\n[1]")
+
+
+def test_meta_flavors(crawl_out):
+    t = _read(crawl_out, "meta")
+    rows = t.to_pylist()
+    phapquy = [r for r in rows if r["doc_type"] == "Quyết định"]
+    anle = [r for r in rows if r["doc_type"] == "Án lệ"]
+    assert phapquy and anle
+    assert all(r["serial_number"].endswith("/QĐ-TTg") for r in phapquy)
+    assert all(r["serial_number"].endswith("/AL") for r in anle)
+    # anle rows carry the sector in the authority slot (unified meta schema)
+    assert all(r["issuing_authority"].startswith("Dân sự") for r in anle)

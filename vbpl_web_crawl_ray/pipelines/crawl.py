@@ -45,6 +45,16 @@ META_SCHEMA = pa.schema([("doc_id", pa.string()),
                          ("doc_type", pa.string()),
                          ("issuing_authority", pa.string()),
                          ("title", pa.string())])
+SECTION_SCHEMA = pa.schema([("vbpl_id", pa.string()),
+                            ("section_number", pa.int32()),
+                            ("section_name", pa.string()),
+                            ("section_content", pa.string()),
+                            ("chapter_number", pa.string()),
+                            ("chapter_name", pa.string())])
+ANLE_SECTION_SCHEMA = pa.schema([("anle_id", pa.string()),
+                                 ("context", pa.string()),
+                                 ("solution", pa.string()),
+                                 ("content", pa.string())])
 LOG_SCHEMA = pa.schema([
     ("pop_seq", pa.int64()), ("fetch_time", pa.float64()),
     ("host", pa.string()), ("depth", pa.int32()),
@@ -85,18 +95,24 @@ class RoundCollector:
         self.edges: list[tuple] = []
         self.fails: list[tuple] = []
         self.metas: list[tuple] = []
+        self.sections: list[tuple] = []
+        self.anle_sections: list[tuple] = []
 
     def add(self, edges: list[tuple], fails: list[tuple],
-            metas: list[tuple] = ()) -> None:
+            metas: list[tuple] = (), sections: list[tuple] = (),
+            anle_sections: list[tuple] = ()) -> None:
         self.edges.extend(tuple(e) for e in edges)
         self.fails.extend(tuple(f) for f in fails)
         self.metas.extend(tuple(m) for m in metas)
+        self.sections.extend(tuple(s) for s in sections)
+        self.anle_sections.extend(tuple(s) for s in anle_sections)
 
-    def drain(self) -> tuple[list, list, list]:
-        e, self.edges = self.edges, []
-        f, self.fails = self.fails, []
-        m, self.metas = self.metas, []
-        return e, f, m
+    def drain(self) -> tuple[list, list, list, list, list]:
+        out = (self.edges, self.fails, self.metas, self.sections,
+               self.anle_sections)
+        self.edges, self.fails, self.metas = [], [], []
+        self.sections, self.anle_sections = [], []
+        return out
 
 
 class CrawlEngine:
@@ -207,7 +223,8 @@ class CrawlEngine:
         # committed at the barrier below (deterministic sorted union).
         ds.write_parquet(f"{self.out_dir}/payload/round={self.round}")
 
-        edges, fails, metas = ray.get(self.collector.drain.remote())
+        edges, fails, metas, sections, anle_sections = \
+            ray.get(self.collector.drain.remote())
         if edges:
             edges = sorted(set(edges))
             os.makedirs(f"{self.out_dir}/edges/round={self.round}", exist_ok=True)
@@ -224,6 +241,18 @@ class CrawlEngine:
                 pa.table({f.name: pa.array(list(c), f.type)
                           for f, c in zip(META_SCHEMA, cols)}),
                 f"{self.out_dir}/meta/round={self.round}/meta.parquet")
+        for name, rows, schema in (("sections", sections, SECTION_SCHEMA),
+                                   ("anle_sections", anle_sections,
+                                    ANLE_SECTION_SCHEMA)):
+            if rows:
+                rows = sorted(set(rows))
+                d = f"{self.out_dir}/{name}/round={self.round}"
+                os.makedirs(d, exist_ok=True)
+                cols = list(zip(*rows))
+                pq.write_table(
+                    pa.table({f.name: pa.array(list(c), f.type)
+                              for f, c in zip(schema, cols)}),
+                    f"{d}/{name}.parquet")
         self.fail_log.extend(sorted(set(fails)))
         ray.get([a.commit.remote() for a in self.actors])
         self.round += 1

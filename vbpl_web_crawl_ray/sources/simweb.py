@@ -150,6 +150,37 @@ class SimWeb:
         return (f'<div class="message"><strong>{total}</strong></div>\n'
                 + "\n".join(rows)).encode()
 
+    def flavor_of_host(self, k: int) -> str:
+        """Two document flavors mirror the reference's two portals: even
+        hosts serve 'phapquy' pages (vbpl.vn shape), odd hosts 'anle'
+        (anle.toaan.gov.vn shape, different markup + attribute config)."""
+        return "phapquy" if k % 2 == 0 else "anle"
+
+    def _fulltext_block(self, doc_id: int) -> str:
+        """Deterministic 'toanvancontent' full-text with hierarchy +
+        sections derived from the caption (exercises M5-M7 in the crawl)."""
+        words = self._caption(doc_id).split(" ")
+        half = max(1, len(words) // 2)
+        lines = [f"Chương {'I' * (1 + doc_id % 3)}",
+                 f"TÊN CHƯƠNG {doc_id}",
+                 f"Điều 1. Phạm vi {doc_id}",
+                 " ".join(words[:half]) or "trống",
+                 f"Điều 2. Thi hành {doc_id}",
+                 " ".join(words[half:]) or "trống"]
+        if doc_id % 7 == 0:
+            lines += ["PHỤ LỤC", f"DANH MỤC {doc_id}",
+                      f"Phụ lục I BIỂU MẪU {doc_id}"]
+        else:
+            lines.append("hết")
+        return "\n".join(lines)
+
+    def _anle_text_block(self, doc_id: int) -> str:
+        words = self._caption(doc_id).split(" ")
+        return (f"Tình huống án lệ:\n{' '.join(words[:8]) or 'tình huống'}\n"
+                f"Giải pháp pháp lý:\n{' '.join(words[8:16]) or 'giải pháp'}\n"
+                f"Ghi chú: hết phần này\n"
+                f"NỘI DUNG ÁN LỆ\n[1] {' '.join(words[16:]) or 'nội dung'}\n")
+
     def _doc_body(self, doc_id: int) -> bytes:
         k = self.cfg.host_of_doc(doc_id)
         cap = self._caption(doc_id)
@@ -160,6 +191,19 @@ class SimWeb:
             f'<li class="related"><a href="/doc.aspx?ItemID={rid}">liên quan</a>'
             f'<span class="doc-type">{label}</span></li>'
             for rid, label in self.related_ids(doc_id))
+        if self.flavor_of_host(k) == "anle":
+            return f"""<div id="thuoctinh">
+<tr><th>Số án lệ</th><td>{doc_id}/AL</td></tr>
+<tr><th>Ngày thông qua</th><td>{day:02d}/{month:02d}/{year}</td></tr>
+<tr><th>Lĩnh vực</th><td>Dân sự {k}</td></tr>
+</div>
+<td class="title">{cap}</td>
+<img class="payload" src="/img/{doc_id}.{fmt}"/>
+<div class="anle-text">
+{self._anle_text_block(doc_id)}</div>
+<ul class="relatedDoc">
+{rels}
+</ul>""".encode()
         return f"""<div class="vbProperties">
 <tr><td>Số ký hiệu</td><td>{doc_id}/QĐ-TTg</td></tr>
 <tr><td>Ngày ban hành</td><td>{day:02d}/{month:02d}/{year}</td></tr>
@@ -168,6 +212,8 @@ class SimWeb:
 </div>
 <td class="title">{cap}</td>
 <img class="payload" src="/img/{doc_id}.{fmt}"/>
+<div class="toanvancontent">
+{self._fulltext_block(doc_id)}</div>
 <ul class="relatedDoc">
 {rels}
 </ul>""".encode()

@@ -45,6 +45,18 @@ DOC_ATTR_CONFIG = {
     "issuing_authority": r"<tr><td>Cơ quan ban hành</td><td>(.*?)</td></tr>",
 }
 
+# second flavor, different markup and field set — the extractor is
+# parameterized per doc type exactly as the reference requires (M3/M4:
+# hợp nhất dict vbpl.py:542-548, anle dict anle.py:75-84)
+ANLE_ATTR_CONFIG = {
+    "serial_number": r"<tr><th>Số án lệ</th><td>(.*?)</td></tr>",
+    "issuance_date": r"<tr><th>Ngày thông qua</th><td>(.*?)</td></tr>",
+    "sector": r"<tr><th>Lĩnh vực</th><td>(.*?)</td></tr>",
+}
+
+TOANVAN_RE = re.compile(r'<div class="toanvancontent">\n(.*?)</div>', re.S)
+ANLE_TEXT_RE = re.compile(r'<div class="anle-text">\n(.*?)</div>', re.S)
+
 CAPTION_RE = re.compile(r'<td class="title">(.*?)</td>', re.S)
 NEXT_RE = re.compile(r'<a class="next" href="([^"]+)">')
 IMG_RE = re.compile(r'<img class="payload" src="([^"]+)"')
@@ -89,6 +101,7 @@ class ParseStage:
         self.frontier = list(frontier_handles or [])
         self.collector = collector
         self.attr_config = {k: re.compile(v) for k, v in DOC_ATTR_CONFIG.items()}
+        self.anle_config = {k: re.compile(v) for k, v in ANLE_ATTR_CONFIG.items()}
 
     # ---- helpers ----
 
@@ -115,18 +128,50 @@ class ParseStage:
                               rec["discovery_order"] * ORDER_STRIDE + pos))
 
     def _parse_doc(self, rec: dict, body: str, links: list, edges: list,
-                   payload_rows: list, metas: list) -> None:
+                   payload_rows: list, metas: list, sections: list,
+                   anle_sections: list) -> None:
+        from ..functions.text import dmy_to_iso
+        from .fulltext import (ANLE_CONTENT, ANLE_CONTEXT, ANLE_SOLUTION,
+                               extract_pdf_section, parse_fulltext)
+
         doc_id = int(ITEMID_RE.search(rec["url"]).group(1))
         caption_m = CAPTION_RE.search(body)
         caption = caption_m.group(1) if caption_m else None
-        # M2-style attribute extraction (config-driven regex dict) + date
-        # parse with None-on-failure (reference vbpl.py:577-652)
-        attrs = {k: (m.group(1).strip() if (m := rx.search(body)) else None)
-                 for k, rx in self.attr_config.items()}
-        from ..functions.text import dmy_to_iso
-        metas.append((str(doc_id), attrs["serial_number"],
-                      dmy_to_iso(attrs["issuance_date"]),
-                      attrs["doc_type"], attrs["issuing_authority"], caption))
+        # flavor dispatch by markup, extractor parameterized per doc type
+        # (M2 vs M3/M4 regex dicts, reference vbpl.py:610-618, anle.py:75-84)
+        if 'id="thuoctinh"' in body:
+            attrs = {k: (m.group(1).strip() if (m := rx.search(body)) else None)
+                     for k, rx in self.anle_config.items()}
+            metas.append((str(doc_id), attrs["serial_number"],
+                          dmy_to_iso(attrs["issuance_date"]), "Án lệ",
+                          attrs.get("sector"), caption))
+            txt_m = ANLE_TEXT_RE.search(body)
+            if txt_m:
+                text = txt_m.group(1)
+                anle_sections.append(
+                    (str(doc_id),
+                     extract_pdf_section(ANLE_CONTEXT, text),
+                     extract_pdf_section(ANLE_SOLUTION, text),
+                     extract_pdf_section(ANLE_CONTENT, text)))
+        else:
+            attrs = {k: (m.group(1).strip() if (m := rx.search(body)) else None)
+                     for k, rx in self.attr_config.items()}
+            metas.append((str(doc_id), attrs["serial_number"],
+                          dmy_to_iso(attrs["issuance_date"]),
+                          attrs["doc_type"], attrs["issuing_authority"],
+                          caption))
+            tv_m = TOANVAN_RE.search(body)
+            if tv_m:
+                secs, subs = parse_fulltext(doc_id, tv_m.group(1).split("\n"))
+                for s in secs:
+                    sections.append((str(doc_id), s["section_number"],
+                                     s["section_name"], s["section_content"],
+                                     s["chapter_number"], s["chapter_name"]))
+                for sp in (subs or []):
+                    sections.append((str(doc_id), 0,
+                                     sp["sub_section_part_number"],
+                                     sp["sub_section_part_title"] or "",
+                                     None, sp["sub_section_title"]))
         img_m = IMG_RE.search(body)
         if img_m:
             img_url = urljoin(rec["url"], img_m.group(1))
@@ -153,6 +198,8 @@ class ParseStage:
         edges: list[tuple] = []
         fails: list[tuple] = []
         metas: list[tuple] = []
+        sections: list[tuple] = []
+        anle_sections: list[tuple] = []
         payload_rows: list[dict] = []
         for rec in batch.to_pylist():
             if rec["status"] != 200:
@@ -162,7 +209,8 @@ class ParseStage:
             if "/listing.aspx" in rec["url"]:
                 self._parse_listing(rec, body, links)
             elif "/doc.aspx" in rec["url"]:
-                self._parse_doc(rec, body, links, edges, payload_rows, metas)
+                self._parse_doc(rec, body, links, edges, payload_rows, metas,
+                                sections, anle_sections)
         # push control data; ray.get ensures delivery before the batch ends
         pending = []
         if self.frontier and links:
@@ -172,8 +220,10 @@ class ParseStage:
                     partition_of(rec[0], len(self.frontier)), []).append(rec)
             pending += [self.frontier[p].stage.remote(b)
                         for p, b in buckets.items()]
-        if self.collector is not None and (edges or fails or metas):
-            pending.append(self.collector.add.remote(edges, fails, metas))
+        if self.collector is not None and (edges or fails or metas
+                                           or sections or anle_sections):
+            pending.append(self.collector.add.remote(
+                edges, fails, metas, sections, anle_sections))
         if pending:
             ray.get(pending)
         if not payload_rows:
