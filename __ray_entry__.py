@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": R2.q_running_total,
         "sliding_window": R2.q_sliding_window,
         "approx_distinct_users": R2.q_approx_distinct_users,
+        "asof_join": R2.q_asof_join,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,
@@ -326,6 +327,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, win_start_slot, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM e GROUP BY user_id, win_start_slot
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, o.o_orderdate AS last_orderdate
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "fuzzy_name_pairs": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

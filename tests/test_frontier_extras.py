@@ -50,6 +50,19 @@ def test_cuckoo_frontier_matches_oracle(tmp_path):
         == oracle_crawl(CFG)["log"]
 
 
+def test_refresh_cycles(tmp_path):
+    """main.py-loop analogue: two full cycles fetch the same URL set twice;
+    payload output replays identically (idempotent upsert semantics)."""
+    eng = CrawlEngine(CFG, str(tmp_path / "rc"), num_partitions=2,
+                      allow_deletions=True, track_seen=True)
+    seeds = SimWeb(CFG).seed_urls()
+    eng.run_refresh_cycles(seeds, cycles=2)
+    urls = [u for (*_, u) in eng.crawl_log]
+    half = len(urls) // 2
+    assert len(urls) == 2 * half
+    assert sorted(urls[:half]) == sorted(urls[half:])
+
+
 def test_real_time_politeness(tmp_path):
     """With real_time=True the wall clock respects the virtual schedule:
     the crawl cannot finish before the last scheduled fetch_time."""

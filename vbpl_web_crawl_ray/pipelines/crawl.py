@@ -23,10 +23,8 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -263,6 +261,28 @@ class CrawlEngine:
             if checkpoint_dir:
                 self.checkpoint(checkpoint_dir)
         return self.round
+
+    def run_refresh_cycles(self, seed_urls: list[str], cycles: int,
+                           max_rounds_per_cycle: int = 64) -> int:
+        """The reference's outer refresh loop (main.py:13-20: re-crawl the
+        whole corpus forever, idempotent upserts absorbing the replay).
+        Requires allow_deletions + track_seen: each cycle forgets the
+        previous cycle's seen set (cuckoo unlearn), re-seeds, and drains.
+        Output rounds keep accumulating; the upsert sink collapses them
+        last-write-wins. Returns total rounds run."""
+        if not self.allow_deletions:
+            raise RuntimeError("refresh cycles need allow_deletions=True")
+        total = 0
+        for cycle in range(cycles):
+            if cycle > 0:
+                seen = sorted(self.seen_urls())
+                if seen:
+                    self.forget(seen)
+            self.seed(seed_urls)
+            before = self.round
+            self.run(max_rounds=self.round + max_rounds_per_cycle)
+            total += self.round - before
+        return total
 
     # ---- introspection ----
 

@@ -13,12 +13,11 @@ is stable across summation orders.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from ..functions.numeric import round_half_away
 from ..stages.shuffle import bucketed_group_apply

@@ -186,6 +186,49 @@ def q_sliding_window(sf_dir: str):
                                 num_buckets=_NUM_BUCKETS, partial_fn=explode)
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join — an operator Ray Data lacks natively (SURVEY.md custom-op
+    path (a)): for each event, the user's most recent order date at event
+    time. Bucketed by user, pd.merge_asof within each bucket over
+    time-sorted frames; the output keys on the matched DATE (deterministic
+    even when several orders share it)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda df: df.rename(columns={"o_custkey": "user_id"})
+                     .drop_duplicates(), batch_format="pandas")
+
+    def tag(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            return df
+        return f
+
+    both = ev.map_batches(tag(0), batch_format="pandas").union(
+        orders.map_batches(tag(1), batch_format="pandas"))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0][["event_id", "user_id", "ts"]] \
+            .dropna(subset=["ts"]).sort_values("ts")
+        right = g[g["__side"] == 1][["user_id", "o_orderdate"]] \
+            .dropna(subset=["o_orderdate"]).sort_values("o_orderdate")
+        left["event_id"] = left["event_id"].astype("int64")
+        if left.empty or right.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "last_orderdate": pd.Series(
+                                     dtype="datetime64[us]")})
+        out = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
+                            by="user_id", direction="backward")
+        out = out.dropna(subset=["o_orderdate"])
+        return pd.DataFrame({"event_id": out["event_id"].astype("int64"),
+                             "user_id": out["user_id"].astype("int64"),
+                             "last_orderdate": out["o_orderdate"]})
+
+    return bucketed_group_apply(both, "user_id", asof,
+                                num_buckets=_NUM_BUCKETS)
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog — mergeable approximate distinct (the 10^10-scale path)
 # ---------------------------------------------------------------------------

@@ -20,7 +20,7 @@ URL space per host ``host{k}.test``:
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

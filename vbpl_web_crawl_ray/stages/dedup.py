@@ -22,9 +22,8 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
-from ..functions.hashing import hash64, mix64
+from ..functions.hashing import hash64
 from ..functions.numeric import round_half_away
 
 # ---------------------------------------------------------------------------
