@@ -35,7 +35,7 @@ def bench_config():
     (encode+decode+phash) dominates orchestration."""
     from vbpl_web_crawl_ray.sources.simweb import config_from_documents
     return config_from_documents(
-        SF_DIR, n_hosts=16, pages_per_host=32, docs_per_page=16,
+        SF_DIR, n_hosts=16, pages_per_host=32, docs_per_page=32,
         flaky_rate=0.05, missing_rate=0.02, img_min=512, img_range=65)
 
 
