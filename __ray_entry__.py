@@ -52,6 +52,16 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _minhash_dup_clusters(sf_dir: str):
+    """Near-dup GROUPS: MinHash-LSH pairs -> connected components."""
+    from vbpl_web_crawl_ray.stages.graph import dup_clusters
+    pairs = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5)
+    g = dup_clusters(pairs)
+    g["members"] = g["members"].map(
+        lambda xs: ",".join(str(x) for x in xs))
+    return g
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # aggregations (SURVEY §2.5) — partial-aggregate combiner pattern
@@ -82,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
+        "minhash_dup_clusters": _minhash_dup_clusters,
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
         # similarity search

@@ -54,6 +54,11 @@ def main(argv=None):
     b = sub.add_parser("bench", help="run the benchmark harness")
     b.add_argument("--scaling", action="store_true")
 
+    k = sub.add_parser("compact", help="collapse per-round output via upsert")
+    k.add_argument("--out", required=True)
+    k.add_argument("--table", default="payload")
+    k.add_argument("--key", default="image_id")
+
     args = p.parse_args(argv)
 
     if args.cmd == "bench":
@@ -87,6 +92,10 @@ def main(argv=None):
         from .pipelines.lookup import preview_latest
         print(preview_latest(args.out, args.limit).to_pandas()
               .to_json(orient="records", force_ascii=False))
+    elif args.cmd == "compact":
+        from .stages.upsert import compact_crawl_output
+        print(json.dumps({"compacted": compact_crawl_output(
+            args.out, args.table, args.key)}))
     ray.shutdown()
 
 

@@ -75,3 +75,21 @@ def upsert_parquet(ds: rd.Dataset, out_dir: str, key_cols: list[str],
     os.rename(tmp, out_dir)
     shutil.rmtree(old, ignore_errors=True)
     return out_dir
+
+
+def compact_crawl_output(out_dir: str, table: str = "payload",
+                         key: str = "image_id") -> str:
+    """Collapse the per-round crawl output into one upserted table:
+    rounds are versions, later rounds win per key (A7 last-write-wins).
+    Re-runnable: compaction of a compacted+unchanged input is a no-op
+    rewrite with identical content."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{out_dir}/{table}")  # hive round=* partitions
+
+    def cast_round(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["round"] = df["round"].astype("int64")
+        return df
+
+    ds = ds.map_batches(cast_round, batch_format="pandas")
+    return upsert_parquet(ds, f"{out_dir}/{table}_compacted", [key], "round")
