@@ -61,3 +61,25 @@ def preview_latest(out_dir: str, limit: int = 10) -> rd.Dataset:
         batch_format="pyarrow")
     return ds.sort(["issuance_date", "doc_id"],
                    descending=[True, False]).limit(limit)
+
+
+def export_preview(out_dir: str, export_path: str, limit: int = 10) -> str:
+    """Human-inspection export — the reference's preview dump writes rows
+    as SQL INSERT statements plus an archive of the files
+    (get_vbpl_preview, app/service/vbpl.py:1142-1176; it uses py7zr on a
+    .rar path — here a stdlib zip). Returns the archive path."""
+    import os
+    import zipfile
+
+    rows = preview_latest(out_dir, limit).to_pandas().to_dict("records")
+    os.makedirs(os.path.dirname(export_path) or ".", exist_ok=True)
+    sql_lines = []
+    for r in rows:
+        cols = ", ".join(k for k in r if k != "round")
+        vals = ", ".join(
+            "NULL" if r[k] is None else "'" + str(r[k]).replace("'", "''") + "'"
+            for k in r if k != "round")
+        sql_lines.append(f"INSERT INTO vbpl ({cols}) VALUES ({vals});")
+    with zipfile.ZipFile(export_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("preview.sql", "\n".join(sql_lines))
+    return export_path

@@ -84,6 +84,27 @@ def containment_enrich(ds: rd.Dataset, key_col: str, existing_col: str,
     return ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
 
 
+def derive_effect_state(effective_date, expiry_date, now) -> str:
+    """3-valued document state from dates (reference search_concetti,
+    app/service/vbpl.py:875-892): not-yet / in-effect / expired."""
+    if effective_date is not None and now < effective_date:
+        return "Chưa có hiệu lực"
+    if expiry_date is not None and now >= expiry_date:
+        return "Hết hiệu lực"
+    return "Có hiệu lực"
+
+
+def derive_effect_state_batch(df: pd.DataFrame, eff_col: str, exp_col: str,
+                              now) -> np.ndarray:
+    """Vectorized 3-valued state derivation."""
+    eff = pd.to_datetime(df[eff_col])
+    exp = pd.to_datetime(df[exp_col])
+    out = np.full(len(df), "Có hiệu lực", dtype=object)
+    out[(eff.notna() & (now < eff)).to_numpy()] = "Chưa có hiệu lực"
+    out[(exp.notna() & (now >= exp)).to_numpy()] = "Hết hiệu lực"
+    return out
+
+
 def fuzzy_name_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Oracle-backed similarity join (J4 pattern at scale): part pairs in
     the same brand with name similarity >= threshold.
