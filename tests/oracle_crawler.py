@@ -97,8 +97,13 @@ def oracle_crawl(cfg, max_per_host=None, default_delay=1.0, max_retries=3):
                 doc_id = int(ITEMID_RE.search(url).group(1))
                 m = IMG_RE.search(text)
                 if m:
-                    img_url = urljoin(url, m.group(1))
-                    s2, data = fetch(img_url)
+                    primary = urljoin(url, m.group(1))
+                    s2, data, img_url = 404, b"", primary
+                    for cand in (primary, primary.replace("/img/", "/img-alt/")):
+                        s2, data = fetch(cand)
+                        if s2 == 200 and data:
+                            img_url = cand
+                            break
                     if s2 == 200 and data:
                         px = decode_image(data)
                         cap = CAPTION_RE.search(text)

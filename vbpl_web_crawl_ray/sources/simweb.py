@@ -103,6 +103,12 @@ class SimWeb:
     def _is_missing_doc(self, doc_id: int) -> bool:
         return (hash64_one(f"missing{doc_id}") % 10_000) < self.cfg.missing_rate * 10_000
 
+    def img_moved(self, doc_id: int) -> bool:
+        """~10% of images 404 at the primary path and live at the fallback
+        /img-alt/ path — exercises the reference's multi-tab first-success
+        attachment probe (M11, app/service/vbpl.py:996-1046)."""
+        return hash64_one(f"moved{doc_id}") % 10 == 0
+
     def related_ids(self, doc_id: int) -> list[tuple[int, str]]:
         """Deterministic related-document edges (doc-map analogue)."""
         cfg = self.cfg
@@ -250,12 +256,17 @@ class SimWeb:
                     or self._is_missing_doc(doc_id)):
                 return 404, "text/plain", b""
             return 200, "text/html", self._doc_body(doc_id)
-        img = re.match(r"^/img/(\d+)\.(png|jpeg)$", path)
+        img = re.match(r"^/(img|img-alt)/(\d+)\.(png|jpeg)$", path)
         if img:
-            doc_id = int(img.group(1))
+            doc_id = int(img.group(2))
             if self.cfg.host_of_doc(doc_id) != k:
                 return 404, "text/plain", b""
-            return 200, f"image/{img.group(2)}", self._img_body(doc_id, img.group(2))
+            # moved images: primary path 404s, fallback path serves
+            at_alt = img.group(1) == "img-alt"
+            if self.img_moved(doc_id) != at_alt:
+                return 404, "text/plain", b""
+            return (200, f"image/{img.group(3)}",
+                    self._img_body(doc_id, img.group(3)))
         if path.startswith("/private/"):
             return 200, "text/html", b"should never be fetched (robots)"
         return 404, "text/plain", b""

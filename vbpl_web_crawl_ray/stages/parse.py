@@ -174,8 +174,17 @@ class ParseStage:
                                      None, sp["sub_section_title"]))
         img_m = IMG_RE.search(body)
         if img_m:
-            img_url = urljoin(rec["url"], img_m.group(1))
-            status, data = self._fetch_inline(img_url)
+            # first-success probe over candidate attachment paths (M11
+            # semantics: up to 4 tab pages, stop at the first that has the
+            # attachment — reference vbpl.py:996-1046)
+            primary = urljoin(rec["url"], img_m.group(1))
+            candidates = [primary, primary.replace("/img/", "/img-alt/")]
+            status, data, img_url = 404, b"", primary
+            for cand in candidates:
+                status, data = self._fetch_inline(cand)
+                if status == 200 and data:
+                    img_url = cand
+                    break
             if status == 200 and data:
                 px = decode_image(data)
                 h, w = px.shape
