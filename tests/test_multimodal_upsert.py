@@ -99,3 +99,17 @@ class TestUpsert:
         upsert_parquet(batch2, out_dir, ["k"], "ts")
         got2 = rd.read_parquet(out_dir).to_pandas().sort_values("k")
         assert list(got2["v"]) == ["a", "b2", "c"]
+        # data columns stay clean (bucket is only the hive partition col)
+        assert set(got2.columns) <= {"k", "ts", "v", "bucket"}
+
+    def test_upsert_distributed_path(self, tmp_path):
+        out_dir = str(tmp_path / "big")
+        ds = rd.from_items([{"k": i, "ts": 1, "v": str(i)} for i in range(64)])
+        upsert_parquet(ds, out_dir, ["k"], "ts", driver_merge_threshold=0)
+        got = rd.read_parquet(out_dir).to_pandas()
+        assert len(got) == 64
+        upsert_parquet(rd.from_items([{"k": 1, "ts": 5, "v": "new"}]),
+                       out_dir, ["k"], "ts", driver_merge_threshold=0)
+        got = rd.read_parquet(out_dir).to_pandas()
+        assert len(got) == 64
+        assert got.loc[got["k"] == 1, "v"].tolist() == ["new"]

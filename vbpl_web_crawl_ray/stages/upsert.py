@@ -41,14 +41,23 @@ def last_write_wins(ds: rd.Dataset, key_cols: list[str],
 
 
 def upsert_parquet(ds: rd.Dataset, out_dir: str, key_cols: list[str],
-                   ts_col: str, num_buckets: int = 8) -> str:
+                   ts_col: str, num_buckets: int = 8,
+                   driver_merge_threshold: int = 1_000_000) -> str:
     """Merge ``ds`` into the parquet table at ``out_dir`` (hash-partitioned
-    by key into ``bucket=*/`` dirs), last-write-wins per key."""
+    by key into ``bucket=*/`` dirs), last-write-wins per key. Small results
+    lay out on the driver; above ``driver_merge_threshold`` rows the
+    partitioned write runs distributed."""
     key = key_cols[0]
-    existing = None
     if os.path.isdir(out_dir) and any(
             e.startswith("bucket=") for e in os.listdir(out_dir)):
         existing = rd.read_parquet(out_dir)
+        # hive partitioning restores the bucket as a column on read (normal
+        # hive-table semantics) -> drop it so the union schema matches the
+        # incoming dataset
+        existing = existing.map_batches(
+            lambda df: df.drop(columns=[c for c in df.columns
+                                        if c in ("__b", "bucket")]),
+            batch_format="pandas")
         ds = ds.union(existing)
     merged = last_write_wins(ds, key_cols, ts_col, num_buckets)
 
@@ -56,7 +65,7 @@ def upsert_parquet(ds: rd.Dataset, out_dir: str, key_cols: list[str],
         return df.assign(__b=bucket_of(df[key].to_numpy(), num_buckets))
 
     pdf = merged.map_batches(add_bucket, batch_format="pandas").to_pandas() \
-        if merged.count() < 1_000_000 else None
+        if merged.count() < driver_merge_threshold else None
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     if pdf is not None:
@@ -65,9 +74,15 @@ def upsert_parquet(ds: rd.Dataset, out_dir: str, key_cols: list[str],
             os.makedirs(pdir, exist_ok=True)
             sub.drop(columns="__b").sort_values(key_cols).to_parquet(
                 os.path.join(pdir, "part-0.parquet"), index=False)
-    else:  # large path: distributed partitioned write
+    else:  # large path: distributed hive-partitioned write (one dir per
+        # key-hash bucket — the resumable layout at scale)
         merged.map_batches(add_bucket, batch_format="pandas") \
               .write_parquet(tmp, partition_cols=["__b"])
+        # normalize dir names to the bucket=*/ layout
+        for e in os.listdir(tmp):
+            if e.startswith("__b="):
+                os.rename(os.path.join(tmp, e),
+                          os.path.join(tmp, "bucket=" + e.split("=", 1)[1]))
     # atomic swap: rename old away, new in (a crash leaves either old or new)
     old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
     if os.path.isdir(out_dir):
