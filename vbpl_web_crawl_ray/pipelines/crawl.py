@@ -137,6 +137,7 @@ class CrawlEngine:
         self.real_time = real_time
         self.crawl_t0: float | None = None
         self.allow_deletions = allow_deletions
+        self.track_seen = track_seen
         self.actors = [
             FrontierActor.remote(i, num_partitions, cfg,
                                  default_delay=default_delay,
@@ -270,8 +271,10 @@ class CrawlEngine:
         previous cycle's seen set (cuckoo unlearn), re-seeds, and drains.
         Output rounds keep accumulating; the upsert sink collapses them
         last-write-wins. Returns total rounds run."""
-        if not self.allow_deletions:
-            raise RuntimeError("refresh cycles need allow_deletions=True")
+        if not self.allow_deletions or not self.track_seen:
+            raise RuntimeError(
+                "refresh cycles need allow_deletions=True (cuckoo unlearn) "
+                "and track_seen=True (the set to forget)")
         total = 0
         for cycle in range(cycles):
             if cycle > 0:

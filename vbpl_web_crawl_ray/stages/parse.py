@@ -79,11 +79,14 @@ PAYLOAD_SCHEMA = pa.schema([
 ])
 
 
-def extract_attributes(body: str, config: dict[str, str]) -> dict[str, str | None]:
-    """Config-driven attribute extraction (M2/M3/M4 pattern)."""
+def extract_attributes(body: str, config: dict) -> dict[str, str | None]:
+    """Config-driven attribute extraction (M2/M3/M4 pattern): field ->
+    pattern-or-compiled-regex, one capture group; None on miss (the
+    reference's date-or-None behavior, vbpl.py:554-558)."""
     out = {}
     for field, pattern in config.items():
-        m = re.search(pattern, body)
+        rx = pattern if hasattr(pattern, "search") else re.compile(pattern)
+        m = rx.search(body)
         out[field] = m.group(1).strip() if m else None
     return out
 
@@ -140,8 +143,7 @@ class ParseStage:
         # flavor dispatch by markup, extractor parameterized per doc type
         # (M2 vs M3/M4 regex dicts, reference vbpl.py:610-618, anle.py:75-84)
         if 'id="thuoctinh"' in body:
-            attrs = {k: (m.group(1).strip() if (m := rx.search(body)) else None)
-                     for k, rx in self.anle_config.items()}
+            attrs = extract_attributes(body, self.anle_config)
             metas.append((str(doc_id), attrs["serial_number"],
                           dmy_to_iso(attrs["issuance_date"]), "Án lệ",
                           attrs.get("sector"), caption))
@@ -154,8 +156,7 @@ class ParseStage:
                      extract_pdf_section(ANLE_SOLUTION, text),
                      extract_pdf_section(ANLE_CONTENT, text)))
         else:
-            attrs = {k: (m.group(1).strip() if (m := rx.search(body)) else None)
-                     for k, rx in self.attr_config.items()}
+            attrs = extract_attributes(body, self.attr_config)
             metas.append((str(doc_id), attrs["serial_number"],
                           dmy_to_iso(attrs["issuance_date"]),
                           attrs["doc_type"], attrs["issuing_authority"],
