@@ -57,6 +57,16 @@ def test_seen_set_matches_oracle(engine_run, oracle):
     assert eng.seen_urls() == got_fetched
 
 
+def test_lineage_counters(engine_run):
+    """north_rule lineage: fetched / deduped / robots_blocked / retried."""
+    eng, _ = engine_run
+    m = eng.metrics()["total"]
+    assert m["fetched"] == len(eng.crawl_log)
+    assert m["retried"] > 0          # flaky_rate=0.15 guarantees retries
+    assert m["deduped"] > 0          # trap links + repeat related links
+    assert m["failed"] > 0           # missing_rate=0.1 guarantees 404s
+
+
 def test_robots_blocking(engine_run, oracle):
     eng, _ = engine_run
     m = eng.metrics()["total"]

@@ -95,21 +95,24 @@ class RoundCollector:
         self.metas: list[tuple] = []
         self.sections: list[tuple] = []
         self.anle_sections: list[tuple] = []
+        self.retried = 0
 
     def add(self, edges: list[tuple], fails: list[tuple],
             metas: list[tuple] = (), sections: list[tuple] = (),
-            anle_sections: list[tuple] = ()) -> None:
+            anle_sections: list[tuple] = (), retried: int = 0) -> None:
         self.edges.extend(tuple(e) for e in edges)
         self.fails.extend(tuple(f) for f in fails)
         self.metas.extend(tuple(m) for m in metas)
         self.sections.extend(tuple(s) for s in sections)
         self.anle_sections.extend(tuple(s) for s in anle_sections)
+        self.retried += retried
 
-    def drain(self) -> tuple[list, list, list, list, list]:
+    def drain(self) -> tuple[list, list, list, list, list, int]:
         out = (self.edges, self.fails, self.metas, self.sections,
-               self.anle_sections)
+               self.anle_sections, self.retried)
         self.edges, self.fails, self.metas = [], [], []
         self.sections, self.anle_sections = [], []
+        self.retried = 0
         return out
 
 
@@ -149,6 +152,9 @@ class CrawlEngine:
         self.round = 0
         self.crawl_log: list[tuple] = []
         self.fail_log: list[tuple] = []
+        # north_rule lineage: fetched / retried / failed counters (the
+        # frontier actors carry offered/deduped/robots_blocked/queued)
+        self.lineage = {"fetched": 0, "retried": 0, "failed": 0}
         os.makedirs(out_dir, exist_ok=True)
 
     # ---- seeding / offering ----
@@ -222,8 +228,11 @@ class CrawlEngine:
         # committed at the barrier below (deterministic sorted union).
         ds.write_parquet(f"{self.out_dir}/payload/round={self.round}")
 
-        edges, fails, metas, sections, anle_sections = \
+        edges, fails, metas, sections, anle_sections, retried = \
             ray.get(self.collector.drain.remote())
+        self.lineage["fetched"] += len(records)
+        self.lineage["retried"] += retried
+        self.lineage["failed"] += len(set(fails))
         if edges:
             edges = sorted(set(edges))
             os.makedirs(f"{self.out_dir}/edges/round={self.round}", exist_ok=True)
@@ -292,8 +301,9 @@ class CrawlEngine:
     def metrics(self) -> dict:
         per_part = ray.get([a.get_metrics.remote() for a in self.actors])
         total = {k: sum(m[k] for m in per_part) for k in per_part[0]}
+        total.update(self.lineage)
         return {"total": total, "partitions": per_part,
-                "rounds": self.round, "fetched": len(self.crawl_log)}
+                "rounds": self.round}
 
     def seen_urls(self) -> set[str]:
         parts = ray.get([a.get_seen_urls.remote() for a in self.actors])
@@ -318,8 +328,9 @@ class CrawlEngine:
         # manifest last = atomic commit of the checkpoint
         tmp = os.path.join(ckpt_dir, ".manifest.tmp")
         with open(tmp, "w") as f:
-            json.dump({"round": self.round, "num_partitions": self.num_partitions},
-                      f)
+            json.dump({"round": self.round,
+                       "num_partitions": self.num_partitions,
+                       "lineage": self.lineage}, f)
         os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
 
     @classmethod
@@ -338,4 +349,5 @@ class CrawlEngine:
         log = pq.read_table(os.path.join(rdir, "crawl_log.parquet"))
         eng.crawl_log = [tuple(r.values()) for r in log.to_pylist()]
         eng.round = manifest["round"]
+        eng.lineage = manifest.get("lineage", dict(eng.lineage))
         return eng

@@ -211,7 +211,9 @@ class ParseStage:
         sections: list[tuple] = []
         anle_sections: list[tuple] = []
         payload_rows: list[dict] = []
+        retried = 0
         for rec in batch.to_pylist():
+            retried += int(rec.get("retries") or 0)
             if rec["status"] != 200:
                 fails.append((rec["url"], rec["status"]))
                 continue
@@ -230,10 +232,10 @@ class ParseStage:
                     partition_of(rec[0], len(self.frontier)), []).append(rec)
             pending += [self.frontier[p].stage.remote(b)
                         for p, b in buckets.items()]
-        if self.collector is not None and (edges or fails or metas
-                                           or sections or anle_sections):
+        if self.collector is not None and (edges or fails or metas or sections
+                                           or anle_sections or retried):
             pending.append(self.collector.add.remote(
-                edges, fails, metas, sections, anle_sections))
+                edges, fails, metas, sections, anle_sections, retried))
         if pending:
             ray.get(pending)
         if not payload_rows:
