@@ -1,0 +1,57 @@
+"""Property-based tests for the canonicalization / hashing / fuzzy kernels."""
+
+from hypothesis import given, settings, strategies as st
+
+from vbpl_web_crawl_ray.functions import canon, fuzzy
+from vbpl_web_crawl_ray.functions.numeric import round_half_away
+
+hostnames = st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,5}){1,2}",
+                          fullmatch=True)
+paths = st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,4}", fullmatch=True)
+queries = st.from_regex(r"([a-zA-Z0-9]{1,5}=[a-zA-Z0-9]{0,6}(&|$)){0,3}",
+                        fullmatch=True)
+
+
+@given(hostnames, paths, queries)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(host, path, query):
+    url = f"http://{host}{path}" + (f"?{query}" if query else "")
+    once = canon.canonicalize_url(url)
+    assert canon.canonicalize_url(once) == once
+
+
+@given(hostnames, paths)
+@settings(max_examples=100, deadline=None)
+def test_canonical_case_port_invariance(host, path):
+    a = canon.canonicalize_url(f"http://{host}{path}")
+    b = canon.canonicalize_url(f"HTTP://{host.upper()}:80{path}")
+    assert a == b
+
+
+words = st.text(alphabet="abcdefgh ", min_size=0, max_size=20)
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_symmetric_and_bounded(a, b):
+    d = fuzzy.levenshtein(a, b)
+    assert d == fuzzy.levenshtein(b, a)
+    assert 0 <= d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+
+
+@given(words, words, words)
+@settings(max_examples=100, deadline=None)
+def test_levenshtein_triangle(a, b, c):
+    assert fuzzy.levenshtein(a, c) <= \
+        fuzzy.levenshtein(a, b) + fuzzy.levenshtein(b, c)
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_round_half_away_close_to_value(x):
+    r = round_half_away(x, 4)
+    assert abs(r - x) <= 0.00005000001
+    # SQL semantics on exact halves
+    assert round_half_away(0.00005, 4) == 0.0001
+    assert round_half_away(-0.00005, 4) == -0.0001
