@@ -131,13 +131,13 @@ def q_tumbling_window(sf_dir: str):
 
 def q_filter_sort_limit(sf_dir: str):
     """O1: filter -> global sort desc -> limit k (reference preview query,
-    app/service/vbpl.py:1145-1147). Tie-broken by key for determinism."""
-    ds = _read(sf_dir, "orders",
-               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["o_orderstatus"], pa.scalar("O"))),
-        batch_format="pyarrow")
-    ds = ds.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    app/service/vbpl.py:1145-1147). The predicate pushes down to the
+    parquet read (row-group pruning); tie-broken by key for determinism."""
+    import pyarrow.compute as pc
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        filter=pc.field("o_orderstatus") == "O")
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
