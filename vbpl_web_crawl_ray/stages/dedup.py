@@ -98,15 +98,18 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
                 counts[sh] = counts.get(sh, 0) + 1
         return pd.DataFrame({"shingle": list(counts), "c": list(counts.values())})
 
-    freq = bucketed_group_apply(
-        sets_ds.map_batches(df_partial, batch_format="pandas"),
-        "shingle",
-        lambda g: g.groupby("shingle", as_index=False)["c"].sum(),
-        num_buckets=8,
-    ).to_pandas()
+    # partials merge on the driver: the distinct-shingle vocabulary must
+    # reach the driver anyway (it becomes the broadcast rank dictionary),
+    # so a dict merge over the combiner outputs beats a shuffle here; at a
+    # vocabulary too big for one machine this becomes the bucketed groupby
+    counts: dict[str, int] = {}
+    for b in sets_ds.map_batches(df_partial, batch_format="pandas") \
+                    .iter_batches(batch_format="pandas"):
+        for s, c in zip(b["shingle"], b["c"]):
+            counts[s] = counts.get(s, 0) + int(c)
     # canonical global order: ascending df, then shingle text
     order = {s: i for i, s in enumerate(
-        freq.sort_values(["c", "shingle"])["shingle"])}
+        sorted(counts, key=lambda s: (counts[s], s)))}
     order_ref = ray.put(order)
 
     # pass 2: emit prefix (shingle_rank, doc) pairs only
@@ -147,10 +150,22 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
                              "id_b": pd.Series(dtype=np.int64),
                              "jaccard": pd.Series(dtype=np.float64)})
 
+    # exact size-ratio prefilter: J(A,B) >= t requires min|.|/max|.| >= t —
+    # vectorized over the candidate list, prunes before any set intersection
+    sets_pdf = sets_ds.to_pandas()
+    size_of = dict(zip(sets_pdf[id_col],
+                       (len(s) for s in sets_pdf["shingles"])))
+    la = cand["id_a"].map(size_of).to_numpy(dtype=np.float64)
+    lb = cand["id_b"].map(size_of).to_numpy(dtype=np.float64)
+    cand = cand[np.minimum(la, lb) >= threshold * np.maximum(la, lb)]
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
+
     # verify distributed: shingle sets broadcast once, exact Jaccard per
     # candidate pair inside map_batches (at 100 TB this broadcast becomes a
     # bucket-join keyed by id_a; the verify math is unchanged)
-    sets_pdf = sets_ds.to_pandas()
     sets_ref = ray.put(dict(zip(sets_pdf[id_col],
                                 (set(s) for s in sets_pdf["shingles"]))))
 
@@ -170,7 +185,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
                 {"id_a": np.int64, "id_b": np.int64})
 
     return (rd.from_pandas(cand)
-              .map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+              .map_batches(Verify, batch_format="pandas", batch_size=8192,
+                           concurrency=(1, 8))
               .to_pandas())
 
 
