@@ -67,6 +67,28 @@ def test_lineage_counters(engine_run):
     assert m["failed"] > 0           # missing_rate=0.1 guarantees 404s
 
 
+def test_politeness_spacing(engine_run):
+    """Within every host, consecutive virtual fetch times are spaced by
+    exactly that host's robots Crawl-delay — the politeness budget."""
+    eng, _ = engine_run
+    by_host = {}
+    for (_, t, h, *_rest) in eng.crawl_log:
+        by_host.setdefault(h, []).append(t)
+    from vbpl_web_crawl_ray.sources.simweb import SimWeb
+    web = SimWeb(CFG)
+    for host, times in by_host.items():
+        k = int(host.split(".")[0][4:])
+        delay = CFG.delay_of(k)
+        times = sorted(times)
+        gaps = [round(b - a, 9) for a, b in zip(times, times[1:])]
+        assert all(g == delay for g in gaps), (host, delay, gaps[:5])
+
+
+def test_round_stats_available(engine_run):
+    eng, _ = engine_run
+    assert "Operator" in eng.last_stats or "Stage" in eng.last_stats
+
+
 def test_robots_blocking(engine_run, oracle):
     eng, _ = engine_run
     m = eng.metrics()["total"]

@@ -227,6 +227,7 @@ class CrawlEngine:
         # are pushed to the frontier/collector actors by the parse tasks and
         # committed at the barrier below (deterministic sorted union).
         ds.write_parquet(f"{self.out_dir}/payload/round={self.round}")
+        self.last_stats = ds.stats()   # per-stage wall/cpu breakdown
 
         edges, fails, metas, sections, anle_sections, retried = \
             ray.get(self.collector.drain.remote())
