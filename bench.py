@@ -199,6 +199,18 @@ def main_scaling() -> dict:
     speedup = t_lo / t_hi
     eff = speedup / (hi / lo)
     ceiling = _cpu_calibration(lo, hi)
+
+    # frontier-pops/sec scaling (the metric's second half): same URL volume
+    # through 2 vs 8 partition actors in one 32-CPU session
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    fr_lo = run_frontier_microbench(partitions=2)
+    fr_hi = run_frontier_microbench(partitions=8)
+    ray.shutdown()
+    fr_speedup = fr_hi["pops_per_sec"] / fr_lo["pops_per_sec"]
+
     return {
         "metric": "crawl scaling efficiency (num_cpus 8 vs 32, same input)",
         "sec_8": t_lo, "sec_32": t_hi,
@@ -208,6 +220,9 @@ def main_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "hw_ceiling_speedup": ceiling,
         "hw_normalized_efficiency": round(speedup / ceiling, 3),
+        "frontier_pops_per_sec_2p": fr_lo["pops_per_sec"],
+        "frontier_pops_per_sec_8p": fr_hi["pops_per_sec"],
+        "frontier_scaling_efficiency": round(fr_speedup / 4, 3),
     }
 
 
