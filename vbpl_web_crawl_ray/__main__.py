@@ -47,6 +47,17 @@ def main(argv=None):
     f.add_argument("--out", required=True)
     f.add_argument("--id", type=int, required=True)
 
+    ci = sub.add_parser("crawl-by-id",
+                        help="crawl specific document ids (reference "
+                             "crawl_vbpl_by_id / by-id-list, cmd.py:40-98)")
+    ci.add_argument("--out", required=True)
+    ci.add_argument("--ids", required=True,
+                    help="comma-separated document ids")
+    ci.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ci.add_argument("--hosts", type=int, default=4)
+    ci.add_argument("--pages", type=int, default=3)
+    ci.add_argument("--docs-per-page", type=int, default=5)
+
     v = sub.add_parser("preview", help="newest docs by issuance date")
     v.add_argument("--out", required=True)
     v.add_argument("--limit", type=int, default=10)
@@ -81,6 +92,19 @@ def main(argv=None):
         eng.seed(SimWeb(cfg).seed_urls())
         rounds = eng.run(checkpoint_dir=args.checkpoint_dir)
         print(json.dumps({"rounds": rounds, "fetched": len(eng.crawl_log),
+                          "metrics": eng.metrics()["total"]}))
+    elif args.cmd == "crawl-by-id":
+        from .pipelines.crawl import CrawlEngine
+        from .sources.simweb import config_from_documents
+        cfg = config_from_documents(
+            args.sf_dir, n_hosts=args.hosts, pages_per_host=args.pages,
+            docs_per_page=args.docs_per_page)
+        eng = CrawlEngine(cfg, args.out, num_partitions=2)
+        ids = [int(x) for x in args.ids.split(",")]
+        eng.seed([f"http://host{cfg.host_of_doc(i)}.test/doc.aspx?ItemID={i}"
+                  for i in ids])
+        eng.run()
+        print(json.dumps({"fetched": len(eng.crawl_log),
                           "metrics": eng.metrics()["total"]}))
     elif args.cmd == "fetch-by-id":
         from .pipelines.lookup import fetch_doc_by_id
