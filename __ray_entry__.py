@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
         # set ops / statistical aggregates / windows (batch 2)
         "union_distinct": R2.q_union_distinct,
+        "intersect_distinct": R2.q_intersect_distinct,
+        "except_distinct": R2.q_except_distinct,
         "stats_per_group": R2.q_stats_per_group,
         "median_per_group": R2.q_median_per_group,
         "orders_per_month": R2.q_orders_per_month,
@@ -287,6 +289,16 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct": """
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
             UNION
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+        """,
+        "intersect_distinct": """
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+        """,
+        "except_distinct": """
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
             SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
         """,
         "stats_per_group": """

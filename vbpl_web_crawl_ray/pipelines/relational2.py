@@ -37,6 +37,48 @@ def q_union_distinct(sf_dir: str):
         partial_fn=lambda df: df.drop_duplicates(["c_custkey"]))
 
 
+def q_intersect_distinct(sf_dir: str):
+    """INTERSECT: customers in the BUILDING segment AND with acctbal>5000 —
+    semi-join via broadcast key set of the smaller side."""
+    import ray
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment",
+                                      "c_acctbal"])
+    rich = set(pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]).query("c_acctbal > 5000")
+        ["c_custkey"].tolist())
+    ref = ray.put(rich)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        out = df[(df["c_mktsegment"] == "BUILDING")
+                 & df["c_custkey"].isin(keys)]
+        return out[["c_custkey", "c_name"]].drop_duplicates()
+
+    return cust.map_batches(f, batch_format="pandas")
+
+
+def q_except_distinct(sf_dir: str):
+    """EXCEPT: BUILDING-segment customers WITHOUT acctbal>5000 — anti-join
+    via broadcast key set."""
+    import ray
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment",
+                                      "c_acctbal"])
+    rich = set(pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]).query("c_acctbal > 5000")
+        ["c_custkey"].tolist())
+    ref = ray.put(rich)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        out = df[(df["c_mktsegment"] == "BUILDING")
+                 & ~df["c_custkey"].isin(keys)]
+        return out[["c_custkey", "c_name"]].drop_duplicates()
+
+    return cust.map_batches(f, batch_format="pandas")
+
+
 def q_stats_per_group(sf_dir: str):
     """Min/max/stddev rollup via mergeable moment partials
     (n, sum, sumsq per batch -> exact sample stddev at the combine)."""
