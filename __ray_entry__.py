@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": R.q_sessionize,
         # text analysis (training-data additions)
         "token_count": lambda sf: textstats.token_count(_docs(sf)),
+        "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
         "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
         "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
@@ -230,6 +231,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "regex_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                       AS n_regex_tokens
             FROM documents
         """,
         "quality_score": """

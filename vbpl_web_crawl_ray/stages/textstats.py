@@ -37,6 +37,22 @@ def token_count(ds: rd.Dataset, text_col: str = "text",
     return ds.map_batches(f, batch_format="pandas")
 
 
+_BPE_TOKEN = r"\w+|[^\w\s]"  # GPT-style pre-tokenizer shape; RE2-compatible
+
+
+def regex_token_count(ds: rd.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id") -> rd.Dataset:
+    """BPE-ish regex token count (words + punctuation marks) — the
+    second tokenizer of the token-counting family; vectorized str.count."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_regex_tokens": df[text_col].str.count(_BPE_TOKEN)
+                                         .astype("int64"),
+        })
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def quality_score(ds: rd.Dataset, text_col: str = "text",
                   id_col: str = "doc_id") -> rd.Dataset:
     """Length/avg-token-length quality features, all vectorized str kernels."""
