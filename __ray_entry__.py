@@ -52,6 +52,19 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _stream_user_state(sf_dir: str):
+    """Actor-held incremental per-user state (count/sum/EMA) over the
+    ts-ordered events log (rows-only: EMA is not SQL-expressible)."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.stages.streaming import run_stream
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = run_stream(ds, num_buckets=4, alpha=0.2)
+    out["total"] = out["total"].round(4)
+    out["ema"] = out["ema"].round(4)
+    return out
+
+
 def _minhash_dup_clusters(sf_dir: str):
     """Near-dup GROUPS: MinHash-LSH pairs -> connected components."""
     from vbpl_web_crawl_ray.stages.graph import dup_clusters
@@ -96,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_clusters": _minhash_dup_clusters,
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
+        "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=0.45),
+        "stream_user_state": _stream_user_state,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),

@@ -93,6 +93,88 @@ class HyperplaneLSHIndex:
                              "cos_sim": round_half_away(sims[order], 4)})
 
 
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
+                           n_planes: int = 4, n_tables: int = 10,
+                           seed: int = 13) -> pd.DataFrame:
+    """Scale path for cosine near-dup pairs: random-hyperplane signatures →
+    (table, bucket) groupby → candidate pairs within buckets → exact cosine
+    verify. Only (bucket_key, vec_id) rows shuffle; the full matrix is
+    broadcast once for verification only of candidates (at 100 TB the
+    verify becomes a bucket-join). Recall vs the exact baseline is asserted
+    in tests — LSH trades a bounded miss rate for candidate-set sparsity."""
+    from .shuffle import bucketed_group_apply
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    mat = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, mat.shape[1]))
+    mat_ref = ray.put((ids, mat, planes))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    class Signatures:
+        def __init__(self):
+            _, _, self.planes = ray.get(mat_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            v = _normalize(np.stack(df["embedding"].to_numpy())
+                           .astype(np.float64))
+            out_t, out_code, out_id = [], [], []
+            for t in range(len(self.planes)):
+                bits = (v @ self.planes[t].T) > 0
+                codes = bits @ (1 << np.arange(bits.shape[1]))
+                out_t.append(np.full(len(v), t, np.int64))
+                out_code.append(codes.astype(np.int64))
+                out_id.append(df["vec_id"].to_numpy())
+            return pd.DataFrame({
+                "bucket_key": np.concatenate(out_t) * (1 << n_planes)
+                              + np.concatenate(out_code),
+                "vec_id": np.concatenate(out_id)})
+
+    sigs = ds.map_batches(Signatures, batch_format="pandas",
+                          concurrency=(1, 4))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in g.groupby("bucket_key"):
+            u = np.sort(sub["vec_id"].unique())
+            if len(u) >= 2:
+                a, b = np.triu_indices(len(u), k=1)
+                out_a.append(u[a]); out_b.append(u[b])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cand = (bucketed_group_apply(sigs, "bucket_key", pairs_in_bucket,
+                                 num_buckets=8)
+            .to_pandas().drop_duplicates())
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
+
+    class Verify:
+        def __init__(self):
+            ids_, mat_, _ = ray.get(mat_ref)
+            self.pos = {v: i for i, v in enumerate(ids_)}
+            self.mat = mat_
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ia = df["id_a"].map(self.pos).to_numpy()
+            ib = df["id_b"].map(self.pos).to_numpy()
+            sims = np.einsum("ij,ij->i", self.mat[ia], self.mat[ib])
+            return df[sims >= threshold]
+
+    return (rd.from_pandas(cand)
+              .map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+              .to_pandas().sort_values(["id_a", "id_b"])
+              .reset_index(drop=True))
+
+
 def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     """ANN top-k via the LSH index (the scale path; recall vs brute force
     is asserted in tests)."""

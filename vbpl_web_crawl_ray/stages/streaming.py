@@ -1,0 +1,70 @@
+"""Actor-held incremental state for stream-shaped workloads.
+
+Ray Data has no event-time runtime; for semantics that genuinely need
+incremental state across arrivals (the guide's 'one actor per key-hash
+bucket, fed batches in ts order'), this module keeps one StreamBucket
+actor per key-hash bucket. The driver feeds each actor its bucket's
+events in timestamp order; the actor maintains per-key running state
+(count, sum, EMA) that any later batch continues from.
+
+Ordering assumption (documented per the guide): events within one key
+arrive in non-decreasing ts order — the feeder sorts each bucket's
+slice before delivery, and keys never straddle buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .shuffle import bucket_of
+
+
+@ray.remote
+class StreamBucket:
+    """Per-bucket incremental state: user_id -> (count, sum, ema)."""
+
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = alpha
+        self.state: dict = {}
+
+    def feed(self, batch: pd.DataFrame) -> int:
+        """Consume one ts-ordered batch; returns rows absorbed."""
+        for uid, value in zip(batch["user_id"], batch["value"]):
+            c, s, e = self.state.get(uid, (0, 0.0, None))
+            e = value if e is None else (self.alpha * value
+                                         + (1 - self.alpha) * e)
+            self.state[uid] = (c + 1, s + value, e)
+        return len(batch)
+
+    def snapshot(self) -> pd.DataFrame:
+        rows = [(uid, c, s, e) for uid, (c, s, e) in self.state.items()]
+        return pd.DataFrame(rows, columns=["user_id", "n", "total", "ema"])
+
+
+def run_stream(ds: rd.Dataset, num_buckets: int = 4, alpha: float = 0.1,
+               feed_batch_rows: int = 2048) -> pd.DataFrame:
+    """Feed an events Dataset through bucket actors in ts order; returns
+    the final per-user state union. Deterministic: routing is hash(key),
+    order within bucket is (ts, event_id)."""
+    actors = [StreamBucket.remote(alpha) for _ in range(num_buckets)]
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__b=bucket_of(df["user_id"].to_numpy(), num_buckets))
+        return df
+
+    routed = ds.map_batches(route, batch_format="pandas").to_pandas()
+    routed = routed.sort_values(["ts", "event_id"], kind="mergesort")
+    pending = []
+    for b, sub in routed.groupby("__b"):
+        sub = sub.drop(columns="__b")
+        for i in range(0, len(sub), feed_batch_rows):
+            # sequential per actor: ray actor tasks from one submitter run
+            # in submission order, preserving the ts ordering per bucket
+            pending.append(actors[b].feed.remote(sub.iloc[i:i + feed_batch_rows]))
+    ray.get(pending)
+    outs = ray.get([a.snapshot.remote() for a in actors])
+    return (pd.concat(outs, ignore_index=True)
+            .sort_values("user_id").reset_index(drop=True))
