@@ -60,8 +60,12 @@ LOG_SCHEMA = pa.schema([
 ])
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class FrontierActor(FrontierPartition):
+    """Control-plane actor: num_cpus=0 so P frontier partitions never
+    starve the data-plane tasks of CPU slots (their work is short
+    bookkeeping bursts, not sustained compute)."""
+
     def __init__(self, partition_id: int, num_partitions: int,
                  cfg: SimWebConfig, **kw):
         web = SimWeb(cfg)

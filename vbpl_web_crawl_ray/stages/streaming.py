@@ -22,7 +22,7 @@ import ray.data as rd
 from .shuffle import bucket_of
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class StreamBucket:
     """Per-bucket incremental state: user_id -> (count, sum, ema)."""
 
