@@ -75,6 +75,26 @@ class TestMultimodal:
         assert ("imgdupA", "imgdupB") in got or ("imgdupB", "imgdupA") in got
 
 
+class TestVideo:
+    def test_frame_sampling(self):
+        frames = [gen_pixels(f"f{i}", 24, 24) for i in range(7)]
+        blob = mm.encode_video(frames, "png")
+        ds = rd.from_items([{"video_id": "vid0", "bytes": blob}])
+        out = mm.sample_frames(ds, every_k=2).to_pandas()
+        assert list(out["frame_index"]) == [0, 2, 4, 6]
+        got = decode_image(out["bytes"][1])
+        assert np.array_equal(got, frames[2])
+
+    def test_video_magic_required(self):
+        with pytest.raises(NotImplementedError):
+            list(mm.iter_video_frames(b"MP4 something"))
+
+    def test_audio_stub(self):
+        with pytest.raises(NotImplementedError):
+            mm.AudioFeatures()(pd.DataFrame({"audio_id": ["a"],
+                                             "bytes": [b"x"]}))
+
+
 class TestUpsert:
     def test_last_write_wins_deterministic(self):
         rows = [{"k": 1, "ts": 2, "uid": 10, "v": "old"},

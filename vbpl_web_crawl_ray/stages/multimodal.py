@@ -109,6 +109,76 @@ def resize_images(ds: rd.Dataset, tw: int = 64, th: int = 64,
                           fn_constructor_kwargs={"tw": tw, "th": th})
 
 
+VIDEO_MAGIC = b"FVID"
+
+
+def encode_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    """FAKE video container (real codecs absent): magic + frame count +
+    length-prefixed encoded frames. The plumbing (binary column in, frame
+    sampling, per-frame decode) is real."""
+    from ..sources.imaging import encode_image
+    parts = [VIDEO_MAGIC, np.uint32(len(frames)).tobytes()]
+    for f in frames:
+        enc = encode_image(f, fmt)
+        parts.append(np.uint32(len(enc)).tobytes())
+        parts.append(enc)
+    return b"".join(parts)
+
+
+def iter_video_frames(data: bytes):
+    if data[:4] != VIDEO_MAGIC:
+        raise NotImplementedError("real video demuxers are stubbed here")
+    n = int(np.frombuffer(data[4:8], np.uint32)[0])
+    off = 8
+    for _ in range(n):
+        ln = int(np.frombuffer(data[off:off + 4], np.uint32)[0])
+        off += 4
+        yield data[off:off + ln]
+        off += ln
+
+
+class FrameSampler:
+    """Actor stage: video binary column -> every k-th frame as payload-style
+    image rows (one input row -> ceil(n/k) output rows). Small batches:
+    rows carry whole clips."""
+
+    def __init__(self, every_k: int = 2):
+        self.every_k = every_k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for vid_id, blob in zip(df["video_id"], df["bytes"]):
+            for i, frame in enumerate(iter_video_frames(blob)):
+                if i % self.every_k:
+                    continue
+                px = decode_image(frame)
+                rows.append({"video_id": vid_id, "frame_index": i,
+                             "bytes": frame,
+                             "w": px.shape[1], "h": px.shape[0],
+                             "phash": int(np.uint64(phash64(px))
+                                          .astype(np.int64))})
+        return pd.DataFrame(rows, columns=["video_id", "frame_index", "bytes",
+                                           "w", "h", "phash"])
+
+
+def sample_frames(ds: rd.Dataset, every_k: int = 2,
+                  concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(FrameSampler, batch_format="pandas",
+                          batch_size=8, concurrency=concurrency,
+                          fn_constructor_kwargs={"every_k": every_k})
+
+
+class AudioFeatures:
+    """Audio stub: typed schema + batch signature are real; decoding an
+    actual audio codec is NotImplemented in this container."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        raise NotImplementedError(
+            "audio decode requires codecs not present in this container; "
+            "schema: (audio_id:string, bytes:binary, sample_rate:int32, "
+            "n_samples:int64) -> (audio_id, rms:float64, zcr:float64)")
+
+
 def phash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 2,
                          num_chunks: int | None = None) -> pd.DataFrame:
     """Near-duplicate image pairs by phash Hamming distance — the payload
