@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
+        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, query_vec_id=0, k=10),
         # fuzzy similarity join (J4/J5 pattern, dictionary-blocked)
         "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
         # set ops / statistical aggregates / windows (batch 2)

@@ -20,6 +20,13 @@ def test_embedding_near_dup_lsh_recall(sf_dir):
         assert recall >= 0.8, (recall, len(exact_set))
 
 
+def test_ivf_topk_recall(sf_dir):
+    exact = ann.brute_force_topk(sf_dir, query_vec_id=0, k=10)
+    approx = ann.ivf_topk(sf_dir, query_vec_id=0, k=10, nprobe=6)
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 7  # >=70% recall at nprobe=6/16 cells
+
+
 def test_stream_state_matches_batch(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])

@@ -175,6 +175,58 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
               .reset_index(drop=True))
 
 
+class IVFIndex:
+    """Inverted-file ANN index: k-means coarse quantizer (deterministic
+    seeded Lloyd iterations), vectors assigned to their nearest centroid's
+    posting list; queries probe the ``nprobe`` nearest cells. The classic
+    IVF-Flat structure (Jégou et al., public algorithm) — at cluster scale
+    each posting list is a partition and probing is a targeted read, not a
+    scan."""
+
+    def __init__(self, ids: np.ndarray, mat: np.ndarray, n_cells: int = 16,
+                 iters: int = 10, seed: int = 5):
+        self.ids = ids
+        self.mat = _normalize(mat.astype(np.float64))
+        rng = np.random.default_rng(seed)
+        init = rng.choice(len(self.mat), size=min(n_cells, len(self.mat)),
+                          replace=False)
+        cents = self.mat[init].copy()
+        for _ in range(iters):
+            assign = np.argmax(self.mat @ cents.T, axis=1)
+            for c in range(len(cents)):
+                members = self.mat[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cents[c] = m / np.linalg.norm(m)
+        self.centroids = cents
+        self.assign = np.argmax(self.mat @ cents.T, axis=1)
+        self.cells = {c: np.nonzero(self.assign == c)[0]
+                      for c in range(len(cents))}
+
+    def query(self, q: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        q = q / np.linalg.norm(q)
+        order = np.argsort(-(self.centroids @ q))[:nprobe]
+        cand = np.concatenate([self.cells[c] for c in order
+                               if len(self.cells[c])])
+        sims = self.mat[cand] @ q
+        top = np.argsort(-sims, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": self.ids[cand][top].astype(np.int64),
+                             "cos_sim": round_half_away(sims[top], 4)})
+
+
+def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+             nprobe: int = 4) -> pd.DataFrame:
+    """ANN top-k via the IVF index (second scale path besides LSH)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy())
+    index = IVFIndex(ids, mat)
+    q = mat[ids == query_vec_id][0].astype(np.float64)
+    out = index.query(q, k=k + 1, nprobe=nprobe)
+    return out[out["vec_id"] != query_vec_id].head(k).reset_index(drop=True)
+
+
 def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     """ANN top-k via the LSH index (the scale path; recall vs brute force
     is asserted in tests)."""
