@@ -20,6 +20,30 @@ def test_embedding_near_dup_lsh_recall(sf_dir):
         assert recall >= 0.8, (recall, len(exact_set))
 
 
+def test_simhash_banding_is_exact(sf_dir):
+    """Chunk-banding is not approximate: two 64-bit hashes within Hamming
+    distance d MUST share one of d+1 chunks (pigeonhole), so the banded
+    result equals brute force exactly."""
+    from vbpl_web_crawl_ray.stages.dedup import simhash_pairs, simhash_signatures
+    got = simhash_pairs(sf_dir, max_hamming=3)
+    sigs = simhash_signatures(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])).to_pandas()
+    ids = sigs["doc_id"].to_numpy()
+    hs = sigs["simhash"].to_numpy().astype(np.uint64)
+    a, b = np.triu_indices(len(ids), k=1)
+    x = hs[a] ^ hs[b]
+    ham = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    want = {(min(i, j), max(i, j))
+            for i, j in zip(ids[a][ham <= 3], ids[b][ham <= 3])}
+    got_set = {(min(i, j), max(i, j))
+               for i, j in zip(got["id_a"], got["id_b"])}
+    assert got_set == want
+
+
 def test_ivf_topk_recall(sf_dir):
     exact = ann.brute_force_topk(sf_dir, query_vec_id=0, k=10)
     approx = ann.ivf_topk(sf_dir, query_vec_id=0, k=10, nprobe=6)

@@ -326,7 +326,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                           & np.uint64((1 << chunk_bits) - 1))
                 rows["chunk"].append(c); rows["chunk_val"].append(val)
                 rows["doc_id"].append(did); rows["simhash"].append(int(sh))
-        return pd.DataFrame({k2: np.array(v) for k2, v in rows.items()})
+        # explicit dtypes: np.array() of Python ints straddling 2^63 would
+        # silently promote to float64 and corrupt the hashes
+        return pd.DataFrame({
+            "chunk": np.array(rows["chunk"], dtype=np.int32),
+            "chunk_val": np.array(rows["chunk_val"], dtype=np.int64),
+            "doc_id": np.array(rows["doc_id"], dtype=np.int64),
+            "simhash": np.array(rows["simhash"], dtype=np.uint64),
+        })
 
     chunked = sigs.map_batches(to_chunks, batch_format="pandas")
 
