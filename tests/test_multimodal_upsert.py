@@ -75,6 +75,31 @@ class TestMultimodal:
         assert ("imgdupA", "imgdupB") in got or ("imgdupB", "imgdupA") in got
 
 
+def test_phash_banding_is_exact():
+    """Pigeonhole: banded phash near-dup must EQUAL brute-force Hamming."""
+    rows = _payload_rows(24)
+    # plant a couple of jpeg twins for non-trivial matches
+    for i in (0, 5):
+        px = decode_image(rows[i]["bytes"]) if rows[i]["fmt"] == "png" else \
+            decode_image(rows[i]["bytes"])
+        px2 = decode_image(encode_image(px, "jpeg"))
+        rows.append({**rows[i], "image_id": rows[i]["image_id"] + "_dup",
+                     "bytes": encode_image(px2, "png"), "fmt": "png",
+                     "phash": int(np.uint64(phash64(px2)).astype(np.int64))})
+    ds = rd.from_items(rows)
+    got = mm.phash_near_dup_pairs(ds, max_hamming=2)
+    ids = [r["image_id"] for r in rows]
+    hs = np.array([r["phash"] for r in rows], dtype=np.int64).view(np.uint64)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(hs[i] ^ hs[j])).count("1") <= 2:
+                want.add(tuple(sorted((ids[i], ids[j]))))
+    got_set = {tuple(sorted((a, b)))
+               for a, b in zip(got["id_a"], got["id_b"])}
+    assert got_set == want and want
+
+
 class TestVideo:
     def test_frame_sampling(self):
         frames = [gen_pixels(f"f{i}", 24, 24) for i in range(7)]
