@@ -20,6 +20,25 @@ def test_embedding_near_dup_lsh_recall(sf_dir):
         assert recall >= 0.8, (recall, len(exact_set))
 
 
+def test_minhash_signature_roundtrip_integrity():
+    """Signatures must survive the Arrow roundtrip as exact uint64s —
+    identical docs estimate Jaccard exactly 1.0; estimates track true
+    Jaccard for near-dups."""
+    from vbpl_web_crawl_ray.stages.dedup import MinHasher
+    import pandas as pd
+    mh = MinHasher(num_perm=128)
+    t1 = "a b c d e f g h i j k l m n o p"
+    t2 = "a b c d e f g h i j k l m n o q"   # one shingle end changed
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [t1, t1, t2]})
+    sigs = mh(df)
+    ds = rd.from_pandas(sigs).to_pandas()   # through Arrow and back
+    s = {d: np.asarray(v, dtype=np.uint64)
+         for d, v in zip(ds["doc_id"], ds["signature"])}
+    assert float((s[1] == s[2]).mean()) == 1.0
+    est = float((s[1] == s[3]).mean())
+    assert 0.4 < est < 1.0   # true shingle Jaccard = 11/17 ~ 0.65
+
+
 def test_simhash_banding_is_exact(sf_dir):
     """Chunk-banding is not approximate: two 64-bit hashes within Hamming
     distance d MUST share one of d+1 chunks (pigeonhole), so the banded
