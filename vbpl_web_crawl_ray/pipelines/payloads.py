@@ -86,6 +86,8 @@ def q_pdf_sections(sf_dir: str) -> rd.Dataset:
 def payload_table(sf_dir: str, img_min: int = 48, img_range: int = 33) -> rd.Dataset:
     """Deterministic image+caption payload table derived from documents
     (the input_hint schema) — image synth runs distributed in map_batches."""
+    from ..sources.imaging import decode_image
+
     def synth(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for did, text in zip(df["doc_id"], df["text"]):
@@ -94,11 +96,14 @@ def payload_table(sf_dir: str, img_min: int = 48, img_range: int = 33) -> rd.Dat
             h = img_min + (did * 7) % img_range
             px = gen_pixels(image_id, w, h)
             fmt = "png" if did % 2 == 0 else "jpeg"
-            rows.append({"image_id": image_id,
-                         "bytes": encode_image(px, fmt),
+            data = encode_image(px, fmt)
+            # phash of the DECODED payload — same semantics as the crawl
+            # (ParseStage hashes what it fetched, not the pre-encode pixels)
+            ph = phash64(decode_image(data))
+            rows.append({"image_id": image_id, "bytes": data,
                          "w": w, "h": h, "fmt": fmt,
                          "caption": text[:120],
-                         "phash": int(np.uint64(phash64(px)).astype(np.int64))})
+                         "phash": int(np.uint64(ph).astype(np.int64))})
         return pd.DataFrame(rows)
     return _docs(sf_dir).map_batches(synth, batch_format="pandas",
                                      batch_size=mm.MULTIMODAL_BATCH)
