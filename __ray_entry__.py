@@ -52,6 +52,26 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _crawl_payload(sf_dir: str):
+    """End-to-end crawl (frontier -> fetch -> parse -> payload) on a small
+    sim web whose captions come from sf_dir's documents; returns the
+    payload table. Deterministic at any parallelism."""
+    import tempfile
+
+    import ray.data as rd
+    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
+
+    cfg = config_from_documents(sf_dir, n_hosts=2, pages_per_host=2,
+                                docs_per_page=4)
+    out = tempfile.mkdtemp(prefix="vbpl_crawl_q_")
+    eng = CrawlEngine(cfg, out, num_partitions=2,
+                      fetch_concurrency=(1, 2), parse_concurrency=(1, 2))
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=16)
+    return rd.read_parquet(f"{out}/payload").drop_columns(["round"])
+
+
 def _stream_user_state(sf_dir: str):
     """Actor-held incremental per-user state (count/sum/EMA) over the
     ts-ordered events log (rows-only: EMA is not SQL-expressible)."""
@@ -130,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": R2.q_sliding_window,
         "approx_distinct_users": R2.q_approx_distinct_users,
         "asof_join": R2.q_asof_join,
+        # the crawl itself as a gated pipeline (rows-only; deterministic)
+        "crawl_payload": _crawl_payload,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,
