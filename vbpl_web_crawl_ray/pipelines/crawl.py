@@ -2,14 +2,14 @@
 frontier exhaustion (the engine form of the reference's phase loop,
 app/service/vbpl.py:95-114, re-expressed per SURVEY.md §3.1).
 
-Each round is one Ray Data streaming pipeline over the popped URL batch:
+Each round is ONE streaming Ray Data pass over the popped URL batch:
 
-    from_items(pops) -> map_batches(FetchStage, actor pool)
-                     -> map_batches(ParseStage, actor pool)
-                     -> materialize (one round's working set)
-    payload rows -> parquet out_dir/payload/round={r}   (resumable layout)
-    edge rows    -> parquet out_dir/edges/round={r}
-    link rows    -> frontier.offer (hash(host)-routed)
+    from_items(pops) -> map_batches(FetchStage) -> map_batches(ParseStage)
+                     -> write_parquet out_dir/payload/round={r}
+    links            -> frontier.stage() (hash(host)-routed), committed
+                        at the round barrier as a sorted union
+    edges/meta/sections/failures/retries -> RoundCollector actor ->
+                        per-round parquet + lineage counters
 
 Rounds are the determinism barrier (the reference's three phase barriers):
 crawl order is a pure function of the link graph at every parallelism
