@@ -107,7 +107,9 @@ def test_payload_rows_match_oracle(engine_run, oracle):
         assert got["bytes"] == want["bytes"]
         assert got["caption"] == want["caption"]
         assert got["w"] == want["w"] and got["h"] == want["h"]
-        assert np.uint64(got["phash"]).item() == want["phash"] % (1 << 64)
+        # two's-complement round trip without a direct uint64 cast of a
+        # negative Python int (deprecated in newer numpy)
+        assert (got["phash"] + (1 << 64)) % (1 << 64) == want["phash"] % (1 << 64)
 
 
 def test_per_row_payload_invariant(engine_run):

@@ -64,8 +64,12 @@ def upsert_parquet(ds: rd.Dataset, out_dir: str, key_cols: list[str],
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(__b=bucket_of(df[key].to_numpy(), num_buckets))
 
-    pdf = merged.map_batches(add_bucket, batch_format="pandas").to_pandas() \
-        if merged.count() < driver_merge_threshold else None
+    # materialize ONCE: count() on a materialized dataset is metadata, and
+    # both the driver and the distributed layout consume the same blocks —
+    # no double execution of the merged plan
+    bucketed = merged.map_batches(add_bucket, batch_format="pandas").materialize()
+    pdf = bucketed.to_pandas() \
+        if bucketed.count() < driver_merge_threshold else None
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     if pdf is not None:
@@ -76,8 +80,7 @@ def upsert_parquet(ds: rd.Dataset, out_dir: str, key_cols: list[str],
                 os.path.join(pdir, "part-0.parquet"), index=False)
     else:  # large path: distributed hive-partitioned write (one dir per
         # key-hash bucket — the resumable layout at scale)
-        merged.map_batches(add_bucket, batch_format="pandas") \
-              .write_parquet(tmp, partition_cols=["__b"])
+        bucketed.write_parquet(tmp, partition_cols=["__b"])
         # normalize dir names to the bucket=*/ layout
         for e in os.listdir(tmp):
             if e.startswith("__b="):

@@ -32,6 +32,7 @@ from __future__ import annotations
 import heapq
 import pickle
 from typing import Callable
+from urllib.parse import urlsplit
 
 import numpy as np
 
@@ -113,12 +114,17 @@ class FrontierPartition:
 
     # ---- robots ----
 
-    def _rules(self, host: str) -> RobotsRules:
+    def _rules(self, host: str, scheme: str = "http",
+               netloc: str | None = None) -> RobotsRules:
+        """Robots rules per hostname; the robots URL is built from the
+        actual scheme+netloc of the first URL seen for the host, so
+        explicit non-default ports fetch the right /robots.txt."""
         if host not in self.robots:
             if self.robots_fetch is None:
                 self.robots[host] = ALLOW_ALL
             else:
-                status, _, body = self.robots_fetch(f"http://{host}/robots.txt")
+                status, _, body = self.robots_fetch(
+                    f"{scheme or 'http'}://{netloc or host}/robots.txt")
                 self.robots[host] = parse_robots(body) if status == 200 else ALLOW_ALL
                 self.metrics["robots_fetched"] += 1
         return self.robots[host]
@@ -159,9 +165,12 @@ class FrontierPartition:
             if not is_new:
                 self.metrics["deduped"] += 1
                 continue
-            host = host_of(url)
-            path = url.split(host, 1)[1] if host in url else "/"
-            if not self._rules(host).allows(path):
+            sp = urlsplit(url)
+            host = sp.hostname or ""
+            # robots Disallow prefixes match the path (+query), never the
+            # netloc — string-splitting on the host breaks for ported URLs
+            path = (sp.path or "/") + (f"?{sp.query}" if sp.query else "")
+            if not self._rules(host, sp.scheme, sp.netloc).allows(path):
                 self.metrics["robots_blocked"] += 1
                 continue
             heapq.heappush(self.heaps.setdefault(host, []), (depth, order, url))
