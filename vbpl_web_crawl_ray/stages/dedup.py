@@ -64,6 +64,34 @@ def _shingles(tokens: list[str], n: int = 3) -> list[str]:
     return [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
 
 
+_SEP = "\x1f"  # shingle-set transport separator (never appears in tokens)
+_EMPTY_PAIRS = {"id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64)}
+
+
+def _dedup_pairs(cand: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
+    """Distributed pair dedup: duplicates of (id_a, id_b) always share
+    id_a, so a bucketed drop_duplicates is exact — no driver collect."""
+    from .shuffle import bucketed_group_apply
+    return bucketed_group_apply(cand, "id_a",
+                                lambda g: g.drop_duplicates(),
+                                num_buckets=num_buckets)
+
+
+def _join_attach(cand: rd.Dataset, blobs: rd.Dataset, pair_key: str,
+                 blob_col: str, out_col: str,
+                 num_partitions: int = 8) -> rd.Dataset:
+    """Attach a per-doc payload column to candidate pairs via the native
+    hash join (signatures/sets shuffle to the pairs — no driver
+    materialization, no broadcast of the whole table)."""
+    joined = cand.join(blobs, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=(pair_key,), right_on=("doc_id",))
+    return joined.map_batches(
+        lambda df: df.rename(columns={blob_col: out_col}),
+        batch_format="pandas")
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
                         table: str = "documents", id_col: str = "doc_id",
                         text_col: str = "text") -> pd.DataFrame:
@@ -73,9 +101,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
     Chaudhuri et al. ICDE'06 — public algorithm): order each doc's shingle
     set by ascending global document frequency; if J(A,B) >= t, A and B must
     share a shingle within each one's first ``|S| - ceil(t*|S|) + 1``
-    shingles. Only prefix shingles are exploded to (shingle, doc) rows, so
-    hot shingles ('the quick brown'-style) mostly drop out of the shuffle.
-    Verification computes exact Jaccard per candidate pair.
+    shingles. Any deterministic total order works for correctness — here
+    (document_frequency, shingle), so no global rank dictionary is needed
+    and every stage is distributed:
+
+      explode (doc, shingle) -> bucketed groupby DF counts -> hash-join
+      counts back to (doc, shingle) -> per-doc prefix emit -> per-shingle
+      pair gen (size-ratio pruned) -> pair dedup -> exact-Jaccard verify
+      via two hash joins of the shingle sets onto the candidate pairs.
+
+    Nothing materializes on the driver until the final (small) pair list.
     """
     from .shuffle import bucketed_group_apply
 
@@ -83,111 +118,110 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
 
     def to_shingle_sets(df: pd.DataFrame) -> pd.DataFrame:
         sets = [sorted(set(_shingles(t.split(" "), n))) for t in df[text_col]]
-        return pd.DataFrame({id_col: df[id_col].to_numpy(), "shingles": sets})
+        return pd.DataFrame({"doc_id": df[id_col].to_numpy(),
+                             "shingles": [_SEP.join(s) for s in sets],
+                             "size": np.array([len(s) for s in sets], np.int64)})
 
-    # reused by three consumers (freq, prefix emit, verify) -> pin once
+    # reused by the explode pass and the verify joins -> pin once
     sets_ds = ds.map_batches(to_shingle_sets, batch_format="pandas").materialize()
 
-    # pass 1: global shingle document frequencies via the coarse-bucket
-    # shuffle (per-batch dict combiner first, so each shingle ships once
-    # per batch, not once per occurrence)
-    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        counts: dict[str, int] = {}
-        for s in df["shingles"]:
-            for sh in s:
-                counts[sh] = counts.get(sh, 0) + 1
-        return pd.DataFrame({"shingle": list(counts), "c": list(counts.values())})
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, shs = [], []
+        for did, blob in zip(df["doc_id"], df["shingles"]):
+            if blob:
+                for sh in blob.split(_SEP):
+                    ids.append(did); shs.append(sh)
+        return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                             "shingle": shs})
 
-    # partials merge on the driver: the distinct-shingle vocabulary must
-    # reach the driver anyway (it becomes the broadcast rank dictionary),
-    # so a dict merge over the combiner outputs beats a shuffle here; at a
-    # vocabulary too big for one machine this becomes the bucketed groupby
-    counts: dict[str, int] = {}
-    for b in sets_ds.map_batches(df_partial, batch_format="pandas") \
-                    .iter_batches(batch_format="pandas"):
-        for s, c in zip(b["shingle"], b["c"]):
-            counts[s] = counts.get(s, 0) + int(c)
-    # canonical global order: ascending df, then shingle text
-    order = {s: i for i, s in enumerate(
-        sorted(counts, key=lambda s: (counts[s], s)))}
-    order_ref = ray.put(order)
+    exploded = sets_ds.map_batches(explode, batch_format="pandas")
 
-    # pass 2: emit prefix (shingle_rank, doc) pairs only
-    def emit_prefix(df: pd.DataFrame) -> pd.DataFrame:
-        rank = ray.get(order_ref)
-        rows_sh, rows_id = [], []
-        for did, s in zip(df[id_col], df["shingles"]):
-            s = sorted(s, key=rank.__getitem__)
-            prefix_len = len(s) - int(np.ceil(threshold * len(s))) + 1
-            for sh in s[:prefix_len]:
-                rows_sh.append(rank[sh])
-                rows_id.append(did)
-        return pd.DataFrame({"shingle_rank": np.array(rows_sh, dtype=np.int64),
-                             id_col: np.array(rows_id, dtype=np.int64)})
+    # pass 1: global shingle document frequencies — per-batch combiner
+    # (each shingle ships once per batch) + bucketed sum. Fully distributed;
+    # the vocabulary never lands on the driver.
+    counts = bucketed_group_apply(
+        exploded, "shingle",
+        bucket_fn=lambda g: g.groupby("shingle", as_index=False)["c"].sum(),
+        partial_fn=lambda df: df.groupby("shingle", as_index=False)
+                                .agg(c=("doc_id", "size")),
+        num_buckets=16)
 
-    prefix = sets_ds.map_batches(emit_prefix, batch_format="pandas")
+    # pass 2: join DF counts back onto (doc, shingle) rows, then emit each
+    # doc's prefix under the (c, shingle) total order
+    with_df = exploded.join(counts, join_type="inner", num_partitions=8,
+                            on=("shingle",))
+
+    def per_doc_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did, sub in g.groupby("doc_id"):
+            sub = sub.sort_values(["c", "shingle"], kind="mergesort")
+            size = len(sub)
+            pre = sub.head(size - int(np.ceil(threshold * size)) + 1)
+            out.append(pd.DataFrame({
+                "shingle": pre["shingle"].to_numpy(),
+                "doc_id": np.full(len(pre), did, dtype=np.int64),
+                "size": np.full(len(pre), size, dtype=np.int64)}))
+        if not out:
+            return pd.DataFrame({"shingle": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype=np.int64),
+                                 "size": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    prefix = bucketed_group_apply(with_df, "doc_id", per_doc_prefix,
+                                  num_buckets=16)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # drop singleton ranks vectorized, then pair per surviving rank
-        g = g[g.groupby("shingle_rank")["shingle_rank"].transform("size") >= 2]
+        # drop singleton shingles vectorized, then pair per surviving
+        # shingle with the exact size-ratio prune (J >= t requires
+        # min|.|/max|.| >= t) applied in-bucket
+        g = g[g.groupby("shingle")["shingle"].transform("size") >= 2]
         out_a, out_b = [], []
-        for _, sub in g.groupby("shingle_rank"):
-            ids = np.sort(sub[id_col].unique())
-            if len(ids) >= 2:
-                a, b = np.triu_indices(len(ids), k=1)
-                out_a.append(ids[a]); out_b.append(ids[b])
+        for _, sub in g.groupby("shingle"):
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            sizes = sub["size"].to_numpy(dtype=np.float64)
+            a, b = np.triu_indices(len(ids), k=1)
+            keep = (np.minimum(sizes[a], sizes[b])
+                    >= threshold * np.maximum(sizes[a], sizes[b]))
+            out_a.append(ids[a][keep]); out_b.append(ids[b][keep])
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
+            return pd.DataFrame(_EMPTY_PAIRS)
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = (bucketed_group_apply(prefix, "shingle_rank", pairs_in_bucket,
-                                 num_buckets=16)
-            .to_pandas().drop_duplicates())
-    if cand.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                             "id_b": pd.Series(dtype=np.int64),
+    cand = _dedup_pairs(
+        bucketed_group_apply(prefix, "shingle", pairs_in_bucket,
+                             num_buckets=16)).materialize()
+    if cand.count() == 0:
+        return pd.DataFrame({**_EMPTY_PAIRS,
                              "jaccard": pd.Series(dtype=np.float64)})
 
-    # exact size-ratio prefilter: J(A,B) >= t requires min|.|/max|.| >= t —
-    # vectorized over the candidate list, prunes before any set intersection
-    sets_pdf = sets_ds.to_pandas()
-    size_of = dict(zip(sets_pdf[id_col],
-                       (len(s) for s in sets_pdf["shingles"])))
-    la = cand["id_a"].map(size_of).to_numpy(dtype=np.float64)
-    lb = cand["id_b"].map(size_of).to_numpy(dtype=np.float64)
-    cand = cand[np.minimum(la, lb) >= threshold * np.maximum(la, lb)]
-    if cand.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                             "id_b": pd.Series(dtype=np.int64),
-                             "jaccard": pd.Series(dtype=np.float64)})
+    # verify: hash-join each side's shingle set onto the pair, exact
+    # Jaccard per candidate — the sets move to the (few) pairs, the driver
+    # never holds the corpus
+    sets_only = sets_ds.map_batches(
+        lambda df: df[["doc_id", "shingles"]], batch_format="pandas")
+    with_a = _join_attach(cand, sets_only, "id_a", "shingles", "sh_a")
+    with_ab = _join_attach(with_a, sets_only, "id_b", "shingles", "sh_b")
 
-    # verify distributed: shingle sets broadcast once, exact Jaccard per
-    # candidate pair inside map_batches (at 100 TB this broadcast becomes a
-    # bucket-join keyed by id_a; the verify math is unchanged)
-    sets_ref = ray.put(dict(zip(sets_pdf[id_col],
-                                (set(s) for s in sets_pdf["shingles"]))))
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ia, ib, ba, bb in zip(df["id_a"], df["id_b"],
+                                  df["sh_a"], df["sh_b"]):
+            sa = set(ba.split(_SEP)) if ba else set()
+            sb = set(bb.split(_SEP)) if bb else set()
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                rows.append((ia, ib, round_half_away(inter / union, 4)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
+            {"id_a": np.int64, "id_b": np.int64})
 
-    class Verify:
-        def __init__(self):
-            self.sets = ray.get(sets_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for ia, ib in zip(df["id_a"], df["id_b"]):
-                sa, sb = self.sets[ia], self.sets[ib]
-                inter = len(sa & sb)
-                j = inter / (len(sa) + len(sb) - inter)
-                if j >= threshold:
-                    rows.append((ia, ib, round_half_away(j, 4)))
-            return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
-                {"id_a": np.int64, "id_b": np.int64})
-
-    return (rd.from_pandas(cand)
-              .map_batches(Verify, batch_format="pandas", batch_size=8192,
-                           concurrency=(1, 8))
-              .to_pandas())
+    return (with_ab.map_batches(verify, batch_format="pandas")
+                   .to_pandas().sort_values(["id_a", "id_b"])
+                   .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -236,15 +270,26 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
     """
     rows = num_perm // bands
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 8),
-                          batch_size=256,
-                          fn_constructor_kwargs={"num_perm": num_perm, "n": n}
-                          ).materialize()
+
+    # serialize signatures to fixed-width binary once: the SAME dataset
+    # feeds banding and the verify joins (pin in the object store, never
+    # on the driver)
+    def to_blob(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "sig": [np.asarray(s, dtype=np.uint64).tobytes()
+                    for s in df["signature"]]})
+
+    sigs = (ds.map_batches(MinHasher, batch_format="pandas",
+                           concurrency=(1, 8), batch_size=256,
+                           fn_constructor_kwargs={"num_perm": num_perm, "n": n})
+              .map_batches(to_blob, batch_format="pandas")
+              .materialize())
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         out_band, out_hash, out_id = [], [], []
-        for did, sig in zip(df["doc_id"], df["signature"]):
-            sig = np.asarray(sig, dtype=np.uint64)
+        for did, blob in zip(df["doc_id"], df["sig"]):
+            sig = np.frombuffer(blob, dtype=np.uint64)
             for b in range(bands):
                 out_band.append(b)
                 out_hash.append(int(hash64([sig[b * rows:(b + 1) * rows].tobytes()])[0]))
@@ -266,19 +311,35 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
         return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
                              "id_b": np.array(out_b, dtype=np.int64)})
 
-    cand = (banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
-                  .to_pandas().drop_duplicates())
+    cand = _dedup_pairs(
+        banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
+    ).materialize()
+    if cand.count() == 0:
+        return pd.DataFrame({**_EMPTY_PAIRS,
+                             "est_jaccard": pd.Series(dtype=np.float64)})
 
-    sig_pdf = sigs.to_pandas()
-    sig_map = {d: np.asarray(s, dtype=np.uint64)
-               for d, s in zip(sig_pdf["doc_id"], sig_pdf["signature"])}
-    out = []
-    for ia, ib in cand.itertuples(index=False):
-        est = float((sig_map[ia] == sig_map[ib]).mean())
-        if est >= threshold:
-            out.append((ia, ib, round_half_away(est, 4)))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"]).astype(
-        {"id_a": np.int64, "id_b": np.int64})
+    # verify via two hash joins: each side's signature shuffles to its
+    # pairs; agreement is one vectorized uint64 compare per bucket — no
+    # driver signature map, no per-pair Python loop
+    with_a = _join_attach(cand, sigs, "id_a", "sig", "sig_a")
+    with_ab = _join_attach(with_a, sigs, "id_b", "sig", "sig_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        sa = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sig_a"]])
+        sb = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sig_b"]])
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
+            "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
+            "est_jaccard": round_half_away(est[keep], 4)})
+
+    return (with_ab.map_batches(verify, batch_format="pandas")
+                   .to_pandas().sort_values(["id_a", "id_b"])
+                   .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
