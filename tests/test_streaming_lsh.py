@@ -93,6 +93,20 @@ def test_stream_state_matches_batch(sf_dir):
     assert np.allclose(got["ema"], want_ema)
 
 
+def test_stream_never_materializes_input(sf_dir, monkeypatch):
+    """run_stream must feed actors via iter_batches — a full to_pandas of
+    the input on the driver is the 100-TB scale-killer it replaced."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def boom(self, *a, **k):
+        raise AssertionError("run_stream materialized the input on the driver")
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", boom)
+    out = run_stream(ds, num_buckets=2, alpha=0.2, feed_batch_rows=512)
+    assert len(out) > 0
+
+
 def test_stream_incremental_across_feeds(sf_dir):
     """State carries across successive datasets (the incremental claim)."""
     pdf = pd.read_parquet(f"{sf_dir}/events.parquet",

@@ -36,47 +36,62 @@ def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
         pairs[[id_a, id_b]].rename(columns={id_a: "u", id_b: "v"}),
         pairs[[id_b, id_a]].rename(columns={id_b: "u", id_a: "v"}),
     ], ignore_index=True)
-    labels = pd.DataFrame({"node": pd.unique(edges["u"])})
-    labels["component"] = labels["node"]
-    edges_ds = rd.from_pandas(edges)
+    init = pd.DataFrame({"node": pd.unique(edges["u"])})
+    init["component"] = init["node"]
+    edges_ds = rd.from_pandas(edges).materialize()
+    labels_ds = rd.from_pandas(init).materialize()
+
+    def as_cand(is_self: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            src = "v" if not is_self else "node"
+            return pd.DataFrame({
+                "node": df[src].to_numpy(),
+                "cand": df["component"].to_numpy(),
+                "is_self": np.full(len(df), is_self, dtype=np.int8)})
+        return f
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        new = (g.groupby("node", as_index=False)["cand"].min()
+                .rename(columns={"cand": "component"}))
+        old = (g[g["is_self"] == 1][["node", "cand"]]
+               .rename(columns={"cand": "old"}))
+        m = new.merge(old, on="node", how="left")
+        m["changed"] = (m["component"] < m["old"]).astype(np.int64)
+        return m[["node", "component", "changed"]]
 
     for _ in range(max_rounds):
-        lab_map = dict(zip(labels["node"], labels["component"]))
-
-        def propagate(df: pd.DataFrame) -> pd.DataFrame:
-            # candidate label for v = label of u
-            return pd.DataFrame({"node": df["v"].to_numpy(),
-                                 "cand": df["u"].map(lab_map).to_numpy()})
-
-        def take_min(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("node", as_index=False)["cand"].min()
-
-        new = bucketed_group_apply(
-            edges_ds.map_batches(propagate, batch_format="pandas"),
-            "node", take_min, num_buckets=8).to_pandas()
-        merged = labels.merge(new, on="node", how="left")
-        better = merged["cand"].notna() & (merged["cand"] < merged["component"])
-        if not better.any():
+        # propagate: labels hash-join to edges (no label map in any task
+        # closure — the labels themselves are a keyed dataset and only the
+        # matching rows move), then per-node min via the bucketed shuffle
+        prop = (edges_ds.join(labels_ds, join_type="inner", num_partitions=8,
+                              on=("u",), right_on=("node",))
+                        .map_batches(as_cand(0), batch_format="pandas"))
+        selfs = labels_ds.map_batches(as_cand(1), batch_format="pandas")
+        new_labels = bucketed_group_apply(prop.union(selfs), "node", take_min,
+                                          num_buckets=8).materialize()
+        changed = new_labels.sum("changed")
+        labels_ds = new_labels.map_batches(
+            lambda df: df[["node", "component"]], batch_format="pandas")
+        if not changed:
             break
-        merged.loc[better, "component"] = merged.loc[better, "cand"]
-        labels = merged[["node", "component"]]
-        # path compression on the (small) label map: component chains
-        # collapse to their roots, so convergence is O(log n) rounds, not
-        # O(diameter) — the hash-to-min shortcutting step
-        comp = dict(zip(labels["node"], labels["component"]))
-
-        def _root(x):
-            seen = []
-            while comp.get(x, x) != x:
-                seen.append(x)
-                x = comp[x]
-            for s in seen:
-                comp[s] = x
-            return x
-
-        labels = pd.DataFrame({"node": labels["node"],
-                               "component": [_root(n) for n in labels["node"]]})
-    return labels.sort_values("node").reset_index(drop=True)
+        # pointer jumping (shortcutting): component <- component's
+        # component, one self-join per round -> O(log n) convergence.
+        # Every component value is itself a labeled node, so the inner
+        # join is total.
+        jump_to = labels_ds.map_batches(
+            lambda df: df.rename(columns={"node": "jnode",
+                                          "component": "jcomp"}),
+            batch_format="pandas")
+        labels_ds = (labels_ds.join(jump_to, join_type="inner",
+                                    num_partitions=8,
+                                    on=("component",), right_on=("jnode",))
+                     .map_batches(lambda df: pd.DataFrame(
+                         {"node": df["node"].to_numpy(),
+                          "component": df["jcomp"].to_numpy()}),
+                         batch_format="pandas")
+                     .materialize())
+    return (labels_ds.to_pandas()
+            .sort_values("node").reset_index(drop=True))
 
 
 def _cc_local(pairs: pd.DataFrame, id_a: str, id_b: str) -> pd.DataFrame:

@@ -45,25 +45,28 @@ class StreamBucket:
 
 
 def run_stream(ds: rd.Dataset, num_buckets: int = 4, alpha: float = 0.1,
-               feed_batch_rows: int = 2048) -> pd.DataFrame:
+               feed_batch_rows: int = 2048,
+               max_inflight: int = 64) -> pd.DataFrame:
     """Feed an events Dataset through bucket actors in ts order; returns
     the final per-user state union. Deterministic: routing is hash(key),
-    order within bucket is (ts, event_id)."""
+    order within bucket is (ts, event_id).
+
+    Streaming: a distributed sort orders the log, then ``iter_batches``
+    pulls one batch at a time — the driver never holds the full event log
+    (the log itself stays in the object store). Per-actor ordering holds
+    because actor tasks from a single submitter execute in submission
+    order, and batches are submitted in global (ts, event_id) order."""
     actors = [StreamBucket.remote(alpha) for _ in range(num_buckets)]
-
-    def route(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(__b=bucket_of(df["user_id"].to_numpy(), num_buckets))
-        return df
-
-    routed = ds.map_batches(route, batch_format="pandas").to_pandas()
-    routed = routed.sort_values(["ts", "event_id"], kind="mergesort")
-    pending = []
-    for b, sub in routed.groupby("__b"):
-        sub = sub.drop(columns="__b")
-        for i in range(0, len(sub), feed_batch_rows):
-            # sequential per actor: ray actor tasks from one submitter run
-            # in submission order, preserving the ts ordering per bucket
-            pending.append(actors[b].feed.remote(sub.iloc[i:i + feed_batch_rows]))
+    pending: list = []
+    for batch in (ds.sort(["ts", "event_id"])
+                    .iter_batches(batch_format="pandas",
+                                  batch_size=feed_batch_rows)):
+        b = bucket_of(batch["user_id"].to_numpy(), num_buckets)
+        for bid in np.unique(b):
+            pending.append(actors[bid].feed.remote(batch[b == bid]))
+        if len(pending) >= max_inflight:   # bounded in-flight backpressure
+            ray.get(pending)
+            pending = []
     ray.get(pending)
     outs = ray.get([a.snapshot.remote() for a in actors])
     return (pd.concat(outs, ignore_index=True)
