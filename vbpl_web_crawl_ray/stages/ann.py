@@ -1,16 +1,29 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
 Baseline: exact brute-force cosine top-k — one numpy matmul per batch
-against a broadcast query matrix (zero-copy Arrow list<float> -> numpy).
-Scale path: LSH-bucketed search (random-hyperplane signatures, Charikar'02)
-that probes only matching buckets; recall measured against the exact
-baseline in tests.
+against a broadcast query vector (zero-copy Arrow list<float> -> numpy).
+Scale paths: random-hyperplane LSH (Charikar'02) and IVF-Flat (Jégou et
+al.) — both with DISTRIBUTED index builds:
+
+- k-means runs as broadcast-centroids map_batches passes emitting tiny
+  per-batch partial sums (n_cells x dim) that reduce on the driver —
+  the corpus never leaves the object store;
+- IVF posting lists are written as a cell-partitioned parquet directory,
+  so a query is a TARGETED read of its ``nprobe`` cells, not a scan;
+- LSH candidate verification and the near-dup verify are hash joins of
+  the embedding blobs onto the candidate pairs (no full-matrix broadcast).
+
+Recall is measured against the exact baseline in tests.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -21,6 +34,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
 
+def _emb_blob_ds(sf_dir: str) -> rd.Dataset:
+    """(vec_id, emb) with the embedding as a unit-normalized float64 blob —
+    binary transports through Arrow joins, list<float> does not (Acero
+    rejects list-typed non-key join fields)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def blob(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "emb": [r.tobytes() for r in m]})
+
+    return ds.map_batches(blob, batch_format="pandas")
+
+
+def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
+    """Point lookup of one embedding — predicate pushdown prunes the read
+    to the matching row group (S9 point-lookup pattern)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", vec_id)])
+    v = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
 def brute_force_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Exact top-k by cosine vs one stored query vector.
 
@@ -29,9 +67,7 @@ def brute_force_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.Data
     merges the tiny per-batch top-k results (tournament reduction) — no
     full-corpus materialization.
     """
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qrow = emb.loc[emb["vec_id"] == query_vec_id, "embedding"]
-    q = _normalize(np.stack(qrow.to_numpy()).astype(np.float64))[0]
+    q = _query_vec(sf_dir, query_vec_id)
     qref = ray.put(q)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -52,45 +88,170 @@ def brute_force_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.Data
                   .head(k).reset_index(drop=True))
 
 
-class HyperplaneLSHIndex:
-    """Random-hyperplane LSH over normalized embeddings.
+# ---------------------------------------------------------------------------
+# distributed k-means + IVF
+# ---------------------------------------------------------------------------
 
-    ``n_planes`` hyperplanes -> 2^n_planes buckets per table; ``n_tables``
-    independent tables to recover recall. Built once (an actor would hold it
-    in __init__); probe cost ~ corpus/2^n_planes x n_tables rows.
-    """
+def _distributed_kmeans(embds: rd.Dataset, dim: int, n_cells: int,
+                        iters: int, seed: int) -> np.ndarray:
+    """Lloyd iterations with the corpus distributed: centroids broadcast
+    per pass, each batch emits (cell, partial_sum, count) rows — n_cells
+    rows per batch — and the driver reduces only those tiny partials."""
+    n = embds.count()
+    n_cells = min(n_cells, n)
+    rng = np.random.default_rng(seed)
+    # deterministic init: sample vec_ids (the driver tables key 0..n-1)
+    init_order = rng.choice(n, size=n_cells, replace=False).tolist()
+    init_set = set(init_order)
+    init_rows = (embds.map_batches(
+        lambda df: df[df["vec_id"].isin(init_set)], batch_format="pandas")
+        .to_pandas())          # n_cells rows — control data
+    by_id = dict(zip(init_rows["vec_id"], init_rows["emb"]))
+    cents = np.stack([np.frombuffer(by_id[i], dtype=np.float64)
+                      for i in init_order])
 
-    def __init__(self, ids: np.ndarray, mat: np.ndarray,
-                 n_planes: int = 6, n_tables: int = 8, seed: int = 11):
-        rng = np.random.default_rng(seed)
-        self.ids = ids
-        self.mat = _normalize(mat.astype(np.float64))
-        self.planes = rng.standard_normal((n_tables, n_planes, mat.shape[1]))
-        self.tables: list[dict[int, np.ndarray]] = []
-        for t in range(n_tables):
-            codes = self._codes(self.mat, t)
-            table: dict[int, list[int]] = {}
-            for i, c in enumerate(codes):
-                table.setdefault(int(c), []).append(i)
-            self.tables.append({c: np.array(v) for c, v in table.items()})
+    for _ in range(iters):
+        cref = ray.put(cents)
 
-    def _codes(self, vecs: np.ndarray, t: int) -> np.ndarray:
-        bits = (vecs @ self.planes[t].T) > 0
-        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            m = np.stack([np.frombuffer(b, dtype=np.float64)
+                          for b in df["emb"]])
+            a = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((len(c), m.shape[1]))
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(c))
+            return pd.DataFrame({
+                "cell": np.arange(len(c), dtype=np.int64),
+                "psum": [row.tobytes() for row in sums],
+                "cnt": counts.astype(np.int64)})
 
-    def query(self, q: np.ndarray, k: int = 10) -> pd.DataFrame:
-        q = q / np.linalg.norm(q)
-        cand: set[int] = set()
-        for t in range(len(self.planes)):
-            code = int(self._codes(q[None, :], t)[0])
-            cand.update(self.tables[t].get(code, np.array([], dtype=int)).tolist())
-        cand_idx = np.array(sorted(cand), dtype=int)
-        if len(cand_idx) == 0:
-            return pd.DataFrame({"vec_id": [], "cos_sim": []})
-        sims = self.mat[cand_idx] @ q
-        order = np.argsort(-sims, kind="stable")[:k]
-        return pd.DataFrame({"vec_id": self.ids[cand_idx][order].astype(np.int64),
-                             "cos_sim": round_half_away(sims[order], 4)})
+        parts = embds.map_batches(partials, batch_format="pandas").to_pandas()
+        new = cents.copy()
+        for cell, sub in parts.groupby("cell"):
+            cnt = int(sub["cnt"].sum())
+            if cnt:
+                s = np.sum([np.frombuffer(b, dtype=np.float64)
+                            for b in sub["psum"]], axis=0)
+                m = s / cnt
+                new[cell] = m / np.linalg.norm(m)
+        cents = new
+    return cents
+
+
+def build_ivf_index(sf_dir: str, out_dir: str | None = None,
+                    n_cells: int = 16, iters: int = 10,
+                    seed: int = 5) -> tuple[np.ndarray, str]:
+    """Distributed IVF build: k-means over the streamed corpus, then the
+    assignment pass writes posting lists as a cell-partitioned parquet
+    directory. Returns (centroids, posting_dir): a query reads ONLY its
+    probed cells' partitions."""
+    embds = _emb_blob_ds(sf_dir).materialize()
+    dim = len(np.frombuffer(embds.take(1)[0]["emb"], dtype=np.float64))
+    cents = _distributed_kmeans(embds, dim, n_cells, iters, seed)
+    cref = ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb"]])
+        return df.assign(cell=np.argmax(m @ c.T, axis=1).astype(np.int64))
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="ivf_index_")
+    (embds.map_batches(assign, batch_format="pandas")
+          .write_parquet(out_dir, partition_cols=["cell"]))
+    return cents, out_dir
+
+
+def ivf_query(cents: np.ndarray, posting_dir: str, q: np.ndarray,
+              k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """Targeted read of the ``nprobe`` best cells' posting-list partitions,
+    local top-k per batch, tiny driver merge."""
+    q = q / np.linalg.norm(q)
+    order = np.argsort(-(cents @ q))[:nprobe]
+    import glob
+    dirs = [os.path.join(posting_dir, f"cell={c}") for c in order
+            if os.path.isdir(os.path.join(posting_dir, f"cell={c}"))]
+    files = [f for d in dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    if not files:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "cos_sim": pd.Series(dtype=np.float64)})
+    qref = ray.put(q)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        m = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb"]])
+        sims = m @ qv
+        idx = np.argsort(-sims, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy()[idx].astype(np.int64),
+                             "cos_sim": round_half_away(sims[idx], 4)})
+
+    merged = (rd.read_parquet(files, columns=["vec_id", "emb"])
+                .map_batches(local_topk, batch_format="pandas").to_pandas())
+    return (merged.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+                  .reset_index(drop=True))
+
+
+def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+             nprobe: int = 4, n_cells: int = 16, iters: int = 10,
+             seed: int = 5) -> pd.DataFrame:
+    """ANN top-k via the distributed IVF index (build + one query)."""
+    cents, posting_dir = build_ivf_index(sf_dir, n_cells=n_cells,
+                                         iters=iters, seed=seed)
+    q = _query_vec(sf_dir, query_vec_id)
+    out = ivf_query(cents, posting_dir, q, k=k + 1, nprobe=nprobe)
+    return (out[out["vec_id"] != query_vec_id].head(k)
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _codes(vecs: np.ndarray, planes_t: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes_t.T) > 0
+    return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+
+
+def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+             n_planes: int = 6, n_tables: int = 8,
+             seed: int = 11) -> pd.DataFrame:
+    """ANN top-k via hyperplane LSH with a distributed probe: hyperplanes
+    are seed-derived (no data needed), each batch keeps only rows whose
+    code matches the query's code in ANY table, scores those candidates
+    and emits its local top-k. At cluster scale the signature pass is the
+    index build (bucket-partitioned layout, as the IVF path demonstrates);
+    probing touches ~corpus/2^n_planes x n_tables rows."""
+    embds = _emb_blob_ds(sf_dir)
+    q = _query_vec(sf_dir, query_vec_id)
+    dim = len(q)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    qcodes = np.array([_codes(q[None, :], planes[t])[0]
+                       for t in range(n_tables)])
+    pref = ray.put((planes, qcodes, q))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        planes_, qcodes_, qv = ray.get(pref)
+        m = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb"]])
+        match = np.zeros(len(m), dtype=bool)
+        for t in range(len(planes_)):
+            match |= _codes(m, planes_[t]) == qcodes_[t]
+        if not match.any():
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "cos_sim": pd.Series(dtype=np.float64)})
+        sims = m[match] @ qv
+        ids = df["vec_id"].to_numpy()[match]
+        idx = np.argsort(-sims, kind="stable")[:k + 1]
+        return pd.DataFrame({"vec_id": ids[idx].astype(np.int64),
+                             "cos_sim": round_half_away(sims[idx], 4)})
+
+    merged = embds.map_batches(probe, batch_format="pandas").to_pandas()
+    merged = (merged.sort_values(["cos_sim", "vec_id"],
+                                 ascending=[False, True])
+                    .reset_index(drop=True))
+    return (merged[merged["vec_id"] != query_vec_id].head(k)
+            .reset_index(drop=True))
 
 
 def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
@@ -98,44 +259,32 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
                            seed: int = 13) -> pd.DataFrame:
     """Scale path for cosine near-dup pairs: random-hyperplane signatures →
     (table, bucket) groupby → candidate pairs within buckets → exact cosine
-    verify. Only (bucket_key, vec_id) rows shuffle; the full matrix is
-    broadcast once for verification only of candidates (at 100 TB the
-    verify becomes a bucket-join). Recall vs the exact baseline is asserted
-    in tests — LSH trades a bounded miss rate for candidate-set sparsity."""
+    verify via two hash joins of the embedding blobs onto the pairs. Only
+    (bucket_key, vec_id) rows shuffle in candidate generation and only the
+    candidates' embeddings move in the verify — the full matrix is never
+    built anywhere. Recall vs the exact baseline is asserted in tests —
+    LSH trades a bounded miss rate for candidate-set sparsity."""
+    from .dedup import _EMPTY_PAIRS, _dedup_pairs, _join_attach
     from .shuffle import bucketed_group_apply
 
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_numpy()
-    mat = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    embds = _emb_blob_ds(sf_dir).materialize()
+    dim = len(np.frombuffer(embds.take(1)[0]["emb"], dtype=np.float64))
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, mat.shape[1]))
-    mat_ref = ray.put((ids, mat, planes))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    def signatures(df: pd.DataFrame) -> pd.DataFrame:
+        planes_ = ray.get(planes_ref)
+        v = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb"]])
+        out_key, out_id = [], []
+        for t in range(len(planes_)):
+            codes = _codes(v, planes_[t])
+            out_key.append(t * (1 << n_planes) + codes)
+            out_id.append(df["vec_id"].to_numpy())
+        return pd.DataFrame({"bucket_key": np.concatenate(out_key),
+                             "vec_id": np.concatenate(out_id)})
 
-    class Signatures:
-        def __init__(self):
-            _, _, self.planes = ray.get(mat_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            v = _normalize(np.stack(df["embedding"].to_numpy())
-                           .astype(np.float64))
-            out_t, out_code, out_id = [], [], []
-            for t in range(len(self.planes)):
-                bits = (v @ self.planes[t].T) > 0
-                codes = bits @ (1 << np.arange(bits.shape[1]))
-                out_t.append(np.full(len(v), t, np.int64))
-                out_code.append(codes.astype(np.int64))
-                out_id.append(df["vec_id"].to_numpy())
-            return pd.DataFrame({
-                "bucket_key": np.concatenate(out_t) * (1 << n_planes)
-                              + np.concatenate(out_code),
-                "vec_id": np.concatenate(out_id)})
-
-    sigs = ds.map_batches(Signatures, batch_format="pandas",
-                          concurrency=(1, 4))
+    sigs = embds.map_batches(signatures, batch_format="pandas")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -145,95 +294,31 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
                 a, b = np.triu_indices(len(u), k=1)
                 out_a.append(u[a]); out_b.append(u[b])
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
+            return pd.DataFrame(_EMPTY_PAIRS)
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = (bucketed_group_apply(sigs, "bucket_key", pairs_in_bucket,
-                                 num_buckets=8)
-            .to_pandas().drop_duplicates())
-    if cand.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                             "id_b": pd.Series(dtype=np.int64)})
+    cand = _dedup_pairs(
+        bucketed_group_apply(sigs, "bucket_key", pairs_in_bucket,
+                             num_buckets=8)).materialize()
+    if cand.count() == 0:
+        return pd.DataFrame(_EMPTY_PAIRS)
 
-    class Verify:
-        def __init__(self):
-            ids_, mat_, _ = ray.get(mat_ref)
-            self.pos = {v: i for i, v in enumerate(ids_)}
-            self.mat = mat_
+    with_a = _join_attach(cand, embds, "id_a", "emb", "emb_a",
+                          right_key="vec_id")
+    with_ab = _join_attach(with_a, embds, "id_b", "emb", "emb_b",
+                           right_key="vec_id")
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ia = df["id_a"].map(self.pos).to_numpy()
-            ib = df["id_b"].map(self.pos).to_numpy()
-            sims = np.einsum("ij,ij->i", self.mat[ia], self.mat[ib])
-            return df[sims >= threshold]
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(_EMPTY_PAIRS)
+        a = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb_a"]])
+        b = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["emb_b"]])
+        sims = np.einsum("ij,ij->i", a, b)
+        keep = sims >= threshold
+        return pd.DataFrame({"id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
+                             "id_b": df["id_b"].to_numpy()[keep].astype(np.int64)})
 
-    return (rd.from_pandas(cand)
-              .map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
-              .to_pandas().sort_values(["id_a", "id_b"])
-              .reset_index(drop=True))
-
-
-class IVFIndex:
-    """Inverted-file ANN index: k-means coarse quantizer (deterministic
-    seeded Lloyd iterations), vectors assigned to their nearest centroid's
-    posting list; queries probe the ``nprobe`` nearest cells. The classic
-    IVF-Flat structure (Jégou et al., public algorithm) — at cluster scale
-    each posting list is a partition and probing is a targeted read, not a
-    scan."""
-
-    def __init__(self, ids: np.ndarray, mat: np.ndarray, n_cells: int = 16,
-                 iters: int = 10, seed: int = 5):
-        self.ids = ids
-        self.mat = _normalize(mat.astype(np.float64))
-        rng = np.random.default_rng(seed)
-        init = rng.choice(len(self.mat), size=min(n_cells, len(self.mat)),
-                          replace=False)
-        cents = self.mat[init].copy()
-        for _ in range(iters):
-            assign = np.argmax(self.mat @ cents.T, axis=1)
-            for c in range(len(cents)):
-                members = self.mat[assign == c]
-                if len(members):
-                    m = members.mean(axis=0)
-                    cents[c] = m / np.linalg.norm(m)
-        self.centroids = cents
-        self.assign = np.argmax(self.mat @ cents.T, axis=1)
-        self.cells = {c: np.nonzero(self.assign == c)[0]
-                      for c in range(len(cents))}
-
-    def query(self, q: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
-        q = q / np.linalg.norm(q)
-        order = np.argsort(-(self.centroids @ q))[:nprobe]
-        cand = np.concatenate([self.cells[c] for c in order
-                               if len(self.cells[c])])
-        sims = self.mat[cand] @ q
-        top = np.argsort(-sims, kind="stable")[:k]
-        return pd.DataFrame({"vec_id": self.ids[cand][top].astype(np.int64),
-                             "cos_sim": round_half_away(sims[top], 4)})
-
-
-def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
-             nprobe: int = 4) -> pd.DataFrame:
-    """ANN top-k via the IVF index (second scale path besides LSH)."""
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_numpy()
-    mat = np.stack(emb["embedding"].to_numpy())
-    index = IVFIndex(ids, mat)
-    q = mat[ids == query_vec_id][0].astype(np.float64)
-    out = index.query(q, k=k + 1, nprobe=nprobe)
-    return out[out["vec_id"] != query_vec_id].head(k).reset_index(drop=True)
-
-
-def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
-    """ANN top-k via the LSH index (the scale path; recall vs brute force
-    is asserted in tests)."""
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_numpy()
-    mat = np.stack(emb["embedding"].to_numpy())
-    index = HyperplaneLSHIndex(ids, mat)
-    q = mat[ids == query_vec_id][0]
-    out = index.query(q, k=k + 1)
-    return out[out["vec_id"] != query_vec_id].head(k).reset_index(drop=True)
+    return (with_ab.map_batches(verify, batch_format="pandas")
+                   .to_pandas().sort_values(["id_a", "id_b"])
+                   .reset_index(drop=True))

@@ -80,13 +80,14 @@ def _dedup_pairs(cand: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
 
 def _join_attach(cand: rd.Dataset, blobs: rd.Dataset, pair_key: str,
                  blob_col: str, out_col: str,
-                 num_partitions: int = 8) -> rd.Dataset:
+                 num_partitions: int = 8,
+                 right_key: str = "doc_id") -> rd.Dataset:
     """Attach a per-doc payload column to candidate pairs via the native
     hash join (signatures/sets shuffle to the pairs — no driver
     materialization, no broadcast of the whole table)."""
     joined = cand.join(blobs, join_type="inner",
                        num_partitions=num_partitions,
-                       on=(pair_key,), right_on=("doc_id",))
+                       on=(pair_key,), right_on=(right_key,))
     return joined.map_batches(
         lambda df: df.rename(columns={blob_col: out_col}),
         batch_format="pandas")
