@@ -44,20 +44,49 @@ def test_sections_match_offline_parse(crawl_out):
     block = web._fulltext_block(int(some_doc))
     secs, subs = parse_fulltext(int(some_doc), block.split("\n"))
     got = sorted((r["section_number"], r["section_name"])
-                 for r in by_doc[some_doc] if r["section_number"] > 0)
+                 for r in by_doc[some_doc])
     want = sorted((s["section_number"], s["section_name"]) for s in secs)
     assert got == want
     # hierarchy context flowed through
-    sec_rows = [r for r in by_doc[some_doc] if r["section_number"] > 0]
-    assert all(r["chapter_number"] for r in sec_rows)
+    assert all(r["chapter_number"] for r in by_doc[some_doc])
 
 
-def test_appendix_rows_present(crawl_out):
+def test_full_hierarchy_columns_persisted(crawl_out):
+    """All 8 hierarchy columns of the reference's vbpl_toan_van model
+    (app/model/vbpl.py:77-97) survive to the crawl sink."""
     t = _read(crawl_out, "sections")
-    sub_rows = [r for r in t.to_pylist() if r["section_number"] == 0]
-    # docs with id % 7 == 0 carry an appendix
-    assert sub_rows
-    assert any(r["section_name"] == "I" for r in sub_rows)
+    cols = set(t.schema.names)
+    assert {"big_part_number", "big_part_name", "part_number", "part_name",
+            "mini_part_number", "mini_part_name", "chapter_number",
+            "chapter_name"} <= cols
+    # the crawled rows equal a direct parse INCLUDING hierarchy context
+    web = SimWeb(CFG)
+    rows = t.to_pylist()
+    some_doc = sorted({r["vbpl_id"] for r in rows})[0]
+    secs, _ = parse_fulltext(int(some_doc),
+                             web._fulltext_block(int(some_doc)).split("\n"))
+    want = sorted((s["section_number"], s["chapter_number"], s["part_number"],
+                   s["big_part_number"]) for s in secs)
+    got = sorted((r["section_number"], r["chapter_number"], r["part_number"],
+                  r["big_part_number"]) for r in rows
+                 if r["vbpl_id"] == some_doc)
+    assert got == want
+
+
+def test_appendix_rows_in_sub_part_table(crawl_out):
+    """Appendices land in the separate sub_parts table (reference
+    vbpl_sub_part, app/model/vbpl.py:148-166), not overloaded into
+    sections."""
+    t = _read(crawl_out, "sub_parts")
+    assert t is not None and t.num_rows > 0
+    rows = t.to_pylist()
+    # docs with id % 7 == 0 carry an appendix with part number I
+    assert any(r["sub_section_part_number"] == "I" for r in rows)
+    assert all({"vbpl_id", "sub_section_title", "sub_section_part_number",
+                "sub_section_part_title"} <= set(r) for r in rows[:3])
+    # sections table no longer carries the sub-part overload rows
+    s = _read(crawl_out, "sections")
+    assert all(r["section_number"] > 0 for r in s.to_pylist())
 
 
 def test_anle_sections_from_odd_hosts(crawl_out):

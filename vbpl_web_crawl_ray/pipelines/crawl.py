@@ -2,28 +2,40 @@
 frontier exhaustion (the engine form of the reference's phase loop,
 app/service/vbpl.py:95-114, re-expressed per SURVEY.md §3.1).
 
-Each round is ONE streaming Ray Data pass over the popped URL batch:
+Each round is ONE streaming Ray Data pass over the popped URL set:
 
-    from_items(pops) -> map_batches(FetchStage) -> map_batches(ParseStage)
-                     -> write_parquet out_dir/payload/round={r}
-    links            -> frontier.stage() (hash(host)-routed), committed
-                        at the round barrier as a sorted union
-    edges/meta/sections/failures/retries -> RoundCollector actor ->
-                        per-round parquet + lineage counters
+    from_arrow_refs(per-partition pop chunks)        # driver-free handoff
+        -> map_batches(FetchStage) -> map_batches(ParseStage)
+        -> write_parquet out_dir/payload/round={r}
+    meta/sections/sub_parts/anle_sections/edges/fails
+        -> written per batch BY the parse tasks (content-addressed parts)
+    crawl log -> written per round BY each frontier partition
+    links -> frontier.stage() (hash(host)-routed), committed at the round
+             barrier as a sorted union
+
+The driver touches only control data: per-round pop counts, lineage
+counters (two ints per batch via a num_cpus=0 counter actor), and the
+round barrier itself. Parsed text, edges and the crawl log — the
+data-plane outputs that grow with the corpus — never transit the driver
+or any single actor.
 
 Rounds are the determinism barrier (the reference's three phase barriers):
 crawl order is a pure function of the link graph at every parallelism
 level, so an 8-CPU and a 32-CPU run produce identical crawl logs and
 URL-seen sets. Checkpoints are written between rounds — per-partition
-frontier snapshots + Bloom filters + metrics + the crawl log, committed by
-an atomic manifest (north_rule resumability).
+frontier snapshots + Bloom filters + metrics, committed by an atomic
+manifest (north_rule resumability). Round output dirs are deleted before a
+round (re-)runs, so resume-after-mid-round-crash never duplicates rows.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -31,33 +43,16 @@ import ray.data as rd
 
 from ..sources.simweb import SimWeb, SimWebConfig
 from ..stages.fetch import FetchStage
-from ..stages.parse import PAYLOAD_SCHEMA, ParseStage
+from ..stages.parse import PAYLOAD_SCHEMA, SIDE_TABLES, ParseStage
 from ..state.frontier import FrontierPartition, partition_of
 
 PAYLOAD_COLS = [f.name for f in PAYLOAD_SCHEMA]
-EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
-                         ("label", pa.string())])
-META_SCHEMA = pa.schema([("doc_id", pa.string()),
-                         ("serial_number", pa.string()),
-                         ("issuance_date", pa.string()),
-                         ("doc_type", pa.string()),
-                         ("issuing_authority", pa.string()),
-                         ("title", pa.string())])
-SECTION_SCHEMA = pa.schema([("vbpl_id", pa.string()),
-                            ("section_number", pa.int32()),
-                            ("section_name", pa.string()),
-                            ("section_content", pa.string()),
-                            ("chapter_number", pa.string()),
-                            ("chapter_name", pa.string())])
-ANLE_SECTION_SCHEMA = pa.schema([("anle_id", pa.string()),
-                                 ("context", pa.string()),
-                                 ("solution", pa.string()),
-                                 ("content", pa.string())])
 LOG_SCHEMA = pa.schema([
     ("pop_seq", pa.int64()), ("fetch_time", pa.float64()),
     ("host", pa.string()), ("depth", pa.int32()),
     ("discovery_order", pa.int64()), ("url", pa.string()),
 ])
+_ROUND_DIRS = ("payload", "crawl_log") + SIDE_TABLES
 
 
 @ray.remote(num_cpus=0)
@@ -88,35 +83,22 @@ class _StatelessStage:
 
 
 @ray.remote(num_cpus=0)
-class RoundCollector:
-    """Per-round sink for small control data (edges, fetch failures, doc
-    metadata) pushed by parse tasks; drained by the driver at the round
-    barrier."""
+class LineageCounters:
+    """Scalar lineage counters pushed by parse tasks (two ints per batch —
+    genuinely control-plane-sized, unlike the row data which the tasks
+    write themselves)."""
 
     def __init__(self):
-        self.edges: list[tuple] = []
-        self.fails: list[tuple] = []
-        self.metas: list[tuple] = []
-        self.sections: list[tuple] = []
-        self.anle_sections: list[tuple] = []
         self.retried = 0
+        self.failed = 0
 
-    def add(self, edges: list[tuple], fails: list[tuple],
-            metas: list[tuple] = (), sections: list[tuple] = (),
-            anle_sections: list[tuple] = (), retried: int = 0) -> None:
-        self.edges.extend(tuple(e) for e in edges)
-        self.fails.extend(tuple(f) for f in fails)
-        self.metas.extend(tuple(m) for m in metas)
-        self.sections.extend(tuple(s) for s in sections)
-        self.anle_sections.extend(tuple(s) for s in anle_sections)
+    def add(self, retried: int, failed: int) -> None:
         self.retried += retried
+        self.failed += failed
 
-    def drain(self) -> tuple[list, list, list, list, list, int]:
-        out = (self.edges, self.fails, self.metas, self.sections,
-               self.anle_sections, self.retried)
-        self.edges, self.fails, self.metas = [], [], []
-        self.sections, self.anle_sections = [], []
-        self.retried = 0
+    def drain(self) -> tuple[int, int]:
+        out = (self.retried, self.failed)
+        self.retried = self.failed = 0
         return out
 
 
@@ -152,10 +134,8 @@ class CrawlEngine:
                                  allow_deletions=allow_deletions)
             for i in range(num_partitions)
         ]
-        self.collector = RoundCollector.remote()
+        self.counters = LineageCounters.remote()
         self.round = 0
-        self.crawl_log: list[tuple] = []
-        self.fail_log: list[tuple] = []
         # north_rule lineage: fetched / retried / failed counters (the
         # frontier actors carry offered/deduped/robots_blocked/queued)
         self.lineage = {"fetched": 0, "retried": 0, "failed": 0}
@@ -188,25 +168,38 @@ class CrawlEngine:
     # ---- one crawl round ----
 
     def run_round(self) -> bool:
-        pops = ray.get([a.pop_round.remote(self.max_per_host) for a in self.actors])
-        merged = sorted(t for part in pops for t in part)
-        if not merged:
+        r = self.round
+        # a crashed attempt of THIS round may have left partial files —
+        # delete the round's output dirs before (re-)running (idempotent
+        # resume; see upsert_parquet for the same temp+rename discipline)
+        for sub in _ROUND_DIRS:
+            shutil.rmtree(os.path.join(self.out_dir, sub, f"round={r}"),
+                          ignore_errors=True)
+        # drain each partition in deterministic order; pops stay in the
+        # object store as per-partition Arrow chunks (the crawl log is
+        # written by each partition as its own parquet part)
+        chunk_counts = ray.get([
+            a.pop_round_chunks.remote(
+                r, self.max_per_host,
+                os.path.join(self.out_dir, "crawl_log"),
+                chunk_rows=self.batch_size)
+            for a in self.actors])
+        if not any(chunk_counts):
             return False
-        base = len(self.crawl_log)
-        self.crawl_log.extend(
-            (base + i, t, h, d, o, u) for i, (t, h, d, o, u) in enumerate(merged))
+        refs = [a.pops_chunk.remote(j)
+                for a, n in zip(self.actors, chunk_counts)
+                for j in range(n)]
 
-        records = [{"url": u, "host": h, "depth": d, "discovery_order": o,
-                    "fetch_time": t} for (t, h, d, o, u) in merged]
-        n_blocks = max(1, len(records) // self.batch_size)
-        parse_kw = {"frontier_handles": self.actors, "collector": self.collector}
+        parse_kw = {"frontier_handles": self.actors,
+                    "counters": self.counters,
+                    "out_dir": self.out_dir, "round_no": r}
         fetch_kw = {"cfg": self.cfg}
         if self.real_time:
             import time as _time
             if self.crawl_t0 is None:
                 self.crawl_t0 = _time.time()
             fetch_kw["real_time_t0"] = self.crawl_t0
-        ds = rd.from_items(records, override_num_blocks=n_blocks)
+        ds = rd.from_arrow_refs(refs)
         if self.use_actors:
             ds = (ds.map_batches(FetchStage, batch_format="pyarrow",
                                  batch_size=self.batch_size,
@@ -227,46 +220,20 @@ class CrawlEngine:
                     .map_batches(_StatelessStage(ParseStage, self.cfg, **parse_kw),
                                  batch_format="pyarrow",
                                  batch_size=self.batch_size))
-        # ONE streaming pass: fetch -> parse -> payload parquet. Links/edges
-        # are pushed to the frontier/collector actors by the parse tasks and
-        # committed at the barrier below (deterministic sorted union).
-        ds.write_parquet(f"{self.out_dir}/payload/round={self.round}")
+        # ONE streaming pass: fetch -> parse -> payload parquet. The parse
+        # tasks side-write meta/sections/edges/fails themselves and stage
+        # links to the frontier actors; the barrier below commits the
+        # round's link union as a deterministic sorted set.
+        ds.write_parquet(f"{self.out_dir}/payload/round={r}")
         self.last_stats = ds.stats()   # per-stage wall/cpu breakdown
 
-        edges, fails, metas, sections, anle_sections, retried = \
-            ray.get(self.collector.drain.remote())
-        self.lineage["fetched"] += len(records)
+        ray.get([a.clear_pop_chunks.remote() for a in self.actors])
+        retried, failed = ray.get(self.counters.drain.remote())
+        popped = sum(pq.read_metadata(f).num_rows for f in glob.glob(
+            f"{self.out_dir}/crawl_log/round={r}/part-*.parquet"))
+        self.lineage["fetched"] += popped
         self.lineage["retried"] += retried
-        self.lineage["failed"] += len(set(fails))
-        if edges:
-            edges = sorted(set(edges))
-            os.makedirs(f"{self.out_dir}/edges/round={self.round}", exist_ok=True)
-            pq.write_table(
-                pa.table({"src": [e[0] for e in edges],
-                          "dst": [e[1] for e in edges],
-                          "label": [e[2] for e in edges]}, schema=EDGE_SCHEMA),
-                f"{self.out_dir}/edges/round={self.round}/edges.parquet")
-        if metas:
-            metas = sorted(set(metas))
-            os.makedirs(f"{self.out_dir}/meta/round={self.round}", exist_ok=True)
-            cols = list(zip(*metas))
-            pq.write_table(
-                pa.table({f.name: pa.array(list(c), f.type)
-                          for f, c in zip(META_SCHEMA, cols)}),
-                f"{self.out_dir}/meta/round={self.round}/meta.parquet")
-        for name, rows, schema in (("sections", sections, SECTION_SCHEMA),
-                                   ("anle_sections", anle_sections,
-                                    ANLE_SECTION_SCHEMA)):
-            if rows:
-                rows = sorted(set(rows))
-                d = f"{self.out_dir}/{name}/round={self.round}"
-                os.makedirs(d, exist_ok=True)
-                cols = list(zip(*rows))
-                pq.write_table(
-                    pa.table({f.name: pa.array(list(c), f.type)
-                              for f, c in zip(schema, cols)}),
-                    f"{d}/{name}.parquet")
-        self.fail_log.extend(sorted(set(fails)))
+        self.lineage["failed"] += failed
         ray.get([a.commit.remote() for a in self.actors])
         self.round += 1
         return True
@@ -315,10 +282,41 @@ class CrawlEngine:
         return set(u for p in parts for u in p)
 
     def crawl_log_table(self) -> pa.Table:
-        cols = list(zip(*self.crawl_log)) if self.crawl_log else [[]] * 6
-        return pa.table(
-            {f.name: pa.array(list(c), f.type)
-             for f, c in zip(LOG_SCHEMA, cols)})
+        """Reconstruct the global crawl log from the per-partition parquet:
+        within a round the global order is ascending (fetch_time, host,
+        depth, discovery_order, url) — exactly the merged pop order — and
+        pop_seq is that rank offset by prior rounds. Driver-side ONLY for
+        tests/small audits; at scale consumers read the parquet dataset."""
+        by_round: dict[int, list[str]] = {}
+        for f in glob.glob(f"{self.out_dir}/crawl_log/round=*/part-*.parquet"):
+            rno = int(f.split("round=")[1].split(os.sep)[0])
+            by_round.setdefault(rno, []).append(f)
+        if not by_round:
+            return LOG_SCHEMA.empty_table()
+        parts, seq = [], 0
+        for rno in sorted(by_round):
+            df = pq.read_table(sorted(by_round[rno])).to_pandas()
+            df = df.sort_values(["fetch_time", "host", "depth",
+                                 "discovery_order", "url"], kind="mergesort")
+            df.insert(0, "pop_seq", np.arange(seq, seq + len(df)))
+            seq += len(df)
+            parts.append(pa.Table.from_pandas(df, schema=LOG_SCHEMA,
+                                              preserve_index=False))
+        return pa.concat_tables(parts)
+
+    @property
+    def crawl_log(self) -> list[tuple]:
+        t = self.crawl_log_table()
+        return list(zip(*[t[c].to_pylist() for c in LOG_SCHEMA.names])) \
+            if t.num_rows else []
+
+    @property
+    def fail_log(self) -> list[tuple]:
+        files = sorted(glob.glob(f"{self.out_dir}/fails/round=*/part-*.parquet"))
+        if not files:
+            return []
+        t = pq.read_table(files)
+        return sorted(set(zip(t["url"].to_pylist(), t["status"].to_pylist())))
 
     # ---- checkpoint / resume (north_rule) ----
 
@@ -329,8 +327,8 @@ class CrawlEngine:
         for i, blob in enumerate(snaps):
             with open(os.path.join(rdir, f"part_{i}.pkl"), "wb") as f:
                 f.write(blob)
-        pq.write_table(self.crawl_log_table(), os.path.join(rdir, "crawl_log.parquet"))
-        # manifest last = atomic commit of the checkpoint
+        # manifest last = atomic commit of the checkpoint (the crawl log
+        # already lives in out_dir as per-round per-partition parquet)
         tmp = os.path.join(ckpt_dir, ".manifest.tmp")
         with open(tmp, "w") as f:
             json.dump({"round": self.round,
@@ -351,8 +349,6 @@ class CrawlEngine:
             with open(os.path.join(rdir, f"part_{i}.pkl"), "rb") as f:
                 blobs.append(f.read())
         ray.get([a.restore.remote(b) for a, b in zip(eng.actors, blobs)])
-        log = pq.read_table(os.path.join(rdir, "crawl_log.parquet"))
-        eng.crawl_log = [tuple(r.values()) for r in log.to_pylist()]
         eng.round = manifest["round"]
         eng.lineage = manifest.get("lineage", dict(eng.lineage))
         return eng

@@ -187,6 +187,14 @@ class SimWeb:
                 f"Ghi chú: hết phần này\n"
                 f"NỘI DUNG ÁN LỆ\n[1] {' '.join(words[16:]) or 'nội dung'}\n")
 
+    def extra_attachments(self, doc_id: int) -> list[str]:
+        """Every 5th doc carries extra non-image attachments — exercises
+        the reference's space-joined multi-attachment file_link (A5,
+        vbpl.py:1043-1045)."""
+        if doc_id % 5 != 0:
+            return []
+        return [f"/att/{doc_id}_{j}.pdf" for j in range(1, 2 + doc_id % 2)]
+
     def _doc_body(self, doc_id: int) -> bytes:
         k = self.cfg.host_of_doc(doc_id)
         cap = self._caption(doc_id)
@@ -197,6 +205,9 @@ class SimWeb:
             f'<li class="related"><a href="/doc.aspx?ItemID={rid}">liên quan</a>'
             f'<span class="doc-type">{label}</span></li>'
             for rid, label in self.related_ids(doc_id))
+        atts = "\n".join(f'<a class="attachment" href="{a}">đính kèm</a>'
+                         for a in self.extra_attachments(doc_id))
+        rels = f"{atts}\n{rels}" if atts else rels
         if self.flavor_of_host(k) == "anle":
             return f"""<div id="thuoctinh">
 <tr><th>Số án lệ</th><td>{doc_id}/AL</td></tr>

@@ -25,11 +25,14 @@ ascending, rows in page order — SURVEY.md §2.6 O3).
 
 from __future__ import annotations
 
+import hashlib
+import os
 import re
 from urllib.parse import urljoin
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 
 from ..sources.imaging import decode_image, phash64
@@ -65,6 +68,7 @@ EDGE_RE = re.compile(
     r'<li class="related"><a href="/doc\.aspx\?ItemID=(\d+)">.*?'
     r'<span class="doc-type">(.*?)</span>', re.S)
 ITEMID_RE = re.compile(r"ItemID=(\d+)")
+ATTACH_RE = re.compile(r'<a class="attachment" href="([^"]+)"')
 
 ORDER_STRIDE = 4096  # child order = parent * STRIDE + position; depth<=4 safe
 
@@ -77,6 +81,54 @@ PAYLOAD_SCHEMA = pa.schema([
     ("caption", pa.string()),
     ("phash", pa.int64()),
 ])
+
+# data-plane side outputs, written by the parse tasks themselves (one
+# parquet part per batch per table, content-addressed filename so a
+# retried task overwrites its own file instead of duplicating rows) —
+# nothing below ever transits a collector actor or the driver
+EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                         ("label", pa.string())])
+META_SCHEMA = pa.schema([("doc_id", pa.string()),
+                         ("serial_number", pa.string()),
+                         ("issuance_date", pa.string()),
+                         ("doc_type", pa.string()),
+                         ("issuing_authority", pa.string()),
+                         ("title", pa.string()),
+                         ("file_link", pa.string())])
+# full hierarchy persisted (reference vbpl_toan_van model,
+# app/model/vbpl.py:77-97 — all 8 hierarchy columns, not just chapter)
+SECTION_SCHEMA = pa.schema([("vbpl_id", pa.string()),
+                            ("section_number", pa.int32()),
+                            ("section_name", pa.string()),
+                            ("section_content", pa.string()),
+                            ("chapter_number", pa.string()),
+                            ("chapter_name", pa.string()),
+                            ("part_number", pa.string()),
+                            ("part_name", pa.string()),
+                            ("mini_part_number", pa.string()),
+                            ("mini_part_name", pa.string()),
+                            ("big_part_number", pa.string()),
+                            ("big_part_name", pa.string())])
+# separate appendix table (reference vbpl_sub_part, app/model/vbpl.py:148-166)
+SUB_PART_SCHEMA = pa.schema([("vbpl_id", pa.string()),
+                             ("sub_section_title", pa.string()),
+                             ("sub_section_part_number", pa.string()),
+                             ("sub_section_part_title", pa.string())])
+ANLE_SECTION_SCHEMA = pa.schema([("anle_id", pa.string()),
+                                 ("context", pa.string()),
+                                 ("solution", pa.string()),
+                                 ("content", pa.string())])
+FAIL_SCHEMA = pa.schema([("url", pa.string()), ("status", pa.int32())])
+
+SIDE_TABLES = ("edges", "meta", "sections", "sub_parts", "anle_sections",
+               "fails")
+_SIDE_SCHEMAS = {"edges": EDGE_SCHEMA, "meta": META_SCHEMA,
+                 "sections": SECTION_SCHEMA, "sub_parts": SUB_PART_SCHEMA,
+                 "anle_sections": ANLE_SECTION_SCHEMA, "fails": FAIL_SCHEMA}
+
+
+def _none_last(row: tuple):
+    return tuple((x is None, x if x is not None else "") for x in row)
 
 
 def extract_attributes(body: str, config: dict) -> dict[str, str | None]:
@@ -93,16 +145,23 @@ def extract_attributes(body: str, config: dict) -> dict[str, str | None]:
 
 class ParseStage:
     """Stateful parse stage: compiled configs + inline-attachment client
-    built once (__init__), batch work in __call__, link/edge push to the
-    frontier/collector actors with delivery confirmed before the batch
-    returns (so the round-barrier commit sees everything)."""
+    built once (__init__), batch work in __call__. Link candidates (control
+    data) push to the hash(host)-routed frontier actors with delivery
+    confirmed before the batch returns; everything ELSE the parse produces
+    — meta, sections, sub_parts, anle_sections, edges, fails — is DATA
+    plane and is written by the task itself as per-batch parquet parts
+    (content-addressed filenames: a retried task overwrites, never
+    duplicates)."""
 
     def __init__(self, cfg: SimWebConfig, frontier_handles=None,
-                 collector=None, max_retries: int = 3):
+                 counters=None, out_dir: str | None = None,
+                 round_no: int = 0, max_retries: int = 3):
         self.web = SimWeb(cfg)
         self.max_retries = max_retries
         self.frontier = list(frontier_handles or [])
-        self.collector = collector
+        self.counters = counters
+        self.out_dir = out_dir
+        self.round_no = round_no
         self.attr_config = {k: re.compile(v) for k, v in DOC_ATTR_CONFIG.items()}
         self.anle_config = {k: re.compile(v) for k, v in ANLE_ATTR_CONFIG.items()}
 
@@ -130,9 +189,8 @@ class ParseStage:
                 links.append((urljoin(rec["url"], href), rec["depth"] + 1,
                               rec["discovery_order"] * ORDER_STRIDE + pos))
 
-    def _parse_doc(self, rec: dict, body: str, links: list, edges: list,
-                   payload_rows: list, metas: list, sections: list,
-                   anle_sections: list) -> None:
+    def _parse_doc(self, rec: dict, body: str, links: list,
+                   payload_rows: list, out: dict[str, list]) -> None:
         from ..functions.text import dmy_to_iso
         from .fulltext import (ANLE_CONTENT, ANLE_CONTEXT, ANLE_SOLUTION,
                                extract_pdf_section, parse_fulltext)
@@ -140,39 +198,7 @@ class ParseStage:
         doc_id = int(ITEMID_RE.search(rec["url"]).group(1))
         caption_m = CAPTION_RE.search(body)
         caption = caption_m.group(1) if caption_m else None
-        # flavor dispatch by markup, extractor parameterized per doc type
-        # (M2 vs M3/M4 regex dicts, reference vbpl.py:610-618, anle.py:75-84)
-        if 'id="thuoctinh"' in body:
-            attrs = extract_attributes(body, self.anle_config)
-            metas.append((str(doc_id), attrs["serial_number"],
-                          dmy_to_iso(attrs["issuance_date"]), "Án lệ",
-                          attrs.get("sector"), caption))
-            txt_m = ANLE_TEXT_RE.search(body)
-            if txt_m:
-                text = txt_m.group(1)
-                anle_sections.append(
-                    (str(doc_id),
-                     extract_pdf_section(ANLE_CONTEXT, text),
-                     extract_pdf_section(ANLE_SOLUTION, text),
-                     extract_pdf_section(ANLE_CONTENT, text)))
-        else:
-            attrs = extract_attributes(body, self.attr_config)
-            metas.append((str(doc_id), attrs["serial_number"],
-                          dmy_to_iso(attrs["issuance_date"]),
-                          attrs["doc_type"], attrs["issuing_authority"],
-                          caption))
-            tv_m = TOANVAN_RE.search(body)
-            if tv_m:
-                secs, subs = parse_fulltext(doc_id, tv_m.group(1).split("\n"))
-                for s in secs:
-                    sections.append((str(doc_id), s["section_number"],
-                                     s["section_name"], s["section_content"],
-                                     s["chapter_number"], s["chapter_name"]))
-                for sp in (subs or []):
-                    sections.append((str(doc_id), 0,
-                                     sp["sub_section_part_number"],
-                                     sp["sub_section_part_title"] or "",
-                                     None, sp["sub_section_title"]))
+        file_links: list[str] = []
         img_m = IMG_RE.search(body)
         if img_m:
             # first-success probe over candidate attachment paths (M11
@@ -189,40 +215,100 @@ class ParseStage:
             if status == 200 and data:
                 px = decode_image(data)
                 h, w = px.shape
+                file_links.append(img_url)
                 payload_rows.append({
                     "image_id": f"img{doc_id:08d}", "bytes": data,
                     "w": w, "h": h, "fmt": img_url.rsplit(".", 1)[-1],
                     "caption": caption,
                     "phash": int(np.uint64(phash64(px)).astype(np.int64)),
                 })
+        # extra (non-payload) attachments: collected into the space-joined
+        # file_link meta column (A5 semantics, reference vbpl.py:1043-1045)
+        for href in ATTACH_RE.findall(body):
+            file_links.append(urljoin(rec["url"], href))
+        file_link = " ".join(file_links) if file_links else None
+        # flavor dispatch by markup, extractor parameterized per doc type
+        # (M2 vs M3/M4 regex dicts, reference vbpl.py:610-618, anle.py:75-84)
+        if 'id="thuoctinh"' in body:
+            attrs = extract_attributes(body, self.anle_config)
+            out["meta"].append((str(doc_id), attrs["serial_number"],
+                                dmy_to_iso(attrs["issuance_date"]), "Án lệ",
+                                attrs.get("sector"), caption, file_link))
+            txt_m = ANLE_TEXT_RE.search(body)
+            if txt_m:
+                text = txt_m.group(1)
+                out["anle_sections"].append(
+                    (str(doc_id),
+                     extract_pdf_section(ANLE_CONTEXT, text),
+                     extract_pdf_section(ANLE_SOLUTION, text),
+                     extract_pdf_section(ANLE_CONTENT, text)))
+        else:
+            attrs = extract_attributes(body, self.attr_config)
+            out["meta"].append((str(doc_id), attrs["serial_number"],
+                                dmy_to_iso(attrs["issuance_date"]),
+                                attrs["doc_type"], attrs["issuing_authority"],
+                                caption, file_link))
+            tv_m = TOANVAN_RE.search(body)
+            if tv_m:
+                secs, subs = parse_fulltext(doc_id, tv_m.group(1).split("\n"))
+                for s in secs:
+                    out["sections"].append(
+                        (str(doc_id), s["section_number"], s["section_name"],
+                         s["section_content"], s["chapter_number"],
+                         s["chapter_name"], s["part_number"], s["part_name"],
+                         s["mini_part_number"], s["mini_part_name"],
+                         s["big_part_number"], s["big_part_name"]))
+                for sp in (subs or []):
+                    out["sub_parts"].append(
+                        (str(doc_id), sp["sub_section_title"],
+                         sp["sub_section_part_number"],
+                         sp["sub_section_part_title"]))
         for pos, (dst_id, label) in enumerate(EDGE_RE.findall(body), 1):
-            edges.append((str(doc_id), dst_id, label))
+            out["edges"].append((str(doc_id), dst_id, label))
             links.append((urljoin(rec["url"], f"/doc.aspx?ItemID={dst_id}"),
                           rec["depth"] + 1,
                           rec["discovery_order"] * ORDER_STRIDE + pos))
+
+    # ---- per-batch data-plane sink ----
+
+    def _write_side(self, batch_urls: list[str], out: dict[str, list]) -> None:
+        """One parquet part per nonempty side table, named by the sha1 of
+        the batch's URL set: deterministic content AND filename, so task
+        retries and round re-runs overwrite instead of appending."""
+        digest = hashlib.sha1(
+            "\n".join(sorted(batch_urls)).encode()).hexdigest()[:16]
+        for name, rows in out.items():
+            if not rows:
+                continue
+            schema = _SIDE_SCHEMAS[name]
+            rows = sorted(set(rows), key=_none_last)
+            d = os.path.join(self.out_dir, name, f"round={self.round_no}")
+            os.makedirs(d, exist_ok=True)
+            cols = list(zip(*rows))
+            pq.write_table(
+                pa.table({f.name: pa.array(list(c), f.type)
+                          for f, c in zip(schema, cols)}),
+                os.path.join(d, f"part-{digest}.parquet"))
 
     # ---- batch entry ----
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         links: list[tuple] = []
-        edges: list[tuple] = []
-        fails: list[tuple] = []
-        metas: list[tuple] = []
-        sections: list[tuple] = []
-        anle_sections: list[tuple] = []
         payload_rows: list[dict] = []
+        out: dict[str, list] = {k: [] for k in SIDE_TABLES}
         retried = 0
         for rec in batch.to_pylist():
             retried += int(rec.get("retries") or 0)
             if rec["status"] != 200:
-                fails.append((rec["url"], rec["status"]))
+                out["fails"].append((rec["url"], int(rec["status"])))
                 continue
             body = rec["body"].decode()
             if "/listing.aspx" in rec["url"]:
                 self._parse_listing(rec, body, links)
             elif "/doc.aspx" in rec["url"]:
-                self._parse_doc(rec, body, links, edges, payload_rows, metas,
-                                sections, anle_sections)
+                self._parse_doc(rec, body, links, payload_rows, out)
+        if self.out_dir is not None:
+            self._write_side(batch["url"].to_pylist(), out)
         # push control data; ray.get ensures delivery before the batch ends
         pending = []
         if self.frontier and links:
@@ -232,10 +318,9 @@ class ParseStage:
                     partition_of(rec[0], len(self.frontier)), []).append(rec)
             pending += [self.frontier[p].stage.remote(b)
                         for p, b in buckets.items()]
-        if self.collector is not None and (edges or fails or metas or sections
-                                           or anle_sections or retried):
-            pending.append(self.collector.add.remote(
-                edges, fails, metas, sections, anle_sections, retried))
+        if self.counters is not None and (retried or out["fails"]):
+            pending.append(self.counters.add.remote(
+                retried, len(set(out["fails"]))))
         if pending:
             ray.get(pending)
         if not payload_rows:

@@ -30,11 +30,24 @@ politeness windows go idle.
 from __future__ import annotations
 
 import heapq
+import os
 import pickle
 from typing import Callable
 from urllib.parse import urlsplit
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# one crawl-log partition per frontier partition per round — the log is
+# DATA-plane output (one row per fetched URL) and never accumulates on
+# the driver; the global pop_seq is derived at read time by sorting
+# (round, fetch_time, host, depth, discovery_order, url)
+POP_SCHEMA = pa.schema([
+    ("fetch_time", pa.float64()), ("host", pa.string()),
+    ("depth", pa.int32()), ("discovery_order", pa.int64()),
+    ("url", pa.string()),
+])
 
 from ..functions.canon import canonicalize_url, host_of
 from ..functions.hashing import hash64
@@ -199,6 +212,35 @@ class FrontierPartition:
         self.metrics["popped"] += len(out)
         out.sort()
         return out
+
+    # ---- data-plane pop handoff (pops never transit the driver) ----
+
+    def pop_round_chunks(self, round_no: int, max_per_host: int | None = None,
+                         log_dir: str | None = None,
+                         chunk_rows: int = 256) -> int:
+        """Drain this partition's round in deterministic order, store the
+        pops as Arrow-table chunks for :meth:`pops_chunk` (handed to
+        ``ray.data.from_arrow_refs`` — the rows go driver-free through the
+        object store), and append this partition's crawl-log parquet for
+        the round. Returns the number of chunks staged."""
+        pops = self.pop_round(max_per_host)
+        cols = list(zip(*pops)) if pops else [[]] * 5
+        tbl = pa.table({f.name: pa.array(list(c), f.type)
+                        for f, c in zip(POP_SCHEMA, cols)})
+        if log_dir is not None and tbl.num_rows:
+            d = os.path.join(log_dir, f"round={round_no}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(tbl, os.path.join(
+                d, f"part-{self.partition_id:04d}.parquet"))
+        self._pop_chunks = [tbl.slice(i, chunk_rows)
+                            for i in range(0, tbl.num_rows, chunk_rows)]
+        return len(self._pop_chunks)
+
+    def pops_chunk(self, i: int) -> pa.Table:
+        return self._pop_chunks[i]
+
+    def clear_pop_chunks(self) -> None:
+        self._pop_chunks = []
 
     def forget(self, urls: list[str]) -> int:
         """Unlearn URLs so a re-crawl can fetch them again (expired-document
