@@ -85,6 +85,68 @@ def _stream_user_state(sf_dir: str):
     return out
 
 
+def _enriched_meta(sf_dir: str):
+    """Crawl with missing-fulltext docs + external fuzzy recovery, then a
+    sector containment-enrich over the meta table (reference
+    enrich_vbpl_sector, vbpl.py:1178-1263) and a per-doc recovered-section
+    count via the native hash join. Rows-only (the crawl+fuzzy chain is
+    not SQL-expressible)."""
+    import glob
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
+    from vbpl_web_crawl_ray.stages.enrich import containment_enrich
+
+    cfg = config_from_documents(sf_dir, n_hosts=2, pages_per_host=2,
+                                docs_per_page=4, missing_fulltext_rate=0.4)
+    out = tempfile.mkdtemp(prefix="vbpl_enrich_q_")
+    eng = CrawlEngine(cfg, out, num_partitions=2)
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=16)
+
+    meta = rd.read_parquet(sorted(glob.glob(f"{out}/meta/round=*/*.parquet")),
+                           columns=["doc_id", "doc_type", "title",
+                                    "issuing_authority"])
+    # sector candidates: every 3rd caption becomes a catalog title mapping
+    # to a sector bucket; containment (candidate title contains the doc
+    # title) + ' - ' multi-join + default + never-downgrade semantics
+    candidates = [{"title": c, "sector": f"Lĩnh vực {i % 4}"}
+                  for i, c in enumerate(cfg.captions[:60]) if i % 3 == 0]
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df["sector0"] = np.where(df["doc_type"] == "Án lệ",
+                                 df["issuing_authority"], None)
+        return df
+
+    enriched = containment_enrich(
+        meta.map_batches(prep, batch_format="pandas"),
+        key_col="title", existing_col="sector0", candidates=candidates,
+        cand_title="title", cand_value="sector", default="Khác",
+        out_col="sector")
+
+    sec_files = sorted(glob.glob(f"{out}/sections/round=*/*.parquet"))
+    from vbpl_web_crawl_ray.stages.shuffle import (bucketed_group_apply,
+                                                   compact_for_join)
+    # per-batch partial count + bucketed sum, compacted join-safe
+    counts = compact_for_join(bucketed_group_apply(
+        rd.read_parquet(sec_files, columns=["vbpl_id"]),
+        "vbpl_id",
+        bucket_fn=lambda g: g.groupby("vbpl_id", as_index=False)
+                             .agg(n_sections=("n_sections", "sum")),
+        partial_fn=lambda df: df.groupby("vbpl_id", as_index=False)
+                                .agg(n_sections=("vbpl_id", "size")),
+        num_buckets=4), 2)
+    joined = enriched.join(counts, join_type="left_outer", num_partitions=4,
+                           on=("doc_id",), right_on=("vbpl_id",))
+    pdf = joined.to_pandas()[["doc_id", "doc_type", "sector", "n_sections"]]
+    pdf["n_sections"] = pdf["n_sections"].fillna(0).astype("int64")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def _minhash_dup_clusters(sf_dir: str):
     """Near-dup GROUPS: MinHash-LSH pairs -> connected components."""
     from vbpl_web_crawl_ray.stages.graph import dup_clusters
@@ -152,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": R2.q_asof_join,
         # the crawl itself as a gated pipeline (rows-only; deterministic)
         "crawl_payload": _crawl_payload,
+        # crawl + external fuzzy fulltext recovery + sector enrich (M10/J6)
+        "enriched_meta": _enriched_meta,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,

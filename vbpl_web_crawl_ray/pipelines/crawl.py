@@ -109,7 +109,8 @@ class CrawlEngine:
                  batch_size: int = 64, max_per_host_per_round: int | None = None,
                  default_delay: float = 1.0, bloom_capacity: int = 1_000_000,
                  track_seen: bool = False, use_actors: bool = True,
-                 allow_deletions: bool = False, real_time: bool = False):
+                 allow_deletions: bool = False, real_time: bool = False,
+                 enrich: bool = True):
         self.cfg = cfg
         self.out_dir = out_dir
         self.num_partitions = num_partitions
@@ -127,6 +128,7 @@ class CrawlEngine:
         self.crawl_t0: float | None = None
         self.allow_deletions = allow_deletions
         self.track_seen = track_seen
+        self.enrich = enrich
         self.actors = [
             FrontierActor.remote(i, num_partitions, cfg,
                                  default_delay=default_delay,
@@ -192,7 +194,8 @@ class CrawlEngine:
 
         parse_kw = {"frontier_handles": self.actors,
                     "counters": self.counters,
-                    "out_dir": self.out_dir, "round_no": r}
+                    "out_dir": self.out_dir, "round_no": r,
+                    "enrich": self.enrich}
         fetch_kw = {"cfg": self.cfg}
         if self.real_time:
             import time as _time

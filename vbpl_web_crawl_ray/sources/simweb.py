@@ -38,6 +38,10 @@ class SimWebConfig:
     seed: int = 42
     flaky_rate: float = 0.1                 # fraction of doc URLs 500-ing once
     missing_rate: float = 0.05              # fraction of doc links that 404
+    missing_fulltext_rate: float = 0.0      # phapquy docs whose page lacks the
+                                            # toanvan div -> parse falls back to
+                                            # the search.test fuzzy recovery
+                                            # (M10, reference vbpl.py:459-470)
     cross_host_every: int = 7               # every k-th doc links cross-host
     hot_host_factor: int = 1                # host 0 gets factor x pages (skew knob)
     img_min: int = 32                       # min image dimension
@@ -69,6 +73,7 @@ class SimWebConfig:
 
 _URL_RE = re.compile(
     r"^https?://host(?P<host>\d+)\.test(?P<path>/[^?]*)(?:\?(?P<query>.*))?$")
+_SEARCH_RE = re.compile(r"^https?://search\.test/search\.aspx\?q=(?P<q>.*)$")
 
 
 class SimWeb:
@@ -102,6 +107,12 @@ class SimWeb:
 
     def _is_missing_doc(self, doc_id: int) -> bool:
         return (hash64_one(f"missing{doc_id}") % 10_000) < self.cfg.missing_rate * 10_000
+
+    def missing_fulltext(self, doc_id: int) -> bool:
+        """True -> this phapquy doc's page omits the toanvancontent div; a
+        crawler must recover the text from the secondary search host."""
+        return (hash64_one(f"noft{doc_id}") % 10_000
+                < self.cfg.missing_fulltext_rate * 10_000)
 
     def img_moved(self, doc_id: int) -> bool:
         """~10% of images 404 at the primary path and live at the fallback
@@ -221,6 +232,9 @@ class SimWeb:
 <ul class="relatedDoc">
 {rels}
 </ul>""".encode()
+        toanvan = ("" if self.missing_fulltext(doc_id) else
+                   f'<div class="toanvancontent">\n'
+                   f'{self._fulltext_block(doc_id)}</div>\n')
         return f"""<div class="vbProperties">
 <tr><td>Số ký hiệu</td><td>{doc_id}/QĐ-TTg</td></tr>
 <tr><td>Ngày ban hành</td><td>{day:02d}/{month:02d}/{year}</td></tr>
@@ -229,9 +243,7 @@ class SimWeb:
 </div>
 <td class="title">{cap}</td>
 <img class="payload" src="/img/{doc_id}.{fmt}"/>
-<div class="toanvancontent">
-{self._fulltext_block(doc_id)}</div>
-<ul class="relatedDoc">
+{toanvan}<ul class="relatedDoc">
 {rels}
 </ul>""".encode()
 
@@ -241,9 +253,52 @@ class SimWeb:
 
     # ---- the fetch entry point ----
 
+    def _docs_with_caption(self, cap: str) -> list[int]:
+        """Invert caption -> doc ids (caption index is doc_id mod the
+        caption-table length, so matches enumerate by stride — no corpus
+        scan)."""
+        cfg = self.cfg
+        caps = cfg.captions
+        out = []
+        if caps:
+            if cap not in caps:
+                return []
+            idx, L = caps.index(cap), len(caps)
+            for k in range(cfg.n_hosts):
+                base = k * cfg.doc_base
+                j0 = (idx - base) % L
+                out.extend(base + j for j in range(j0, cfg.docs_per_host(k), L))
+        else:
+            m = re.search(r"Văn bản số (\d+) ", cap)
+            if m:
+                out = [int(m.group(1))]
+        return sorted(out)
+
+    def _search_body(self, query: str) -> bytes:
+        """Secondary-source search results (the TVPL/luatvietnam analogue,
+        reference vbpl.py:922-988): a low-similarity decoy first (the
+        fuzzy matcher must skip it), then up to 3 archive hits whose
+        titles are near — not equal to — the true title, each carrying
+        that doc's full text."""
+        from urllib.parse import unquote
+        cap = unquote(query)
+        items = ['<div class="result"><h3>Thông báo phát hành công báo'
+                 '</h3><pre class="fulltext">không áp dụng</pre></div>']
+        for did in self._docs_with_caption(cap)[:3]:
+            items.append(
+                f'<div class="result"><h3>{self._caption(did)} +</h3>'
+                f'<pre class="fulltext">\n{self._fulltext_block(did)}'
+                f'</pre></div>')
+        return "\n".join(items).encode()
+
     def get(self, url: str, attempt: int = 0) -> tuple[int, str, bytes]:
         """(status, content_type, body). Deterministic; ``attempt`` models
         the transient-500 retry path."""
+        sm = _SEARCH_RE.match(url)
+        if sm:
+            if self.is_flaky(url, attempt):
+                return 500, "text/plain", b"transient"
+            return 200, "text/html", self._search_body(sm.group("q"))
         m = _URL_RE.match(url)
         if not m:
             return 404, "text/plain", b""

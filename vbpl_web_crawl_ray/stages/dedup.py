@@ -71,11 +71,12 @@ _EMPTY_PAIRS = {"id_a": pd.Series(dtype=np.int64),
 
 def _dedup_pairs(cand: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
     """Distributed pair dedup: duplicates of (id_a, id_b) always share
-    id_a, so a bucketed drop_duplicates is exact — no driver collect."""
-    from .shuffle import bucketed_group_apply
-    return bucketed_group_apply(cand, "id_a",
-                                lambda g: g.drop_duplicates(),
-                                num_buckets=num_buckets)
+    id_a, so a bucketed drop_duplicates is exact — no driver collect.
+    Output is join-safe (compacted) since it feeds the verify joins."""
+    from .shuffle import bucketed_group_apply, compact_for_join
+    return compact_for_join(
+        bucketed_group_apply(cand, "id_a", lambda g: g.drop_duplicates(),
+                             num_buckets=num_buckets))
 
 
 def _join_attach(cand: rd.Dataset, blobs: rd.Dataset, pair_key: str,
@@ -149,8 +150,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
 
     # pass 2: join DF counts back onto (doc, shingle) rows, then emit each
     # doc's prefix under the (c, shingle) total order
-    with_df = exploded.join(counts, join_type="inner", num_partitions=8,
-                            on=("shingle",))
+    from .shuffle import compact_for_join
+    with_df = exploded.join(compact_for_join(counts, 16), join_type="inner",
+                            num_partitions=8, on=("shingle",))
 
     def per_doc_prefix(g: pd.DataFrame) -> pd.DataFrame:
         out = []

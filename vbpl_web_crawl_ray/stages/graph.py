@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .shuffle import bucketed_group_apply
+from .shuffle import bucketed_group_apply, compact_for_join
 
 
 def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
@@ -70,8 +70,10 @@ def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
         new_labels = bucketed_group_apply(prop.union(selfs), "node", take_min,
                                           num_buckets=8).materialize()
         changed = new_labels.sum("changed")
-        labels_ds = new_labels.map_batches(
-            lambda df: df[["node", "component"]], batch_format="pandas")
+        # compacted: labels feed the next round's hash joins, and
+        # map_groups-derived datasets carry schema-less empty blocks
+        labels_ds = compact_for_join(new_labels.map_batches(
+            lambda df: df[["node", "component"]], batch_format="pandas"))
         if not changed:
             break
         # pointer jumping (shortcutting): component <- component's

@@ -69,6 +69,10 @@ EDGE_RE = re.compile(
     r'<span class="doc-type">(.*?)</span>', re.S)
 ITEMID_RE = re.compile(r"ItemID=(\d+)")
 ATTACH_RE = re.compile(r'<a class="attachment" href="([^"]+)"')
+SEARCH_RESULT_RE = re.compile(
+    r'<div class="result"><h3>(.*?)</h3>'
+    r'<pre class="fulltext">(.*?)</pre></div>', re.S)
+SEARCH_URL = "http://search.test/search.aspx?q={q}"
 
 ORDER_STRIDE = 4096  # child order = parent * STRIDE + position; depth<=4 safe
 
@@ -155,13 +159,19 @@ class ParseStage:
 
     def __init__(self, cfg: SimWebConfig, frontier_handles=None,
                  counters=None, out_dir: str | None = None,
-                 round_no: int = 0, max_retries: int = 3):
+                 round_no: int = 0, max_retries: int = 3,
+                 enrich: bool = True, enrich_threshold: float = 0.8):
         self.web = SimWeb(cfg)
         self.max_retries = max_retries
         self.frontier = list(frontier_handles or [])
         self.counters = counters
         self.out_dir = out_dir
         self.round_no = round_no
+        # M10/J5: when a doc page lacks its full text, recover it from the
+        # secondary search source by fuzzy title match (first hit with
+        # ratio >= threshold wins — reference vbpl.py:459-470,922-988)
+        self.enrich = enrich
+        self.enrich_threshold = enrich_threshold
         self.attr_config = {k: re.compile(v) for k, v in DOC_ATTR_CONFIG.items()}
         self.anle_config = {k: re.compile(v) for k, v in ANLE_ATTR_CONFIG.items()}
 
@@ -174,6 +184,25 @@ class ParseStage:
             r += 1
             status, _, body = self.web.get(url, attempt=r)
         return status, body
+
+    def _recover_fulltext(self, caption: str | None) -> list[str] | None:
+        """External fuzzy full-text recovery (M10): search the secondary
+        host by title, scan results IN ORDER, accept the first whose title
+        ratio >= threshold (first-match-wins), return its text lines."""
+        if not caption:
+            return None
+        from urllib.parse import quote
+
+        from ..functions.fuzzy import ratio
+        status, body = self._fetch_inline(SEARCH_URL.format(q=quote(caption)))
+        if status != 200:
+            return None
+        for title, block in SEARCH_RESULT_RE.findall(body.decode()):
+            if ratio(caption, title) >= self.enrich_threshold:
+                if block.startswith("\n"):
+                    block = block[1:]
+                return block.split("\n")
+        return None
 
     def _parse_listing(self, rec: dict, body: str, links: list) -> None:
         next_m = NEXT_RE.search(body)
@@ -249,8 +278,10 @@ class ParseStage:
                                 attrs["doc_type"], attrs["issuing_authority"],
                                 caption, file_link))
             tv_m = TOANVAN_RE.search(body)
-            if tv_m:
-                secs, subs = parse_fulltext(doc_id, tv_m.group(1).split("\n"))
+            lines = tv_m.group(1).split("\n") if tv_m else (
+                self._recover_fulltext(caption) if self.enrich else None)
+            if lines is not None:
+                secs, subs = parse_fulltext(doc_id, lines)
                 for s in secs:
                     out["sections"].append(
                         (str(doc_id), s["section_number"], s["section_name"],

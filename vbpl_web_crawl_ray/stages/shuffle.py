@@ -36,6 +36,20 @@ def bucket_of(values, num_buckets: int) -> np.ndarray:
             % num_buckets).astype(np.int64)
 
 
+def compact_for_join(ds: rd.Dataset, num_blocks: int = 8) -> rd.Dataset:
+    """Make a map_groups-derived dataset safe as a ``Dataset.join`` input.
+
+    Ray's sort-based ``groupby().map_groups`` emits ZERO-COLUMN empty
+    blocks at empty group boundaries. The hash-join aggregator builds each
+    partition table from the shards it receives — a partition whose only
+    shards came from those schema-less blocks becomes a zero-column table
+    and pyarrow fails with 'No match or multiple matches for key field'.
+    ``repartition`` coalesces blocks and drops the empties, restoring a
+    consistent schema. Only needed on join inputs; plain consumers
+    (iter_batches/to_pandas) skip empty blocks anyway."""
+    return ds.repartition(num_blocks)
+
+
 def bucketed_group_apply(ds: rd.Dataset, key: str,
                          bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
                          num_buckets: int = 8,
