@@ -85,6 +85,30 @@ def _stream_user_state(sf_dir: str):
     return out
 
 
+def _crawl_meta_flavors(sf_dir: str):
+    """Three-flavor crawl (phapquy / anle / hợp nhất hosts) returning the
+    unified meta table — exercises all three extractor configs plus the
+    hopnhat PDF-object tab fallback in one pipeline (rows-only)."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
+
+    cfg = config_from_documents(sf_dir, n_hosts=3, pages_per_host=2,
+                                docs_per_page=4,
+                                flavors=("phapquy", "anle", "hopnhat"))
+    out = tempfile.mkdtemp(prefix="vbpl_flavors_q_")
+    eng = CrawlEngine(cfg, out, num_partitions=2)
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=16)
+    t = pq.read_table(sorted(glob.glob(f"{out}/meta/round=*/*.parquet")),
+                      columns=["doc_id", "serial_number", "issuance_date",
+                               "doc_type", "issuing_authority", "file_link"])
+    return (t.to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def _enriched_meta(sf_dir: str):
     """Crawl with missing-fulltext docs + external fuzzy recovery, then a
     sector containment-enrich over the meta table (reference
@@ -216,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_payload": _crawl_payload,
         # crawl + external fuzzy fulltext recovery + sector enrich (M10/J6)
         "enriched_meta": _enriched_meta,
+        # three-flavor crawl meta (M2+M4+M3 extractor configs, U2 registry)
+        "crawl_meta_flavors": _crawl_meta_flavors,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,

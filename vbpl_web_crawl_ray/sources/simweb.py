@@ -49,6 +49,12 @@ class SimWebConfig:
     paginate_via_links: bool = False        # anle-style: seed page 1 only,
                                             # discover page n+1 via a 'next' link
                                             # (unknown-length pagination, S5)
+    flavors: tuple[str, ...] = ("phapquy", "anle")
+                                            # host k serves flavors[k % len]:
+                                            # the reference's three portals
+                                            # (phapquy vbpl.vn, anle
+                                            # toaan.gov.vn, hopnhat
+                                            # vbpl.py:514-573)
 
     def docs_per_host(self, k: int) -> int:
         return self.pages_per_host_of(k) * self.docs_per_page
@@ -168,10 +174,17 @@ class SimWeb:
                 + "\n".join(rows)).encode()
 
     def flavor_of_host(self, k: int) -> str:
-        """Two document flavors mirror the reference's two portals: even
-        hosts serve 'phapquy' pages (vbpl.vn shape), odd hosts 'anle'
-        (anle.toaan.gov.vn shape, different markup + attribute config)."""
-        return "phapquy" if k % 2 == 0 else "anle"
+        """Document flavor per host, cycling cfg.flavors — the reference's
+        portals: 'phapquy' (vbpl.vn shape), 'anle' (anle.toaan.gov.vn
+        shape), 'hopnhat' (consolidated docs: attrs in a vbInfo list, full
+        text behind a PDF <object>, vbpl.py:514-573)."""
+        return self.cfg.flavors[k % len(self.cfg.flavors)]
+
+    def hopnhat_pdf_on_main(self, doc_id: int) -> bool:
+        """~2/3 of hopnhat docs expose the PDF object on the main tab; the
+        rest only on the second tab URL (the reference's two tab-URL
+        variants, vbpl.py:474-512)."""
+        return hash64_one(f"tab{doc_id}") % 3 != 0
 
     def _fulltext_block(self, doc_id: int) -> str:
         """Deterministic 'toanvancontent' full-text with hierarchy +
@@ -219,6 +232,22 @@ class SimWeb:
         atts = "\n".join(f'<a class="attachment" href="{a}">đính kèm</a>'
                          for a in self.extra_attachments(doc_id))
         rels = f"{atts}\n{rels}" if atts else rels
+        if self.flavor_of_host(k) == "hopnhat":
+            obj = ('<div class="vbProperties"><object '
+                   f'data="/pdf/{doc_id}.pdf" type="application/pdf">'
+                   '</object></div>\n'
+                   if self.hopnhat_pdf_on_main(doc_id) else "")
+            return f"""<ul class="vbInfo">
+<li>Số hiệu: {doc_id}/VBHN-BCT</li>
+<li>Ngày xác thực: {day:02d}/{month:02d}/{year}</li>
+<li>Loại văn bản: Văn bản hợp nhất</li>
+<li>Cơ quan ban hành: Bộ {k}</li>
+</ul>
+<td class="title">{cap}</td>
+<img class="payload" src="/img/{doc_id}.{fmt}"/>
+{obj}<ul class="relatedDoc">
+{rels}
+</ul>""".encode()
         if self.flavor_of_host(k) == "anle":
             return f"""<div id="thuoctinh">
 <tr><th>Số án lệ</th><td>{doc_id}/AL</td></tr>
@@ -250,6 +279,21 @@ class SimWeb:
     def _img_body(self, doc_id: int, fmt: str) -> bytes:
         w, h = self._dims(doc_id)
         return encode_image(gen_pixels(f"img{doc_id:08d}", w, h, self.cfg.seed), fmt)
+
+    def _doc2_body(self, doc_id: int) -> bytes:
+        """Second tab page: attachments-only view carrying the PDF object
+        (the alternate tab-URL variant, reference vbpl.py:474-512)."""
+        return (f'<div class="vbProperties"><object '
+                f'data="/pdf/{doc_id}.pdf" type="application/pdf">'
+                f'</object></div>').encode()
+
+    def _pdf_body(self, doc_id: int) -> bytes:
+        """Deterministic 'PDF': SIMPDF container holding the doc's full
+        text behind the Aspose evaluation watermark (the strip-then-parse
+        chain, reference anle.py:221-223)."""
+        from ..stages.fulltext import ASPOSE_WATERMARK
+        return (b"%SIMPDF%" + ASPOSE_WATERMARK.encode() + b"\n"
+                + self._fulltext_block(doc_id).encode())
 
     # ---- the fetch entry point ----
 
@@ -315,13 +359,25 @@ class SimWeb:
             if not (1 <= page <= self.cfg.pages_per_host_of(k)):
                 return 404, "text/plain", b""
             return 200, "text/html", self._listing_body(k, page)
-        if path == "/doc.aspx":
+        if path in ("/doc.aspx", "/doc2.aspx"):
             doc_id = int(re.search(r"ItemID=(\d+)", query).group(1))
             if (self.cfg.host_of_doc(doc_id) != k
                     or doc_id - k * self.cfg.doc_base >= self.cfg.docs_per_host(k)
                     or self._is_missing_doc(doc_id)):
                 return 404, "text/plain", b""
+            if path == "/doc2.aspx":
+                if self.flavor_of_host(k) != "hopnhat" \
+                        or self.hopnhat_pdf_on_main(doc_id):
+                    return 404, "text/plain", b""
+                return 200, "text/html", self._doc2_body(doc_id)
             return 200, "text/html", self._doc_body(doc_id)
+        pdf = re.match(r"^/pdf/(\d+)\.pdf$", path)
+        if pdf:
+            doc_id = int(pdf.group(1))
+            if (self.cfg.host_of_doc(doc_id) != k
+                    or self.flavor_of_host(k) != "hopnhat"):
+                return 404, "text/plain", b""
+            return 200, "application/pdf", self._pdf_body(doc_id)
         img = re.match(r"^/(img|img-alt)/(\d+)\.(png|jpeg)$", path)
         if img:
             doc_id = int(img.group(2))

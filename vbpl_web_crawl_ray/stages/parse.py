@@ -57,6 +57,28 @@ ANLE_ATTR_CONFIG = {
     "sector": r"<tr><th>Lĩnh vực</th><td>(.*?)</td></tr>",
 }
 
+# third flavor: consolidated documents — attrs in a vbInfo list, full text
+# behind a PDF <object> (reference hợp nhất config vbpl.py:542-573)
+HOPNHAT_ATTR_CONFIG = {
+    "serial_number": r"<li>Số hiệu: (.*?)</li>",
+    "issuance_date": r"<li>Ngày xác thực: (.*?)</li>",
+    "doc_type": r"<li>Loại văn bản: (.*?)</li>",
+    "issuing_authority": r"<li>Cơ quan ban hành: (.*?)</li>",
+}
+
+# U2 doc-type/tab registry: marker -> (attr config, tab URL templates
+# probed first-success for the full-text attachment). The reference keeps
+# the same registry implicitly in its enum + per-type branches
+# (app/helper/enum.py:9-17, vbpl.py:474-512).
+FLAVOR_REGISTRY = {
+    "anle": {"marker": 'id="thuoctinh"', "attrs": ANLE_ATTR_CONFIG,
+             "tabs": ()},
+    "hopnhat": {"marker": 'class="vbInfo"', "attrs": HOPNHAT_ATTR_CONFIG,
+                "tabs": ("/doc.aspx?ItemID={id}", "/doc2.aspx?ItemID={id}")},
+    "phapquy": {"marker": None, "attrs": DOC_ATTR_CONFIG, "tabs": ()},
+}
+OBJECT_RE = re.compile(r'<object data="([^"]+)"')
+
 TOANVAN_RE = re.compile(r'<div class="toanvancontent">\n(.*?)</div>', re.S)
 ANLE_TEXT_RE = re.compile(r'<div class="anle-text">\n(.*?)</div>', re.S)
 
@@ -160,7 +182,10 @@ class ParseStage:
     def __init__(self, cfg: SimWebConfig, frontier_handles=None,
                  counters=None, out_dir: str | None = None,
                  round_no: int = 0, max_retries: int = 3,
-                 enrich: bool = True, enrich_threshold: float = 0.8):
+                 enrich: bool = True, enrich_threshold: float = 0.8,
+                 pdf_codec=None):
+        from ..sources.pdfcodec import decode_simpdf
+        self.pdf_codec = pdf_codec or decode_simpdf
         self.web = SimWeb(cfg)
         self.max_retries = max_retries
         self.frontier = list(frontier_handles or [])
@@ -174,6 +199,8 @@ class ParseStage:
         self.enrich_threshold = enrich_threshold
         self.attr_config = {k: re.compile(v) for k, v in DOC_ATTR_CONFIG.items()}
         self.anle_config = {k: re.compile(v) for k, v in ANLE_ATTR_CONFIG.items()}
+        self.hopnhat_config = {k: re.compile(v)
+                               for k, v in HOPNHAT_ATTR_CONFIG.items()}
 
     # ---- helpers ----
 
@@ -256,9 +283,12 @@ class ParseStage:
         for href in ATTACH_RE.findall(body):
             file_links.append(urljoin(rec["url"], href))
         file_link = " ".join(file_links) if file_links else None
-        # flavor dispatch by markup, extractor parameterized per doc type
-        # (M2 vs M3/M4 regex dicts, reference vbpl.py:610-618, anle.py:75-84)
-        if 'id="thuoctinh"' in body:
+        # flavor dispatch by markup (FLAVOR_REGISTRY markers), extractor
+        # parameterized per doc type (M2/M3/M4 regex dicts, reference
+        # vbpl.py:542-548,610-618, anle.py:75-84)
+        if 'class="vbInfo"' in body:
+            self._parse_hopnhat(rec, body, doc_id, caption, file_links, out)
+        elif 'id="thuoctinh"' in body:
             attrs = extract_attributes(body, self.anle_config)
             out["meta"].append((str(doc_id), attrs["serial_number"],
                                 dmy_to_iso(attrs["issuance_date"]), "Án lệ",
@@ -299,6 +329,61 @@ class ParseStage:
             links.append((urljoin(rec["url"], f"/doc.aspx?ItemID={dst_id}"),
                           rec["depth"] + 1,
                           rec["discovery_order"] * ORDER_STRIDE + pos))
+
+    def _parse_hopnhat(self, rec: dict, body: str, doc_id: int,
+                       caption: str | None, file_links: list[str],
+                       out: dict[str, list]) -> None:
+        """Consolidated-doc flavor (reference vbpl.py:514-573): vbInfo
+        attribute list; full text behind a PDF <object> discovered
+        first-success over the registry's tab URLs (main page, then the
+        second tab variant — vbpl.py:474-512); PDF bytes decoded via the
+        pluggable codec, watermark-stripped, then the standard fulltext
+        state machine."""
+        from ..functions.text import dmy_to_iso
+        from .fulltext import ASPOSE_WATERMARK, parse_fulltext
+
+        attrs = extract_attributes(body, self.hopnhat_config)
+        # PDF-object discovery: main page first, then remaining tab URLs
+        obj_m = OBJECT_RE.search(body)
+        if obj_m is None:
+            for tab in FLAVOR_REGISTRY["hopnhat"]["tabs"][1:]:
+                status, tab_body = self._fetch_inline(
+                    urljoin(rec["url"], tab.format(id=doc_id)))
+                if status == 200:
+                    obj_m = OBJECT_RE.search(tab_body.decode())
+                    if obj_m:
+                        break
+        if obj_m is not None:
+            pdf_url = urljoin(rec["url"], obj_m.group(1))
+            status, data = self._fetch_inline(pdf_url)
+            if status == 200 and data:
+                file_links.append(pdf_url)
+                try:
+                    text = self.pdf_codec(data)
+                except NotImplementedError:
+                    text = None
+                if text is not None:
+                    text = text.replace(ASPOSE_WATERMARK, "")
+                    lines = text.lstrip("\n").split("\n")
+                    secs, subs = parse_fulltext(doc_id, lines)
+                    for s in secs:
+                        out["sections"].append(
+                            (str(doc_id), s["section_number"],
+                             s["section_name"], s["section_content"],
+                             s["chapter_number"], s["chapter_name"],
+                             s["part_number"], s["part_name"],
+                             s["mini_part_number"], s["mini_part_name"],
+                             s["big_part_number"], s["big_part_name"]))
+                    for sp in (subs or []):
+                        out["sub_parts"].append(
+                            (str(doc_id), sp["sub_section_title"],
+                             sp["sub_section_part_number"],
+                             sp["sub_section_part_title"]))
+        out["meta"].append((str(doc_id), attrs["serial_number"],
+                            dmy_to_iso(attrs["issuance_date"]),
+                            attrs["doc_type"], attrs["issuing_authority"],
+                            caption,
+                            " ".join(file_links) if file_links else None))
 
     # ---- per-batch data-plane sink ----
 
