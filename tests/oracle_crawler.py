@@ -13,11 +13,13 @@ import re
 from urllib.parse import urljoin
 
 from vbpl_web_crawl_ray.functions.canon import canonicalize_url, host_of
+from vbpl_web_crawl_ray.functions.fuzzy import ratio
 from vbpl_web_crawl_ray.sources.imaging import decode_image, phash64
 from vbpl_web_crawl_ray.sources.simweb import SimWeb
 from vbpl_web_crawl_ray.stages.parse import (CAPTION_RE, EDGE_RE, HREF_RE,
-                                             IMG_RE, ITEMID_RE, NEXT_RE,
-                                             ORDER_STRIDE)
+                                             IMG_RE, ITEMID_RE, LUOCDO_RE,
+                                             NEXT_RE, ORDER_STRIDE,
+                                             SEARCH_RESULT_RE)
 from vbpl_web_crawl_ray.state.robots import parse_robots
 
 
@@ -27,7 +29,7 @@ def oracle_crawl(cfg, max_per_host=None, default_delay=1.0, max_retries=3):
     seen: set[str] = set()
     queues: dict[str, list] = {}
     next_free: dict[str, float] = {}
-    log, payloads, edges = [], {}, []
+    log, payloads, edges, doc_map = [], {}, [], []
     blocked = deduped = 0
 
     def rules(host):
@@ -113,11 +115,36 @@ def oracle_crawl(cfg, max_per_host=None, default_delay=1.0, max_retries=3):
                             "caption": cap.group(1) if cap else None,
                             "phash": phash64(px),
                         }
-                for pos, (dst, label) in enumerate(EDGE_RE.findall(text), 1):
+                edge_hits = EDGE_RE.findall(text)
+                for pos, (dst, label) in enumerate(edge_hits, 1):
                     edges.append((str(doc_id), dst, label))
                     cands.append((urljoin(url, f"/doc.aspx?ItemID={dst}"),
                                   depth + 1, order * ORDER_STRIDE + pos))
+                # second link phase: doc-map entries; ItemID-less hrefs
+                # resolve via title search (independent re-derivation of
+                # the engine's semantics)
+                for i, (href, title, label) in enumerate(
+                        LUOCDO_RE.findall(text), 1):
+                    m = ITEMID_RE.search(href)
+                    if m:
+                        tgt = urljoin(url, f"/doc.aspx?ItemID={m.group(1)}")
+                    else:
+                        tgt = None
+                        s2, sbody = fetch(href)
+                        if s2 == 200:
+                            for rt, turl, _blk in SEARCH_RESULT_RE.findall(
+                                    sbody.decode()):
+                                if turl and ratio(title, rt) >= 0.8:
+                                    tgt = turl
+                                    break
+                    if tgt is None:
+                        continue
+                    doc_map.append((str(doc_id),
+                                    ITEMID_RE.search(tgt).group(1), label))
+                    cands.append((tgt, depth + 1,
+                                  order * ORDER_STRIDE + len(edge_hits) + i))
         offer_batch(cands)
 
     return {"log": log, "seen": seen, "payloads": payloads,
-            "edges": sorted(set(edges)), "robots_blocked": blocked}
+            "edges": sorted(set(edges)), "doc_map": sorted(set(doc_map)),
+            "robots_blocked": blocked}

@@ -139,6 +139,19 @@ def test_edges_match_oracle(engine_run, oracle):
     assert got == oracle["edges"]
 
 
+def test_doc_map_matches_oracle(engine_run, oracle):
+    """The second edge type ('lược đồ' doc map) incl. the title-search
+    fallback path for ItemID-less hrefs."""
+    _, out = engine_run
+    t = _read_rounds(out, "doc_map")
+    got = sorted({(r["src"], r["dst"], r["map_label"])
+                  for r in t.to_pylist()})
+    assert got == oracle["doc_map"] != []
+    # both resolution paths occurred: direct (even src) and title-search
+    srcs = {int(s) for (s, _, _) in got}
+    assert any(s % 2 == 0 for s in srcs) and any(s % 2 == 1 for s in srcs)
+
+
 def test_parallelism_invariance(tmp_path, oracle):
     """The determinism claim behind the N vs 4N scaling criterion: a
     different partition/concurrency layout produces the identical crawl."""

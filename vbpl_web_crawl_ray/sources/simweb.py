@@ -211,6 +211,22 @@ class SimWeb:
                 f"Ghi chú: hết phần này\n"
                 f"NỘI DUNG ÁN LỆ\n[1] {' '.join(words[16:]) or 'nội dung'}\n")
 
+    def luocdo_of(self, doc_id: int) -> list[tuple[int, str, bool]]:
+        """Doc-map ('lược đồ') edges — the reference's SECOND link phase
+        (vbpl.py:706-804). Returns (target_id, map_label, direct): direct
+        targets link by ItemID; indirect ones expose only a title-search
+        href the crawler must resolve via the search host."""
+        cfg = self.cfg
+        k = cfg.host_of_doc(doc_id)
+        base = k * cfg.doc_base
+        local = doc_id - base
+        n = cfg.docs_per_host(k)
+        if n < 3 or local % 3 != 1:
+            return []
+        tgt = base + (local + 2) % n
+        label = "thay thế" if tgt % 2 == 0 else "sửa đổi bổ sung"
+        return [(tgt, label, doc_id % 2 == 0)]
+
     def extra_attachments(self, doc_id: int) -> list[str]:
         """Every 5th doc carries extra non-image attachments — exercises
         the reference's space-joined multi-attachment file_link (A5,
@@ -232,6 +248,16 @@ class SimWeb:
         atts = "\n".join(f'<a class="attachment" href="{a}">đính kèm</a>'
                          for a in self.extra_attachments(doc_id))
         rels = f"{atts}\n{rels}" if atts else rels
+        from urllib.parse import quote
+        luocdo = "\n".join(
+            (f'<li class="luocdo"><a href="/doc.aspx?ItemID={tgt}">'
+             f'{self._caption(tgt)}</a>'
+             f'<span class="map-type">{label}</span></li>') if direct else
+            (f'<li class="luocdo"><a href="http://search.test/search.aspx'
+             f'?q={quote(self._caption(tgt))}">{self._caption(tgt)}</a>'
+             f'<span class="map-type">{label}</span></li>')
+            for tgt, label, direct in self.luocdo_of(doc_id))
+        rels = f"{rels}\n{luocdo}" if luocdo else rels
         if self.flavor_of_host(k) == "hopnhat":
             obj = ('<div class="vbProperties"><object '
                    f'data="/pdf/{doc_id}.pdf" type="application/pdf">'
@@ -329,8 +355,11 @@ class SimWeb:
         items = ['<div class="result"><h3>Thông báo phát hành công báo'
                  '</h3><pre class="fulltext">không áp dụng</pre></div>']
         for did in self._docs_with_caption(cap)[:3]:
+            k = self.cfg.host_of_doc(did)
             items.append(
                 f'<div class="result"><h3>{self._caption(did)} +</h3>'
+                f'<a class="target" href="http://host{k}.test/doc.aspx'
+                f'?ItemID={did}">xem văn bản</a>'
                 f'<pre class="fulltext">\n{self._fulltext_block(did)}'
                 f'</pre></div>')
         return "\n".join(items).encode()

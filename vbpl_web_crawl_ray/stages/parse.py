@@ -93,8 +93,12 @@ ITEMID_RE = re.compile(r"ItemID=(\d+)")
 ATTACH_RE = re.compile(r'<a class="attachment" href="([^"]+)"')
 SEARCH_RESULT_RE = re.compile(
     r'<div class="result"><h3>(.*?)</h3>'
+    r'(?:<a class="target" href="(?P<turl>[^"]+)"[^>]*>.*?</a>)?'
     r'<pre class="fulltext">(.*?)</pre></div>', re.S)
 SEARCH_URL = "http://search.test/search.aspx?q={q}"
+LUOCDO_RE = re.compile(
+    r'<li class="luocdo"><a href="([^"]+)">(.*?)</a>'
+    r'<span class="map-type">(.*?)</span></li>', re.S)
 
 ORDER_STRIDE = 4096  # child order = parent * STRIDE + position; depth<=4 safe
 
@@ -144,11 +148,16 @@ ANLE_SECTION_SCHEMA = pa.schema([("anle_id", pa.string()),
                                  ("context", pa.string()),
                                  ("solution", pa.string()),
                                  ("content", pa.string())])
+# the reference's vbpl_doc_map table (app/model/vbpl.py:100-123) — the
+# SECOND edge type, from the 'lược đồ' link phase (vbpl.py:706-804)
+DOC_MAP_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                            ("map_label", pa.string())])
 FAIL_SCHEMA = pa.schema([("url", pa.string()), ("status", pa.int32())])
 
-SIDE_TABLES = ("edges", "meta", "sections", "sub_parts", "anle_sections",
-               "fails")
-_SIDE_SCHEMAS = {"edges": EDGE_SCHEMA, "meta": META_SCHEMA,
+SIDE_TABLES = ("edges", "doc_map", "meta", "sections", "sub_parts",
+               "anle_sections", "fails")
+_SIDE_SCHEMAS = {"edges": EDGE_SCHEMA, "doc_map": DOC_MAP_SCHEMA,
+                 "meta": META_SCHEMA,
                  "sections": SECTION_SCHEMA, "sub_parts": SUB_PART_SCHEMA,
                  "anle_sections": ANLE_SECTION_SCHEMA, "fails": FAIL_SCHEMA}
 
@@ -224,11 +233,24 @@ class ParseStage:
         status, body = self._fetch_inline(SEARCH_URL.format(q=quote(caption)))
         if status != 200:
             return None
-        for title, block in SEARCH_RESULT_RE.findall(body.decode()):
+        for title, _turl, block in SEARCH_RESULT_RE.findall(body.decode()):
             if ratio(caption, title) >= self.enrich_threshold:
                 if block.startswith("\n"):
                     block = block[1:]
                 return block.split("\n")
+        return None
+
+    def _resolve_by_title(self, href: str, title: str) -> str | None:
+        """Doc-map title-search fallback (reference vbpl.py:758-804): an
+        ItemID-less 'lược đồ' href is resolved by searching the title and
+        taking the first fuzzy-matching result's target URL."""
+        from ..functions.fuzzy import ratio
+        status, body = self._fetch_inline(href)
+        if status != 200:
+            return None
+        for res_title, turl, _block in SEARCH_RESULT_RE.findall(body.decode()):
+            if turl and ratio(title, res_title) >= self.enrich_threshold:
+                return turl
         return None
 
     def _parse_listing(self, rec: dict, body: str, links: list) -> None:
@@ -324,11 +346,26 @@ class ParseStage:
                         (str(doc_id), sp["sub_section_title"],
                          sp["sub_section_part_number"],
                          sp["sub_section_part_title"]))
-        for pos, (dst_id, label) in enumerate(EDGE_RE.findall(body), 1):
+        edge_hits = EDGE_RE.findall(body)
+        for pos, (dst_id, label) in enumerate(edge_hits, 1):
             out["edges"].append((str(doc_id), dst_id, label))
             links.append((urljoin(rec["url"], f"/doc.aspx?ItemID={dst_id}"),
                           rec["depth"] + 1,
                           rec["discovery_order"] * ORDER_STRIDE + pos))
+        # the SECOND link phase: 'lược đồ' doc-map entries; ItemID-less
+        # hrefs resolve through the title search (child order continues
+        # after the related-doc positions — deterministic)
+        for i, (href, title, label) in enumerate(LUOCDO_RE.findall(body), 1):
+            m = ITEMID_RE.search(href)
+            tgt_url = (urljoin(rec["url"], f"/doc.aspx?ItemID={m.group(1)}")
+                       if m else self._resolve_by_title(href, title))
+            if tgt_url is None:
+                continue
+            dst = ITEMID_RE.search(tgt_url).group(1)
+            out["doc_map"].append((str(doc_id), dst, label))
+            links.append((tgt_url, rec["depth"] + 1,
+                          rec["discovery_order"] * ORDER_STRIDE
+                          + len(edge_hits) + i))
 
     def _parse_hopnhat(self, rec: dict, body: str, doc_id: int,
                        caption: str | None, file_links: list[str],
