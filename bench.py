@@ -160,23 +160,42 @@ def _calibration_work(n: int) -> int:
     return 1
 
 
-def _cpu_calibration(lo: int = 8, hi: int = 32) -> float:
-    """Measured ceiling of this host: speedup of a pure-CPU, cache-resident
-    workload (sha256 chain) from lo to hi processes. The sandbox VM is
-    virtualized — 32 schedulable CPUs deliver ~3x the throughput of 8, not
-    4x — so raw efficiency is capped below 1 by hardware, not the engine."""
-    import multiprocessing as mp
-    work = _calibration_work
+def _calibration_membw(n: int) -> int:
+    """Memory-bandwidth-bound unit: repeated large-array copies+adds (the
+    crawl's image encode/decode/phash is bandwidth-heavy, so this bounds
+    the ceiling from the other side of the sha256 cache-resident probe)."""
+    import numpy as np
+    a = np.arange(4_000_000, dtype=np.float64)
+    s = 0.0
+    for _ in range(n):
+        b = a.copy()
+        b += 1.0
+        s += float(b[-1])
+    return int(s) % 7
 
+
+def _pool_speedup(work, unit: int, lo: int, hi: int) -> float:
+    import multiprocessing as mp
     times = {}
     for procs in (lo, hi):
         with mp.Pool(procs) as p:
-            p.map(work, [10_000] * procs)          # warm the pool
+            p.map(work, [max(1, unit // 100)] * procs)   # warm the pool
             t0 = time.time()
-            p.map(work, [1_500_000] * procs)
+            p.map(work, [unit] * procs)
             times[procs] = time.time() - t0
     # fixed per-proc work => throughput ratio = (hi/lo) * (t_lo/t_hi)
     return round((hi / lo) * times[lo] / times[hi], 2)
+
+
+def _cpu_calibration(lo: int = 8, hi: int = 32) -> dict:
+    """Measured ceiling of this host from TWO independent probes: a
+    cache-resident pure-CPU chain (sha256) and a memory-bandwidth-bound
+    array workload. The sandbox VM is virtualized — 32 schedulable CPUs
+    deliver ~3x the throughput of 8, not 4x — so raw efficiency is capped
+    below 1 by hardware, not the engine. Reporting both bounds the
+    ceiling estimate instead of trusting a single probe."""
+    return {"sha256": _pool_speedup(_calibration_work, 1_500_000, lo, hi),
+            "membw": _pool_speedup(_calibration_membw, 40, lo, hi)}
 
 
 def main_scaling() -> dict:
@@ -198,7 +217,14 @@ def main_scaling() -> dict:
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     speedup = t_lo / t_hi
     eff = speedup / (hi / lo)
-    ceiling = _cpu_calibration(lo, hi)
+    ceilings = _cpu_calibration(lo, hi)
+    # normalize against the CACHE-RESIDENT probe only (the conservative
+    # ceiling: it assumes no memory-bandwidth contention). The membw probe
+    # is reported alongside: it shows aggregate bandwidth saturates below
+    # `lo` procs on this VM, i.e. for the crawl's memory-heavy image work
+    # even the sha256 ceiling is optimistic — so the normalized figure is
+    # a LOWER bound on how much of the gap is hardware.
+    ceiling = ceilings["sha256"]
 
     # frontier-pops/sec scaling (the metric's second half): same URL volume
     # through 2 vs 8 partition actors in one 32-CPU session
@@ -219,6 +245,7 @@ def main_scaling() -> dict:
         "speedup": round(speedup, 2),
         "scaling_efficiency": round(eff, 3),
         "hw_ceiling_speedup": ceiling,
+        "hw_ceiling_probes": ceilings,
         "hw_normalized_efficiency": round(speedup / ceiling, 3),
         "frontier_pops_per_sec_2p": fr_lo["pops_per_sec"],
         "frontier_pops_per_sec_8p": fr_hi["pops_per_sec"],
