@@ -63,7 +63,7 @@ def _crawl_payload(sf_dir: str):
     from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
 
     cfg = config_from_documents(sf_dir, n_hosts=2, pages_per_host=2,
-                                docs_per_page=4)
+                                docs_per_page=4, max_captions=256)
     out = tempfile.mkdtemp(prefix="vbpl_crawl_q_")
     eng = CrawlEngine(cfg, out, num_partitions=2,
                       fetch_concurrency=(1, 2), parse_concurrency=(1, 2))
@@ -97,7 +97,7 @@ def _crawl_meta_flavors(sf_dir: str):
     from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
 
     cfg = config_from_documents(sf_dir, n_hosts=3, pages_per_host=2,
-                                docs_per_page=4,
+                                docs_per_page=4, max_captions=256,
                                 flavors=("phapquy", "anle", "hopnhat"))
     out = tempfile.mkdtemp(prefix="vbpl_flavors_q_")
     eng = CrawlEngine(cfg, out, num_partitions=2)
@@ -126,7 +126,8 @@ def _enriched_meta(sf_dir: str):
     from vbpl_web_crawl_ray.stages.enrich import containment_enrich
 
     cfg = config_from_documents(sf_dir, n_hosts=2, pages_per_host=2,
-                                docs_per_page=4, missing_fulltext_rate=0.4)
+                                docs_per_page=4, max_captions=256,
+                                missing_fulltext_rate=0.4)
     out = tempfile.mkdtemp(prefix="vbpl_enrich_q_")
     eng = CrawlEngine(cfg, out, num_partitions=2)
     eng.seed(SimWeb(cfg).seed_urls())

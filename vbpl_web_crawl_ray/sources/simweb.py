@@ -449,11 +449,20 @@ class SimWeb:
 
 
 def config_from_documents(sf_dir: str, n_hosts: int = 4, pages_per_host: int = 3,
-                          docs_per_page: int = 5, **kw) -> SimWebConfig:
+                          docs_per_page: int = 5, max_captions: int | None = None,
+                          **kw) -> SimWebConfig:
     """Build a SimWebConfig whose captions come from the driver's documents
-    table — entry()'s hermetic input (TESTDATA.md)."""
+    table — entry()'s hermetic input (TESTDATA.md).
+
+    ``max_captions`` bounds the caption table: the config is pickled into
+    every actor/task constructor, so an unbounded caption tuple (5k long
+    texts at sf0.1) ships megabytes per stage per round. Caption choice
+    stays deterministic (doc_id mod the table length)."""
     import pyarrow.parquet as pq
-    caps = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    caps = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["text"])["text"].to_pylist()
+    if max_captions is not None:
+        caps = caps[:max_captions]
     return SimWebConfig(n_hosts=n_hosts, pages_per_host=pages_per_host,
                         docs_per_page=docs_per_page,
-                        captions=tuple(caps["text"].to_pylist()), **kw)
+                        captions=tuple(caps), **kw)

@@ -133,8 +133,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
             if blob:
                 for sh in blob.split(_SEP):
                     ids.append(did); shs.append(sh)
+        # shingle_h: 64-bit identity used as the shuffle/join/bucket KEY
+        # (8 bytes instead of a ~30-byte string); the string itself rides
+        # along only to the per-doc stage, where the (c, shingle) total
+        # order needs it. A hash collision merges two shingles' counts and
+        # pair buckets — a SUPERSET of candidates, which the exact verify
+        # filters, so precision and the prefix-filter guarantee both hold.
         return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
-                             "shingle": shs})
+                             "shingle": shs,
+                             "shingle_h": hash64(shs).astype(np.int64)
+                             if shs else np.array([], dtype=np.int64)})
 
     exploded = sets_ds.map_batches(explode, batch_format="pandas")
 
@@ -142,9 +150,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
     # (each shingle ships once per batch) + bucketed sum. Fully distributed;
     # the vocabulary never lands on the driver.
     counts = bucketed_group_apply(
-        exploded, "shingle",
-        bucket_fn=lambda g: g.groupby("shingle", as_index=False)["c"].sum(),
-        partial_fn=lambda df: df.groupby("shingle", as_index=False)
+        exploded, "shingle_h",
+        bucket_fn=lambda g: g.groupby("shingle_h", as_index=False)["c"].sum(),
+        partial_fn=lambda df: df.groupby("shingle_h", as_index=False)
                                 .agg(c=("doc_id", "size")),
         num_buckets=16)
 
@@ -152,7 +160,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
     # doc's prefix under the (c, shingle) total order
     from .shuffle import compact_for_join
     with_df = exploded.join(compact_for_join(counts, 16), join_type="inner",
-                            num_partitions=8, on=("shingle",))
+                            num_partitions=8, on=("shingle_h",))
 
     def per_doc_prefix(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -161,11 +169,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
             size = len(sub)
             pre = sub.head(size - int(np.ceil(threshold * size)) + 1)
             out.append(pd.DataFrame({
-                "shingle": pre["shingle"].to_numpy(),
+                "shingle_h": pre["shingle_h"].to_numpy(),
                 "doc_id": np.full(len(pre), did, dtype=np.int64),
                 "size": np.full(len(pre), size, dtype=np.int64)}))
         if not out:
-            return pd.DataFrame({"shingle": pd.Series(dtype=object),
+            return pd.DataFrame({"shingle_h": pd.Series(dtype=np.int64),
                                  "doc_id": pd.Series(dtype=np.int64),
                                  "size": pd.Series(dtype=np.int64)})
         return pd.concat(out, ignore_index=True)
@@ -177,9 +185,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
         # drop singleton shingles vectorized, then pair per surviving
         # shingle with the exact size-ratio prune (J >= t requires
         # min|.|/max|.| >= t) applied in-bucket
-        g = g[g.groupby("shingle")["shingle"].transform("size") >= 2]
+        g = g[g.groupby("shingle_h")["shingle_h"].transform("size") >= 2]
         out_a, out_b = [], []
-        for _, sub in g.groupby("shingle"):
+        for _, sub in g.groupby("shingle_h"):
             sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
             ids = sub["doc_id"].to_numpy()
             if len(ids) < 2:
@@ -195,7 +203,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
                              "id_b": np.concatenate(out_b)})
 
     cand = _dedup_pairs(
-        bucketed_group_apply(prefix, "shingle", pairs_in_bucket,
+        bucketed_group_apply(prefix, "shingle_h", pairs_in_bucket,
                              num_buckets=16)).materialize()
     if cand.count() == 0:
         return pd.DataFrame({**_EMPTY_PAIRS,
