@@ -109,6 +109,39 @@ def _crawl_meta_flavors(sf_dir: str):
     return (t.to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def _crawl_sections(sf_dir: str):
+    """Full-hierarchy section rows straight from the CRAWL sink (not
+    pseudo-docs): all 12 columns of the reference's vbpl_toan_van model
+    (app/model/vbpl.py:77-97) plus the separate sub_parts table rolled up
+    as a per-doc appendix count. Rows-only (crawl-derived)."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
+
+    cfg = config_from_documents(sf_dir, n_hosts=2, pages_per_host=2,
+                                docs_per_page=4, max_captions=256)
+    out = tempfile.mkdtemp(prefix="vbpl_sections_q_")
+    eng = CrawlEngine(cfg, out, num_partitions=2)
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=16)
+    cols = ["vbpl_id", "section_number", "section_name", "section_content",
+            "chapter_number", "chapter_name", "part_number", "part_name",
+            "mini_part_number", "mini_part_name", "big_part_number",
+            "big_part_name"]
+    t = pq.read_table(sorted(glob.glob(f"{out}/sections/round=*/*.parquet")),
+                      columns=cols)
+    sub = pq.read_table(
+        sorted(glob.glob(f"{out}/sub_parts/round=*/*.parquet")),
+        columns=["vbpl_id", "sub_section_part_number"])
+    df = t.to_pandas()
+    n_sub = sub.to_pandas().groupby("vbpl_id").size()
+    df["n_sub_parts"] = df["vbpl_id"].map(n_sub).fillna(0).astype("int64")
+    return df.sort_values(["vbpl_id", "section_number"]).reset_index(drop=True)
+
+
 def _enriched_meta(sf_dir: str):
     """Crawl with missing-fulltext docs + external fuzzy recovery, then a
     sector containment-enrich over the meta table (reference
@@ -243,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enriched_meta": _enriched_meta,
         # three-flavor crawl meta (M2+M4+M3 extractor configs, U2 registry)
         "crawl_meta_flavors": _crawl_meta_flavors,
+        # full 12-column section hierarchy from the crawl sink (M5-M7)
+        "crawl_sections": _crawl_sections,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,

@@ -107,6 +107,25 @@ def test_stream_never_materializes_input(sf_dir, monkeypatch):
     assert len(out) > 0
 
 
+def test_dedup_verify_never_materializes_corpus(sf_dir, monkeypatch):
+    """The MinHash/ngram verify steps must keep signatures and shingle
+    sets distributed (hash joins onto the candidate pairs): the only
+    driver-side to_pandas allowed is the final small pair list."""
+    real = rd.Dataset.to_pandas
+
+    def bounded(self, *a, **k):
+        df = real(self, *a, **k)
+        assert len(df) < 10_000, \
+            f"driver materialized {len(df)} rows (corpus-sized)"
+        return df
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", bounded)
+    pairs = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5)
+    assert {"id_a", "id_b", "est_jaccard"} <= set(pairs.columns)
+    jac = dedup.ngram_jaccard_pairs(sf_dir, threshold=0.5)
+    assert {"id_a", "id_b", "jaccard"} <= set(jac.columns)
+
+
 def test_stream_incremental_across_feeds(sf_dir):
     """State carries across successive datasets (the incremental claim)."""
     pdf = pd.read_parquet(f"{sf_dir}/events.parquet",
