@@ -16,6 +16,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from vbpl_web_crawl_ray.pipelines import corpus as CP  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
@@ -242,6 +243,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
         "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
         "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
+        # corpus-level training-data accounting (partial-aggregate rollups)
+        "corpus_stats": CP.q_corpus_stats,
+        "split_counts": CP.q_split_counts,
+        "bigram_topk": CP.q_bigram_topk,
+        "quality_filter_counts": CP.q_quality_filter_counts,
         # dedup family (§2.7 + training-data additions)
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
@@ -422,6 +428,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "md5_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "corpus_stats": """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_tokens,
+                   ROUND(SUM(LENGTH(text)) * 1.0 / COUNT(*), 4) AS avg_chars,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents
+        """,
+        "split_counts": """
+            SELECT source,
+                   CASE WHEN doc_id % 10 < 8 THEN 'train'
+                        WHEN doc_id % 10 < 9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "bigram_topk": """
+            WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            b AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))]) AS bigram
+                  FROM t)
+            SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "quality_filter_counts": f"""
+            WITH q AS (
+                SELECT * FROM documents
+                WHERE len(string_split(text, ' ')) >= 20
+                  AND len(list_filter(string_split(text, ' '),
+                                      x -> x IN ({stop_list}))) >= 3
+            ), reps AS (
+                SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text
+            )
+            SELECT q.source, COUNT(*) AS n
+            FROM q JOIN reps USING (doc_id) GROUP BY q.source
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

@@ -1,0 +1,144 @@
+"""Corpus-level training-data operators over the documents table.
+
+The operations a 100 TB pretraining pipeline runs between crawling and
+training: global corpus accounting, deterministic train/val/test
+splitting, vocabulary statistics, and the quality+dedup admission filter.
+Every operator is a partial-aggregate (per-batch combiner) followed by a
+tiny merge — the documents never gather anywhere; only fixed-size
+aggregate rows move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..stages.textstats import EN_STOPWORDS
+
+
+def _docs(sf_dir: str, cols=("doc_id", "source", "text")) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+
+
+def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """One-row global rollup: doc count, token count, average char length,
+    distinct sources. Per-batch partials are 1-row frames plus a tiny
+    distinct-source set (source cardinality is bounded); the driver merge
+    touches O(batches) rows, never O(docs)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.count(" ") + 1
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "total_tokens": [np.int64(toks.sum())],
+            "total_chars": [np.int64(df["text"].str.len().sum())],
+            "sources": [",".join(sorted(set(df["source"])))]})
+
+    parts = (_docs(sf_dir).map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    srcs = set()
+    for s in parts["sources"]:
+        srcs.update(s.split(","))
+    n_docs = int(parts["n_docs"].sum())
+    return pd.DataFrame({
+        "n_docs": [np.int64(n_docs)],
+        "total_tokens": [np.int64(parts["total_tokens"].sum())],
+        "avg_chars": [round(float(parts["total_chars"].sum()) / n_docs, 4)],
+        "n_sources": [np.int64(len(srcs))]})
+
+
+def q_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on doc_id (the
+    split must be a pure function of the key so re-runs and multi-node
+    runs agree), accounted per (source, split). Classic stratification
+    check before training."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["doc_id"].to_numpy() % 10
+        split = np.where(m < 8, "train", np.where(m < 9, "val", "test"))
+        g = (df.assign(split=split)
+               .groupby(["source", "split"], as_index=False)
+               .agg(n=("doc_id", "size")))
+        return g
+
+    parts = (_docs(sf_dir, ("doc_id", "source"))
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    out = (parts.groupby(["source", "split"], as_index=False)["n"].sum()
+                .astype({"n": "int64"})
+                .sort_values(["source", "split"]).reset_index(drop=True))
+    return out
+
+
+def q_bigram_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global top-k bigrams by count (vocabulary statistics for tokenizer /
+    LM work). Per-batch Counter combiner -> bucketed sum -> per-bucket
+    top-k -> tiny driver merge of num_buckets x k rows. Ties break on the
+    bigram string so the result is deterministic."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in df["text"]:
+            toks = t.split(" ")
+            for i in range(len(toks) - 1):
+                b = toks[i] + " " + toks[i + 1]
+                counts[b] = counts.get(b, 0) + 1
+        return pd.DataFrame({"bigram": list(counts),
+                             "n": np.fromiter(counts.values(), np.int64,
+                                              len(counts))})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("bigram", as_index=False)["n"].sum()
+        return (s.sort_values(["n", "bigram"], ascending=[False, True])
+                 .head(k))
+
+    merged = bucketed_group_apply(
+        _docs(sf_dir, ("doc_id", "text")).map_batches(
+            partial, batch_format="pandas"),
+        "bigram", bucket_topk,
+        partial_fn=lambda df: df.groupby("bigram", as_index=False)["n"].sum(),
+        num_buckets=16).to_pandas()
+    return (merged.sort_values(["n", "bigram"], ascending=[False, True])
+                  .head(k).astype({"n": "int64"}).reset_index(drop=True))
+
+
+def q_quality_filter_counts(sf_dir: str, min_tokens: int = 20,
+                            min_stop_hits: int = 3) -> pd.DataFrame:
+    """The training-data admission chain: exact dedup (min-doc_id
+    representative per distinct text) -> quality gate (length + stopword
+    density) -> per-source survivor counts. Dedup shuffles only
+    (content_hash, doc_id); the quality gate is a vectorized per-batch
+    filter; counting is a partial-aggregate."""
+    from ..functions.hashing import hash64
+    from ..stages.shuffle import bucketed_group_apply
+
+    stop = EN_STOPWORDS
+
+    def admit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].map(lambda t: t.split(" "))
+        n_tok = toks.str.len()
+        hits = toks.map(lambda ts: sum(1 for w in ts if w in stop))
+        keep = (n_tok >= min_tokens) & (hits >= min_stop_hits)
+        out = df[keep]
+        return pd.DataFrame({
+            "content_hash": hash64(out["text"].to_numpy()).astype(np.int64),
+            "doc_id": out["doc_id"].to_numpy(),
+            "source": out["source"].to_numpy(),
+            "text": out["text"].to_numpy()})
+
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        # min-doc_id representative, re-keyed by full text within the
+        # bucket (collision guard, same as exact_dedup)
+        idx = g.groupby("text")["doc_id"].idxmin()
+        return g.loc[idx, ["source", "doc_id"]]
+
+    survivors = bucketed_group_apply(
+        _docs(sf_dir).map_batches(admit, batch_format="pandas"),
+        "content_hash", first_per_text, num_buckets=8)
+
+    parts = survivors.map_batches(
+        lambda df: df.groupby("source", as_index=False)
+                     .agg(n=("doc_id", "size")),
+        batch_format="pandas").to_pandas()
+    return (parts.groupby("source", as_index=False)["n"].sum()
+                 .astype({"n": "int64"})
+                 .sort_values("source").reset_index(drop=True))
