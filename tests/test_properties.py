@@ -28,6 +28,20 @@ def test_canonical_case_port_invariance(host, path):
     assert a == b
 
 
+# wider alphabet than the clean strategies above: dots, escapes, uppercase,
+# traversal — anything the fast-path precheck might mis-accept
+messy = st.from_regex(r"(/[A-Za-z0-9._~%/.-]{0,10}){0,4}", fullmatch=True)
+
+
+@given(hostnames, messy, queries)
+@settings(max_examples=300, deadline=None)
+def test_fast_path_equals_slow_path(host, path, query):
+    """The fast-path precheck may only accept fixed points of the full
+    normalizer — for every URL the two paths must agree."""
+    url = f"http://{host}{path}" + (f"?{query}" if query else "")
+    assert canon.canonicalize_url(url) == canon._canonicalize_slow(url)
+
+
 words = st.text(alphabet="abcdefgh ", min_size=0, max_size=20)
 
 

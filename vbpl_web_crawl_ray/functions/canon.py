@@ -50,9 +50,30 @@ def clean_extension(path: str) -> str:
     return _DOUBLED_EXT.sub(r".\1", path)
 
 
+# fast path: URLs already in canonical form pass through untouched. The
+# precheck accepts ONLY strings the slow path maps to themselves: lowercase
+# scheme+host, no port/userinfo/fragment/percent-escapes, path chars within
+# the quote() safe set, and no "." / ".." segments (the "/." exclusion is
+# conservative — /.well-known falls to the slow path, which is merely
+# slower, never wrong). Frontier offers are ~all already-canonical, so this
+# removes the urlsplit+quote round trip from the hot path.
+_FAST_CANON = re.compile(
+    r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
+    r"/[A-Za-z0-9/:@!$&'()*+,;=~\-._]*"
+    r"(?:\?[A-Za-z0-9/:@!$&'()*+,;=~\-._?]*)?$")
+
+
 def canonicalize_url(url: str) -> str:
     """RFC-3986 normalize one URL (scalar; batch via :func:`canonicalize_urls`)."""
     url = url.strip()
+    if _FAST_CANON.match(url) and ".." not in url and "/." not in url:
+        return url
+    return _canonicalize_slow(url)
+
+
+def _canonicalize_slow(url: str) -> str:
+    """Full normalization path; the fast-path precheck must only accept
+    fixed points of THIS function (property-tested)."""
     parts = urlsplit(url)
     scheme = parts.scheme.lower()
     host = parts.hostname.lower() if parts.hostname else ""

@@ -196,18 +196,24 @@ class FrontierPartition:
     def pop_round(self, max_per_host: int | None = None) -> list[tuple]:
         """Drain queued URLs (up to max_per_host each) in deterministic
         priority order, assigning virtual fetch times.
-        Returns [(fetch_time, host, depth, discovery_order, url)]."""
+        Returns [(fetch_time, host, depth, discovery_order, url)].
+
+        One C-speed sort per host instead of n heappops (a sorted list
+        satisfies the heap invariant, so the remainder goes straight back
+        as the host's heap)."""
         out = []
         for host in sorted(self.heaps):
-            heap = self.heaps[host]
+            items = sorted(self.heaps[host])
             delay = self._delay(host)
-            n = len(heap) if max_per_host is None else min(len(heap), max_per_host)
-            for _ in range(n):
-                depth, order, url = heapq.heappop(heap)
-                t = self.next_free.get(host, 0.0)
-                self.next_free[host] = t + delay
-                out.append((t, host, depth, order, url))
-            if not heap:
+            n = len(items) if max_per_host is None else min(len(items),
+                                                            max_per_host)
+            t0 = self.next_free.get(host, 0.0)
+            out.extend((t0 + j * delay, host, depth, order, url)
+                       for j, (depth, order, url) in enumerate(items[:n]))
+            self.next_free[host] = t0 + n * delay
+            if n < len(items):
+                self.heaps[host] = items[n:]   # sorted => valid heap
+            else:
                 del self.heaps[host]
         self.metrics["popped"] += len(out)
         out.sort()
