@@ -216,6 +216,30 @@ def _minhash_dup_clusters(sf_dir: str):
     return g
 
 
+def _phash_dup_clusters(sf_dir: str):
+    """Image near-dup GROUPS: banded phash-Hamming pairs -> connected
+    components (the image-side analogue of minhash_dup_clusters)."""
+    from vbpl_web_crawl_ray.stages.graph import dup_clusters
+    pairs = P.q_phash_near_dup(sf_dir)[["id_a", "id_b"]]
+    g = dup_clusters(pairs)
+    g["members"] = g["members"].map(lambda xs: ",".join(str(x) for x in xs))
+    return g
+
+
+def _embedding_dedup_filter(sf_dir: str):
+    """Near-dup REMOVAL over embeddings: exact cosine pairs -> components
+    -> keep the min-id representative per component; returns the surviving
+    vec_id set (what a training pipeline actually feeds downstream)."""
+    import pandas as pd
+    from vbpl_web_crawl_ray.stages.graph import connected_components
+    pairs = dedup.embedding_near_dup_pairs(sf_dir, threshold=0.45)
+    cc = connected_components(pairs)
+    drop = set(cc.loc[cc["node"] != cc["component"], "node"])
+    ids = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    out = ids[~ids["vec_id"].isin(drop)].sort_values("vec_id")
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # aggregations (SURVEY §2.5) — partial-aggregate combiner pattern
@@ -253,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "minhash_dup_clusters": _minhash_dup_clusters,
+        "phash_dup_clusters": _phash_dup_clusters,
+        "embedding_dedup_filter": _embedding_dedup_filter,
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=0.45),
@@ -490,6 +516,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "embedding_dedup_filter": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ), edges AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), reach(node, x) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.node, e.v FROM reach r JOIN edges e ON r.x = e.u
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT DISTINCT node FROM reach
+                                 WHERE x < node)
+            ORDER BY vec_id
         """,
         "ann_topk": """
             SELECT vec_id,
