@@ -21,13 +21,14 @@ def test_connected_components_small():
 
 
 def test_connected_components_distributed_path():
-    # chain of 30k edges forces the label-propagation path
+    # chain of 30k edges through the label-propagation path (forced via
+    # local_threshold=0 — the production crossover sits at 2M edges)
     n = 15_000
     pairs = pd.DataFrame({
         "id_a": list(range(0, n)) + list(range(n + 10, n + 10 + n)),
         "id_b": list(range(1, n + 1)) + list(range(n + 11, n + 11 + n)),
     })
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, local_threshold=0)
     lab = dict(zip(cc["node"], cc["component"]))
     assert lab[n] == 0            # end of first chain reaches root 0
     assert lab[n + 10 + n] == n + 10

@@ -20,16 +20,19 @@ from .shuffle import bucketed_group_apply, compact_for_join
 
 
 def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b",
-                         max_rounds: int = 50) -> pd.DataFrame:
+                         id_b: str = "id_b", max_rounds: int = 50,
+                         local_threshold: int = 2_000_000) -> pd.DataFrame:
     """(node, component) labeling; component id = min node id in the
-    component. Distributed min-label propagation over Ray Data; falls back
-    to pure pandas for tiny inputs (< 10k edges) where a shuffle per round
-    costs more than the whole problem."""
+    component. Distributed min-label propagation over Ray Data; below
+    ``local_threshold`` edges a single-pass union-find wins — each
+    distributed round costs two shuffles + a join, so the crossover sits
+    in the millions of edges (a 2M-edge union-find is ~2 s; the
+    distributed path exists for edge sets that exceed one machine, where
+    the input arrives as a Dataset anyway)."""
     if len(pairs) == 0:
         return pd.DataFrame({"node": pd.Series(dtype=object),
                              "component": pd.Series(dtype=object)})
-    if len(pairs) < 10_000:
+    if len(pairs) < local_threshold:
         return _cc_local(pairs, id_a, id_b)
 
     edges = pd.concat([
