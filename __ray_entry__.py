@@ -216,6 +216,32 @@ def _minhash_dup_clusters(sf_dir: str):
     return g
 
 
+def _video_frame_sample(sf_dir: str):
+    """Video frame sampling through the fake-container/real-plumbing
+    stage: deterministic 4-frame clips from document-derived pixels,
+    every-2nd-frame sample via the actor pool (rows-only)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from vbpl_web_crawl_ray.sources.imaging import gen_pixels
+    from vbpl_web_crawl_ray.stages.multimodal import encode_video, sample_frames
+
+    ids = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]).head(40)
+
+    def make_clip(did: int) -> bytes:
+        return encode_video([gen_pixels(f"vid{did}f{i}", 48 + i, 40, 3)
+                             for i in range(4)])
+
+    clips = pd.DataFrame({
+        "video_id": [f"vid{d:06d}" for d in ids["doc_id"]],
+        "bytes": [make_clip(int(d)) for d in ids["doc_id"]]})
+    out = sample_frames(rd.from_pandas(clips), every_k=2).to_pandas()
+    out = out.drop(columns=["bytes"])
+    out["phash"] = out["phash"].astype(np.int64)
+    return out.sort_values(["video_id", "frame_index"]).reset_index(drop=True)
+
+
 def _phash_dup_clusters(sf_dir: str):
     """Image near-dup GROUPS: banded phash-Hamming pairs -> connected
     components (the image-side analogue of minhash_dup_clusters)."""
@@ -272,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": CP.q_split_counts,
         "bigram_topk": CP.q_bigram_topk,
         "quality_filter_counts": CP.q_quality_filter_counts,
+        "tfidf_topk": CP.q_tfidf_topk,
+        "rollup_revenue": CP.q_rollup_revenue,
         # dedup family (§2.7 + training-data additions)
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
@@ -317,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": P.q_image_features,
         "image_resize": P.q_image_resize,
         "phash_near_dup": P.q_phash_near_dup,
+        "video_frame_sample": _video_frame_sample,
     }
 
 
@@ -478,6 +507,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM t)
             SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
             ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "tfidf_topk": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w
+            ), dfreq AS (
+                SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w
+            ), n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT doc_id, w,
+                   ROUND(tf * ln((SELECT n FROM n) * 1.0 / df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (w)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY ROUND(tf * ln((SELECT n FROM n) * 1.0 / df), 4)
+                         DESC, w) <= 3
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "quality_filter_counts": f"""
             WITH q AS (

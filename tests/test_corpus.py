@@ -12,7 +12,7 @@ import __ray_entry__ as em  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import corpus as CP  # noqa: E402
 
 ORACLE_NAMES = ["corpus_stats", "split_counts", "bigram_topk",
-                "quality_filter_counts"]
+                "quality_filter_counts", "tfidf_topk", "rollup_revenue"]
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

@@ -101,6 +101,84 @@ def q_bigram_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
                   .head(k).astype({"n": "int64"}).reset_index(drop=True))
 
 
+def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-document top-k terms by tf-idf (tf * ln(N/df)) — tokenizer /
+    feature work. Term frequencies are exact per batch (a document never
+    straddles rows); document frequencies are a bucketed distributed sum;
+    the tf rows meet their df via the native hash join; ranking happens
+    per-doc inside the bucketed shuffle. Ties break on the ROUNDED score
+    then the term, so the ranking is reproducible across engines."""
+    from ..functions.numeric import round_half_away
+    from ..stages.shuffle import bucketed_group_apply, compact_for_join
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    n_docs = docs.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ws, tfs = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            counts: dict[str, int] = {}
+            for w in t.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+            ids.extend([did] * len(counts))
+            ws.extend(counts)
+            tfs.extend(counts.values())
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64), "w": ws,
+                             "tf": np.array(tfs, np.int64)})
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+    dfreq = compact_for_join(bucketed_group_apply(
+        tf, "w",
+        bucket_fn=lambda g: g.groupby("w", as_index=False)["df"].sum(),
+        partial_fn=lambda d: d.groupby("w", as_index=False)
+                              .agg(df=("doc_id", "size")),
+        num_buckets=8), 8)
+    joined = tf.join(dfreq, join_type="inner", num_partitions=8, on=("w",))
+
+    def per_doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(tfidf=round_half_away(
+            g["tf"].to_numpy() * np.log(n_docs / g["df"].to_numpy()), 4))
+        return (g.sort_values(["doc_id", "tfidf", "w"],
+                              ascending=[True, False, True], kind="mergesort")
+                 .groupby("doc_id", as_index=False)
+                 .head(k)[["doc_id", "w", "tfidf"]])
+
+    out = bucketed_group_apply(joined, "doc_id", per_doc_topk,
+                               num_buckets=8).to_pandas()
+    return (out.sort_values(["doc_id", "tfidf", "w"],
+                            ascending=[True, False, True])
+               .reset_index(drop=True))
+
+
+def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) over lineitem revenue:
+    ONE partial-aggregation pass over the fact table feeds all three
+    rollup levels — the subtotals re-aggregate the (tiny) detail partials,
+    never the input."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+                  .agg(revenue=("revenue", "sum"), n=("revenue", "size")))
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    detail = (parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+                   .agg(revenue=("revenue", "sum"), n=("n", "sum")))
+    lvl1 = (detail.groupby("l_returnflag", as_index=False)
+                  .agg(revenue=("revenue", "sum"), n=("n", "sum")))
+    lvl1["l_linestatus"] = None
+    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                          "revenue": [detail["revenue"].sum()],
+                          "n": [detail["n"].sum()]})
+    out = pd.concat([detail, lvl1, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "revenue", "n"]]
+
+
 def q_quality_filter_counts(sf_dir: str, min_tokens: int = 20,
                             min_stop_hits: int = 3) -> pd.DataFrame:
     """The training-data admission chain: exact dedup (min-doc_id
