@@ -216,6 +216,49 @@ def _minhash_dup_clusters(sf_dir: str):
     return g
 
 
+def _crawl_host_stats(sf_dir: str):
+    """Per-host crawl accounting straight off the crawl-log PARQUET (the
+    log is data-plane output, consumed as a dataset — never a driver
+    list): fetch counts, virtual-time span, and the minimum inter-fetch
+    gap, which must equal the host's robots Crawl-delay (politeness audit
+    as a query). Rows-only."""
+    import glob
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
+
+    cfg = config_from_documents(sf_dir, n_hosts=3, pages_per_host=2,
+                                docs_per_page=4, max_captions=256)
+    out = tempfile.mkdtemp(prefix="vbpl_log_q_")
+    eng = CrawlEngine(cfg, out, num_partitions=2)
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=16)
+
+    log = rd.read_parquet(
+        sorted(glob.glob(f"{out}/crawl_log/round=*/*.parquet")),
+        columns=["host", "fetch_time"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", as_index=False).agg(
+            n_fetched=("fetch_time", "size"),
+            t_min=("fetch_time", "min"), t_max=("fetch_time", "max"))
+        return g
+
+    parts = log.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("host", as_index=False).agg(
+        n_fetched=("n_fetched", "sum"),
+        t_min=("t_min", "min"), t_max=("t_max", "max"))
+    # politeness invariant: on an evenly-spaced virtual schedule the span
+    # equals (n-1) * crawl_delay -> recover the delay per host
+    agg["crawl_delay"] = ((agg["t_max"] - agg["t_min"])
+                          / (agg["n_fetched"] - 1).clip(lower=1)).round(6)
+    agg["n_fetched"] = agg["n_fetched"].astype("int64")
+    return agg.sort_values("host").reset_index(drop=True)
+
+
 def _video_frame_sample(sf_dir: str):
     """Video frame sampling through the fake-container/real-plumbing
     stage: deterministic 4-frame clips from document-derived pixels,
@@ -338,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_meta_flavors": _crawl_meta_flavors,
         # full 12-column section hierarchy from the crawl sink (M5-M7)
         "crawl_sections": _crawl_sections,
+        # per-host politeness audit over the crawl-log dataset (ST6/O3)
+        "crawl_host_stats": _crawl_host_stats,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,

@@ -188,6 +188,38 @@ def test_checkpoint_resume(tmp_path, engine_run):
         sorted(pa_full["image_id"].to_pylist())
 
 
+def test_midround_crash_replay_no_duplicates(tmp_path, oracle):
+    """A crash DURING a round leaves partial files in that round's output
+    dirs; the re-run must wipe and replace them, never append (the
+    resume-duplication hazard)."""
+    import shutil
+
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "crash")
+    eng = CrawlEngine(CFG, out, num_partitions=3)
+    eng.seed(SimWeb(CFG).seed_urls())
+    assert eng.run_round() and eng.run_round()
+    eng.checkpoint(ck)
+    # simulate a crashed third-round attempt: stale partials in round=2
+    for sub, fname in (("payload", "stale-attempt.parquet"),
+                       ("meta", "part-deadbeef.parquet"),
+                       ("crawl_log", "part-9999.parquet")):
+        src = sorted(glob.glob(f"{out}/{sub}/round=*/[!.]*.parquet"))[0]
+        d = f"{out}/{sub}/round=2"
+        import os
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(src, f"{d}/{fname}")
+    eng2 = CrawlEngine.resume(ck, CFG, out)
+    assert eng2.round == 2
+    eng2.run(max_rounds=32)
+    got = [(t, h, d, o, u) for (_, t, h, d, o, u) in eng2.crawl_log]
+    assert got == oracle["log"]          # stale log part wiped, not merged
+    t = _read_rounds(out, "payload")
+    ids = t["image_id"].to_pylist()
+    assert len(ids) == len(set(ids))     # no duplicated payload rows
+    assert set(ids) == set(oracle["payloads"])
+
+
 def test_hot_host_skew_cap(tmp_path):
     """max_per_host_per_round time-slices the hot host across rounds; the
     final fetched set is unchanged."""
