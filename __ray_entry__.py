@@ -53,23 +53,43 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+_CRAWL_CACHE: dict = {}
+
+
+def _run_crawl_cached(sf_dir: str, cfg_kw: dict, **eng_kw) -> str:
+    """Run one deterministic sim-web crawl per distinct (sf_dir, config)
+    within this process and return its output dir. Several queries consume
+    different tables of the SAME crawl output — the crawl is a pure
+    function of its config, so re-running it per query is pure waste."""
+    import tempfile
+
+    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
+    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
+
+    # key excludes engine/concurrency knobs: output is a pure function of
+    # (sf_dir, sim config) at ANY parallelism (test_parallelism_invariance)
+    key = (sf_dir, tuple(sorted(cfg_kw.items())))
+    if key in _CRAWL_CACHE:
+        return _CRAWL_CACHE[key]
+    cfg = config_from_documents(sf_dir, max_captions=256, **cfg_kw)
+    out = tempfile.mkdtemp(prefix="vbpl_crawl_q_")
+    eng = CrawlEngine(cfg, out, num_partitions=2, **eng_kw)
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=16)
+    _CRAWL_CACHE[key] = out
+    return out
+
+
 def _crawl_payload(sf_dir: str):
     """End-to-end crawl (frontier -> fetch -> parse -> payload) on a small
     sim web whose captions come from sf_dir's documents; returns the
     payload table. Deterministic at any parallelism."""
-    import tempfile
-
     import ray.data as rd
-    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
-    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
 
-    cfg = config_from_documents(sf_dir, n_hosts=2, pages_per_host=2,
-                                docs_per_page=4, max_captions=256)
-    out = tempfile.mkdtemp(prefix="vbpl_crawl_q_")
-    eng = CrawlEngine(cfg, out, num_partitions=2,
-                      fetch_concurrency=(1, 2), parse_concurrency=(1, 2))
-    eng.seed(SimWeb(cfg).seed_urls())
-    eng.run(max_rounds=16)
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4),
+                            fetch_concurrency=(1, 2),
+                            parse_concurrency=(1, 2))
     return rd.read_parquet(f"{out}/payload").drop_columns(["round"])
 
 
@@ -91,19 +111,12 @@ def _crawl_meta_flavors(sf_dir: str):
     unified meta table — exercises all three extractor configs plus the
     hopnhat PDF-object tab fallback in one pipeline (rows-only)."""
     import glob
-    import tempfile
 
     import pyarrow.parquet as pq
-    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
-    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
 
-    cfg = config_from_documents(sf_dir, n_hosts=3, pages_per_host=2,
-                                docs_per_page=4, max_captions=256,
-                                flavors=("phapquy", "anle", "hopnhat"))
-    out = tempfile.mkdtemp(prefix="vbpl_flavors_q_")
-    eng = CrawlEngine(cfg, out, num_partitions=2)
-    eng.seed(SimWeb(cfg).seed_urls())
-    eng.run(max_rounds=16)
+    out = _run_crawl_cached(sf_dir, dict(
+        n_hosts=3, pages_per_host=2, docs_per_page=4,
+        flavors=("phapquy", "anle", "hopnhat")))
     t = pq.read_table(sorted(glob.glob(f"{out}/meta/round=*/*.parquet")),
                       columns=["doc_id", "serial_number", "issuance_date",
                                "doc_type", "issuing_authority", "file_link"])
@@ -116,18 +129,11 @@ def _crawl_sections(sf_dir: str):
     (app/model/vbpl.py:77-97) plus the separate sub_parts table rolled up
     as a per-doc appendix count. Rows-only (crawl-derived)."""
     import glob
-    import tempfile
 
     import pyarrow.parquet as pq
-    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
-    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
 
-    cfg = config_from_documents(sf_dir, n_hosts=2, pages_per_host=2,
-                                docs_per_page=4, max_captions=256)
-    out = tempfile.mkdtemp(prefix="vbpl_sections_q_")
-    eng = CrawlEngine(cfg, out, num_partitions=2)
-    eng.seed(SimWeb(cfg).seed_urls())
-    eng.run(max_rounds=16)
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4))
     cols = ["vbpl_id", "section_number", "section_name", "section_content",
             "chapter_number", "chapter_name", "part_number", "part_name",
             "mini_part_number", "mini_part_name", "big_part_number",
@@ -150,22 +156,19 @@ def _enriched_meta(sf_dir: str):
     count via the native hash join. Rows-only (the crawl+fuzzy chain is
     not SQL-expressible)."""
     import glob
-    import tempfile
 
     import numpy as np
     import pandas as pd
     import ray.data as rd
-    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
-    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
+    from vbpl_web_crawl_ray.sources.simweb import config_from_documents
     from vbpl_web_crawl_ray.stages.enrich import containment_enrich
 
     cfg = config_from_documents(sf_dir, n_hosts=2, pages_per_host=2,
                                 docs_per_page=4, max_captions=256,
                                 missing_fulltext_rate=0.4)
-    out = tempfile.mkdtemp(prefix="vbpl_enrich_q_")
-    eng = CrawlEngine(cfg, out, num_partitions=2)
-    eng.seed(SimWeb(cfg).seed_urls())
-    eng.run(max_rounds=16)
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4,
+                                         missing_fulltext_rate=0.4))
 
     meta = rd.read_parquet(sorted(glob.glob(f"{out}/meta/round=*/*.parquet")),
                            columns=["doc_id", "doc_type", "title",
@@ -223,19 +226,15 @@ def _crawl_host_stats(sf_dir: str):
     gap, which must equal the host's robots Crawl-delay (politeness audit
     as a query). Rows-only."""
     import glob
-    import tempfile
 
     import pandas as pd
     import ray.data as rd
-    from vbpl_web_crawl_ray.pipelines.crawl import CrawlEngine
-    from vbpl_web_crawl_ray.sources.simweb import SimWeb, config_from_documents
 
-    cfg = config_from_documents(sf_dir, n_hosts=3, pages_per_host=2,
-                                docs_per_page=4, max_captions=256)
-    out = tempfile.mkdtemp(prefix="vbpl_log_q_")
-    eng = CrawlEngine(cfg, out, num_partitions=2)
-    eng.seed(SimWeb(cfg).seed_urls())
-    eng.run(max_rounds=16)
+    # same sim config as crawl_meta_flavors -> cache-shared crawl (the
+    # log shape is flavor-independent)
+    out = _run_crawl_cached(sf_dir, dict(
+        n_hosts=3, pages_per_host=2, docs_per_page=4,
+        flavors=("phapquy", "anle", "hopnhat")))
 
     log = rd.read_parquet(
         sorted(glob.glob(f"{out}/crawl_log/round=*/*.parquet")),
