@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": R2.q_sliding_window,
         "approx_distinct_users": R2.q_approx_distinct_users,
         "asof_join": R2.q_asof_join,
+        "range_join_counts": R2.q_range_join_counts,
+        "event_gap": R2.q_event_gap,
         # the crawl itself as a gated pipeline (rows-only; deterministic)
         "crawl_payload": _crawl_payload,
         # crawl + external fuzzy fulltext recovery + sector enrich (M10/J6)
@@ -708,6 +710,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, o.o_orderdate AS last_orderdate
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "range_join_counts": """
+            SELECT e.event_id, COUNT(o.o_orderkey) AS n_orders
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+            GROUP BY e.event_id
+        """,
+        "event_gap": """
+            SELECT event_id,
+                   ROUND(EPOCH(ts - LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)), 4)
+                       AS gap_seconds
+            FROM events
         """,
         "fuzzy_name_pairs": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

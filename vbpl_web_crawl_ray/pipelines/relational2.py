@@ -329,3 +329,73 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
 def q_approx_distinct_users(sf_dir: str):
     est = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
     return pd.DataFrame({"approx_users": [round(est)]})
+
+
+def q_range_join_counts(sf_dir: str, window_days: int = 7):
+    """Range join — the second custom temporal-join shape Ray Data lacks
+    (SURVEY.md custom-op path (a), alongside the as-of join): per event,
+    the number of the same customer's orders with
+    o_orderdate in [ts - window, ts]. Both sides hash-bucket by the key
+    so a bucket holds each user's full slice; inside a bucket the range
+    probe is two vectorized searchsorted calls over the user's
+    date-sorted orders — no per-pair expansion anywhere."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda df: df.rename(columns={"o_custkey": "user_id"}),
+                     batch_format="pandas")
+
+    def tag(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            return df
+        return f
+
+    both = ev.map_batches(tag(0), batch_format="pandas").union(
+        orders.map_batches(tag(1), batch_format="pandas"))
+    delta = pd.Timedelta(days=window_days)
+
+    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0][["event_id", "user_id", "ts"]]
+        right = g[g["__side"] == 1][["user_id", "o_orderdate"]]
+        out = []
+        dates_by_user = {u: np.sort(sub["o_orderdate"].to_numpy())
+                         for u, sub in right.groupby("user_id")}
+        for u, sub in left.groupby("user_id"):
+            ts = sub["ts"].to_numpy()
+            dates = dates_by_user.get(u)
+            if dates is None or not len(dates):
+                n = np.zeros(len(sub), dtype=np.int64)
+            else:
+                lo = np.searchsorted(dates, ts - delta, side="left")
+                hi = np.searchsorted(dates, ts, side="right")
+                n = (hi - lo).astype(np.int64)
+            out.append(pd.DataFrame({
+                "event_id": sub["event_id"].to_numpy().astype(np.int64),
+                "n_orders": n}))
+        if not out:
+            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                                 "n_orders": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return (bucketed_group_apply(both, "user_id", count_in_window,
+                                 num_buckets=8)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+
+def q_event_gap(sf_dir: str):
+    """LAG window: per event, seconds since the user's previous event
+    (NULL for the first). Bucketed by user; the lag is one vectorized
+    shift over the user's (ts, event_id)-sorted slice."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lag_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["ts"].shift(1)
+        gap = (g["ts"] - prev).dt.total_seconds()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy().astype(np.int64),
+            "gap_seconds": round_half_away(gap.to_numpy(), 4)})
+
+    return (bucketed_group_apply(ev, "user_id", lag_per_user, num_buckets=8)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
