@@ -42,6 +42,10 @@ def main(argv=None):
     c.add_argument("--paginate-via-links", action="store_true")
     c.add_argument("--max-per-host", type=int, default=None)
     c.add_argument("--checkpoint-dir", default=None)
+    c.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint-dir's manifest instead "
+                        "of starting fresh (the crashed round re-runs "
+                        "idempotently)")
 
     f = sub.add_parser("fetch-by-id", help="point lookup on crawl output")
     f.add_argument("--out", required=True)
@@ -87,9 +91,15 @@ def main(argv=None):
             args.sf_dir, n_hosts=args.hosts, pages_per_host=args.pages,
             docs_per_page=args.docs_per_page,
             paginate_via_links=args.paginate_via_links)
-        eng = CrawlEngine(cfg, args.out, num_partitions=args.partitions,
-                          max_per_host_per_round=args.max_per_host)
-        eng.seed(SimWeb(cfg).seed_urls())
+        if args.resume:
+            if not args.checkpoint_dir:
+                p.error("--resume requires --checkpoint-dir")
+            eng = CrawlEngine.resume(args.checkpoint_dir, cfg, args.out,
+                                     max_per_host_per_round=args.max_per_host)
+        else:
+            eng = CrawlEngine(cfg, args.out, num_partitions=args.partitions,
+                              max_per_host_per_round=args.max_per_host)
+            eng.seed(SimWeb(cfg).seed_urls())
         rounds = eng.run(checkpoint_dir=args.checkpoint_dir)
         print(json.dumps({"rounds": rounds, "fetched": len(eng.crawl_log),
                           "metrics": eng.metrics()["total"]}))
