@@ -64,13 +64,27 @@ def run_crawl(num_cpus: int) -> dict:
     t0 = time.time()
     eng.run(max_rounds=16)
     sec = time.time() - t0
-    urls = len(eng.crawl_log)
+    log = eng.crawl_log
+    urls = len(log)
     metrics = eng.metrics()["total"]
+    # determinism digest: the full crawl log + the sorted payload id set.
+    # Equal digests at different num_cpus = the parallelism-invariance
+    # claim verified AT BENCH SCALE, not just in the unit tests.
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+    h = hashlib.sha256(repr(log).encode())
+    pay = pq.read_table(sorted(glob.glob(f"{out}/payload/round=*/*.parquet")),
+                        columns=["image_id", "phash"])
+    h.update(repr(sorted(zip(pay["image_id"].to_pylist(),
+                             pay["phash"].to_pylist()))).encode())
     import shutil
     shutil.rmtree(out, ignore_errors=True)
     return {"sec": round(sec, 2), "urls": urls,
             "urls_per_sec": round(urls / sec, 1),
             "rounds": eng.round,
+            "digest": h.hexdigest()[:16],
             "metrics": metrics}
 
 
@@ -141,7 +155,7 @@ def main_bench(crawl_only: bool = False) -> dict:
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "num_cpus": NUM_CPUS,
         "crawl": {"urls": crawl["urls"], "urls_per_sec": crawl["urls_per_sec"],
-                  "rounds": crawl["rounds"]},
+                  "rounds": crawl["rounds"], "digest": crawl["digest"]},
     }
     if not crawl_only:
         fr = run_frontier_microbench()
@@ -237,8 +251,12 @@ def main_scaling() -> dict:
     ray.shutdown()
     fr_speedup = fr_hi["pops_per_sec"] / fr_lo["pops_per_sec"]
 
+    digests = {d["crawl"]["digest"] for rs in runs.values() for d in rs}
     return {
         "metric": "crawl scaling efficiency (num_cpus 8 vs 32, same input)",
+        # identical crawl-log + payload digests across every run at both
+        # CPU counts — output is a pure function of the link graph
+        "deterministic_across_levels": len(digests) == 1,
         "sec_8": t_lo, "sec_32": t_hi,
         "urls_per_sec_8": r_lo["crawl"]["urls_per_sec"],
         "urls_per_sec_32": r_hi["crawl"]["urls_per_sec"],
