@@ -374,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": R2.q_asof_join,
         "range_join_counts": R2.q_range_join_counts,
         "event_gap": R2.q_event_gap,
+        "p95_per_type": R2.q_p95_per_type,
+        "value_histogram": R2.q_value_histogram,
         # the crawl itself as a gated pipeline (rows-only; deterministic)
         "crawl_payload": _crawl_payload,
         # crawl + external fuzzy fulltext recovery + sector enrich (M10/J6)
@@ -724,6 +726,19 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id)), 4)
                        AS gap_seconds
             FROM events
+        """,
+        "p95_per_type": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "value_histogram": """
+            SELECT CASE WHEN value < 0 THEN 0
+                        WHEN value >= 100 THEN 11
+                        ELSE CAST(FLOOR(value / 10) + 1 AS BIGINT)
+                   END AS bin,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1 HAVING COUNT(*) > 0
         """,
         "fuzzy_name_pairs": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

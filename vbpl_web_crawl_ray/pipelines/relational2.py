@@ -399,3 +399,45 @@ def q_event_gap(sf_dir: str):
 
     return (bucketed_group_apply(ev, "user_id", lag_per_user, num_buckets=8)
             .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+
+def q_p95_per_type(sf_dir: str):
+    """Per-group continuous 95th percentile (linear interpolation — the
+    same estimator as SQL quantile_cont). Groups land whole in one hash
+    bucket; the quantile is one vectorized np.quantile per group."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def q95(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("event_type")["value"]
+                .quantile(0.95, interpolation="linear")
+                .reset_index(name="p95"))
+        out["p95"] = round_half_away(out["p95"].to_numpy(), 4)
+        return out
+
+    return (bucketed_group_apply(ev, "event_type", q95, num_buckets=4)
+            .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+
+def q_value_histogram(sf_dir: str, lo: float = 0.0, hi: float = 100.0,
+                      n_bins: int = 10):
+    """Fixed-width histogram of event values: per-batch vectorized
+    bincount partials, tiny driver reduce — the classic mergeable
+    aggregate (no shuffle at all)."""
+    ev = _read(sf_dir, "events", ["value"])
+    width = (hi - lo) / n_bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        # width_bucket semantics: bin 0 = below lo, bin n_bins+1 = >= hi
+        idx = np.clip(np.floor((v - lo) / width).astype(np.int64) + 1,
+                      0, n_bins + 1)
+        idx[v < lo] = 0
+        idx[v >= hi] = n_bins + 1
+        c = np.bincount(idx, minlength=n_bins + 2)
+        return pd.DataFrame({"bin": np.arange(n_bins + 2, dtype=np.int64),
+                             "n": c.astype(np.int64)})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("bin", as_index=False)["n"].sum()
+    out = out[out["n"] > 0].astype({"bin": "int64", "n": "int64"})
+    return out.sort_values("bin").reset_index(drop=True)
