@@ -83,6 +83,10 @@ def oracle_crawl(cfg, max_per_host=None, default_delay=1.0, max_retries=3):
         for t, host, depth, order, url in popped:
             log.append((t, host, depth, order, url))
             status, body = fetch(url)
+            if status in (301, 302):
+                # redirect target re-offered at the same priority
+                cands.append((urljoin(url, body.decode()), depth, order))
+                continue
             if status != 200:
                 continue
             text = body.decode()

@@ -188,6 +188,21 @@ def test_checkpoint_resume(tmp_path, engine_run):
         sorted(pa_full["image_id"].to_pylist())
 
 
+def test_redirects_followed_without_double_fetch(engine_run, oracle):
+    """Legacy /d.aspx listing links 301 to the canonical doc URL: the
+    crawl follows via a frontier re-offer (logged, counted) and the
+    target is fetched exactly once even when also linked directly."""
+    eng, _ = engine_run
+    m = eng.metrics()["total"]
+    assert m["redirected"] > 0
+    urls = [u for (*_, u) in eng.crawl_log]
+    legacy = [u for u in urls if "/d.aspx" in u]
+    assert legacy, "listing must route some docs through the legacy URL"
+    assert len(urls) == len(set(urls))      # nothing fetched twice
+    for u in legacy:                         # every 301 target was crawled
+        assert u.replace("/d.aspx", "/doc.aspx") in set(urls)
+
+
 def test_midround_crash_replay_no_duplicates(tmp_path, oracle):
     """A crash DURING a round leaves partial files in that round's output
     dirs; the re-run must wipe and replace them, never append (the

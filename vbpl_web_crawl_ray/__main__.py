@@ -74,6 +74,11 @@ def main(argv=None):
     k.add_argument("--table", default="payload")
     k.add_argument("--key", default="image_id")
 
+    x = sub.add_parser("export", help="compact + export the payload table "
+                                      "(Lance when installed, else parquet)")
+    x.add_argument("--out", required=True)
+    x.add_argument("--dest", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "bench":
@@ -130,6 +135,9 @@ def main(argv=None):
         from .stages.upsert import compact_crawl_output
         print(json.dumps({"compacted": compact_crawl_output(
             args.out, args.table, args.key)}))
+    elif args.cmd == "export":
+        from .sources.sinks import export_crawl_payload
+        print(json.dumps(export_crawl_payload(args.out, args.dest)))
     ray.shutdown()
 
 

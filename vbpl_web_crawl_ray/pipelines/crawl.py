@@ -91,14 +91,16 @@ class LineageCounters:
     def __init__(self):
         self.retried = 0
         self.failed = 0
+        self.redirected = 0
 
-    def add(self, retried: int, failed: int) -> None:
+    def add(self, retried: int, failed: int, redirected: int = 0) -> None:
         self.retried += retried
         self.failed += failed
+        self.redirected += redirected
 
-    def drain(self) -> tuple[int, int]:
-        out = (self.retried, self.failed)
-        self.retried = self.failed = 0
+    def drain(self) -> tuple[int, int, int]:
+        out = (self.retried, self.failed, self.redirected)
+        self.retried = self.failed = self.redirected = 0
         return out
 
 
@@ -140,7 +142,8 @@ class CrawlEngine:
         self.round = 0
         # north_rule lineage: fetched / retried / failed counters (the
         # frontier actors carry offered/deduped/robots_blocked/queued)
-        self.lineage = {"fetched": 0, "retried": 0, "failed": 0}
+        self.lineage = {"fetched": 0, "retried": 0, "failed": 0,
+                        "redirected": 0}
         os.makedirs(out_dir, exist_ok=True)
 
     # ---- seeding / offering ----
@@ -231,12 +234,13 @@ class CrawlEngine:
         self.last_stats = ds.stats()   # per-stage wall/cpu breakdown
 
         ray.get([a.clear_pop_chunks.remote() for a in self.actors])
-        retried, failed = ray.get(self.counters.drain.remote())
+        retried, failed, redirected = ray.get(self.counters.drain.remote())
         popped = sum(pq.read_metadata(f).num_rows for f in glob.glob(
             f"{self.out_dir}/crawl_log/round={r}/part-*.parquet"))
         self.lineage["fetched"] += popped
         self.lineage["retried"] += retried
         self.lineage["failed"] += failed
+        self.lineage["redirected"] += redirected
         ray.get([a.commit.remote() for a in self.actors])
         self.round += 1
         return True

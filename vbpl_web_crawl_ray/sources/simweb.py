@@ -156,8 +156,13 @@ class SimWeb:
         for j in range(start, min(start + cfg.docs_per_page, cfg.docs_per_host(k))):
             doc_id = base + j
             title = self._caption(doc_id)[:60]
+            # every 6th listing entry links through the legacy short URL,
+            # which 301-redirects to the canonical doc URL — crawlers must
+            # follow without double-fetching the target
+            href = (f"/d.aspx?ItemID={doc_id}" if doc_id % 6 == 0
+                    else f"/doc.aspx?ItemID={doc_id}")
             rows.append(
-                f'<p class="title"><a href="/doc.aspx?ItemID={doc_id}">{title}</a></p>'
+                f'<p class="title"><a href="{href}">{title}</a></p>'
                 f'<div class="des">Trích yếu {doc_id}</div>')
         # canonicalization trap: duplicate link in non-canonical form
         if rows:
@@ -388,6 +393,11 @@ class SimWeb:
             if not (1 <= page <= self.cfg.pages_per_host_of(k)):
                 return 404, "text/plain", b""
             return 200, "text/html", self._listing_body(k, page)
+        if path == "/d.aspx":
+            # legacy short URL: permanent redirect to the canonical form
+            # (Location carried in the body; content_type marks it)
+            doc_id = int(re.search(r"ItemID=(\d+)", query).group(1))
+            return 301, "location", f"/doc.aspx?ItemID={doc_id}".encode()
         if path in ("/doc.aspx", "/doc2.aspx"):
             doc_id = int(re.search(r"ItemID=(\d+)", query).group(1))
             if (self.cfg.host_of_doc(doc_id) != k

@@ -450,8 +450,18 @@ class ParseStage:
         payload_rows: list[dict] = []
         out: dict[str, list] = {k: [] for k in SIDE_TABLES}
         retried = 0
+        redirected = 0
         for rec in batch.to_pylist():
             retried += int(rec.get("retries") or 0)
+            if rec["status"] in (301, 302):
+                # redirect = deterministic frontier RE-OFFER at the same
+                # (depth, discovery_order) priority; the target dedups
+                # through the seen filter like any discovered link, so a
+                # target that is also linked directly is fetched once
+                links.append((urljoin(rec["url"], rec["body"].decode()),
+                              rec["depth"], rec["discovery_order"]))
+                redirected += 1
+                continue
             if rec["status"] != 200:
                 out["fails"].append((rec["url"], int(rec["status"])))
                 continue
@@ -471,9 +481,10 @@ class ParseStage:
                     partition_of(rec[0], len(self.frontier)), []).append(rec)
             pending += [self.frontier[p].stage.remote(b)
                         for p, b in buckets.items()]
-        if self.counters is not None and (retried or out["fails"]):
+        if self.counters is not None and (retried or redirected
+                                          or out["fails"]):
             pending.append(self.counters.add.remote(
-                retried, len(set(out["fails"]))))
+                retried, len(set(out["fails"])), redirected))
         if pending:
             ray.get(pending)
         if not payload_rows:
