@@ -73,6 +73,10 @@ def _run_crawl_cached(sf_dir: str, cfg_kw: dict, **eng_kw) -> str:
         return _CRAWL_CACHE[key]
     cfg = config_from_documents(sf_dir, max_captions=256, **cfg_kw)
     out = tempfile.mkdtemp(prefix="vbpl_crawl_q_")
+    # fused task mode: per-actor state is trivial in the hermetic sim, so
+    # tasks on warm workers beat per-round actor-pool startup (output is
+    # identical either way)
+    eng_kw.setdefault("use_actors", False)
     eng = CrawlEngine(cfg, out, num_partitions=2, **eng_kw)
     eng.seed(SimWeb(cfg).seed_urls())
     eng.run(max_rounds=16)
