@@ -17,6 +17,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vbpl_web_crawl_ray.pipelines import corpus as CP  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import curation as CU  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
@@ -346,6 +347,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_counts": CP.q_quality_filter_counts,
         "tfidf_topk": CP.q_tfidf_topk,
         "rollup_revenue": CP.q_rollup_revenue,
+        # curation: sampling / decontamination / packing (training-data
+        # selection steps; all deterministic, all but packing shuffle-free)
+        "hash_sample": CU.q_hash_sample,
+        "dup_ngram_fraction": CU.q_dup_ngram_fraction,
+        "decontaminate": CU.q_decontaminate,
+        "pack_sequences": CU.q_pack_sequences,
+        "mixture_weights": CU.q_mixture_weights,
         # dedup family (§2.7 + training-data additions)
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
@@ -583,6 +591,55 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue,
                    COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '1999999a'
+        """,
+        "dup_ngram_fraction": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                  FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i))
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   COUNT(DISTINCT gram) AS n_distinct
+            FROM g GROUP BY doc_id
+        """,
+        "decontaminate": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] AS gram
+                  FROM t, UNNEST(generate_series(1, len(w) - 3)) AS u(i)),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id, COUNT(*) AS n_hits
+            FROM g JOIN ev USING (gram)
+            WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         COALESCE(SUM(n_tokens) OVER (
+                             ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS cum
+                  FROM t)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum // 512 AS BIGINT) AS seq_start,
+                   CAST((cum + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
+                   CAST(cum % 512 AS BIGINT) AS offset_in_seq
+            FROM c
+        """,
+        "mixture_weights": """
+            WITH c AS (SELECT source, COUNT(*) AS n
+                       FROM documents GROUP BY source)
+            SELECT source, n,
+                   ROUND(CAST((SELECT MAX(n) FROM c) AS DOUBLE) / n, 6)
+                       AS weight
+            FROM c
         """,
         "quality_filter_counts": f"""
             WITH q AS (

@@ -1,0 +1,189 @@
+"""Training-data curation operators over the documents table.
+
+The selection/cleaning steps between dedup and training that every
+large-scale pretraining pipeline runs:
+
+- deterministic hash-based sampling (the only sampling that is
+  reproducible across re-runs, resumes and cluster sizes — reference has
+  no sampling at all, SURVEY.md §2.6, so this is engine-added),
+- within-document repetition accounting (Gopher-style quality signal:
+  duplicate n-gram mass inside one doc),
+- benchmark decontamination (flag training docs sharing word n-grams
+  with a held-out eval set — the standard pre-training hygiene join),
+- token-budget sequence packing (concatenate-and-chunk GPT-style
+  packing: a distributed prefix scan assigning every doc its sequence
+  id + offset),
+- source mixture weights (uniform-target reweighting factors).
+
+Scale notes per operator are inline; the common theme: documents never
+gather on the driver — only fixed-size partials (bucket sums, the
+eval-gram set, per-source counts) move through `ray.put` / tiny merges.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+
+# Bernoulli keep-threshold: first 8 md5 hex chars < this <=> u < 0.1 for
+# the uniform u = int(hex8,16)/2^32.  Hex strings of equal length compare
+# lexicographically exactly like their numeric values, so the threshold
+# is a plain string compare in both engines (Python and the DuckDB
+# oracle use the same md5 of the same salt string).
+SAMPLE_RATE_HEX = "1999999a"      # floor(0.1 * 2^32) = 0x1999999A
+EVAL_MOD = 97                     # doc_id % 97 == 0 => held-out eval doc
+DECON_NGRAM = 4                   # decontamination word-n-gram width
+PACK_BUDGET = 512                 # tokens per packed training sequence
+PACK_RANGE = 4096                 # doc_ids per prefix-scan range bucket
+
+
+def _docs(sf_dir: str, cols=("doc_id", "source", "text")) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+
+
+def q_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified Bernoulli sample: keep a doc iff
+    md5("{source}:{doc_id}") < rate.  Salting the key with the stratum
+    makes per-source inclusion independent, and the decision is a pure
+    function of the row — no RNG state, no seed coordination across
+    nodes, identical at any parallelism (the property random.sample
+    cannot give a distributed pipeline).  Embarrassingly parallel:
+    one map_batches, no shuffle."""
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["source"].astype(str) + ":" + df["doc_id"].astype(str)
+        h = [hashlib.md5(k.encode()).hexdigest()[:8] for k in key]
+        mask = np.array(h) < SAMPLE_RATE_HEX
+        return df.loc[mask, ["doc_id", "source"]]
+
+    out = (_docs(sf_dir, ("doc_id", "source")).map_batches(
+               keep, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dup_ngram_fraction(sf_dir: str) -> pd.DataFrame:
+    """Per-document duplicate-bigram accounting (the within-doc
+    repetition signal from Gopher's quality filters): total vs distinct
+    word bigrams.  Integer outputs only, so the oracle hash-match is
+    exact.  Per-doc work is independent -> one map_batches pass."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n_grams = np.zeros(len(df), dtype=np.int64)
+        n_distinct = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
+            w = t.split(" ")
+            n_grams[i] = max(len(w) - 1, 0)
+            n_distinct[i] = len(set(zip(w, w[1:])))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_grams": n_grams, "n_distinct": n_distinct})
+
+    out = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag every training doc that shares a
+    word 4-gram with the held-out eval slice (doc_id % 97 == 0).
+
+    Scale shape: the eval set is a benchmark — thousands of docs, MBs —
+    so its distinct-gram set is broadcast once via ray.put and probed
+    inside map_batches (the canonical small-side broadcast join); the
+    100 TB training side streams.  An eval set too big to broadcast
+    would fall back to the bucketed gram-hash semi-join in
+    stages/joins.py (bloom_semi_join)."""
+    ev = (_docs(sf_dir, ("doc_id", "text"))
+          .filter(lambda r: r["doc_id"] % EVAL_MOD == 0)
+          .to_pandas())
+    grams: set[str] = set()
+    for t in ev["text"]:
+        w = t.split(" ")
+        grams.update(" ".join(w[i:i + DECON_NGRAM])
+                     for i in range(len(w) - DECON_NGRAM + 1))
+    ref = ray.put(grams)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        gs = ray.get(ref)
+        rows = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            if did % EVAL_MOD == 0:
+                continue
+            w = t.split(" ")
+            hits = sum(1 for i in range(len(w) - DECON_NGRAM + 1)
+                       if " ".join(w[i:i + DECON_NGRAM]) in gs)
+            if hits:
+                rows.append((did, hits))
+        return pd.DataFrame(rows, columns=["doc_id", "n_hits"]) \
+            .astype({"doc_id": "int64", "n_hits": "int64"})
+
+    out = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        probe, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """GPT-style sequence packing: concatenate all docs in doc_id order
+    and chunk the token stream into PACK_BUDGET-token sequences; each
+    doc gets (seq_start, seq_end, offset_in_seq).  This is a global
+    prefix sum — the one genuinely order-coupled operator here — done as
+    a two-pass range-partitioned scan:
+
+      pass 1: per-range-bucket token sums (groupby on doc_id//PACK_RANGE;
+              one tiny row per bucket to the driver),
+      pass 2: driver cumsums the bucket sums (O(n_docs/4096) work — a
+              tree scan generalizes beyond ~1e8 buckets), broadcasts the
+              per-bucket start offsets, and each bucket finishes its own
+              local cumsum in parallel.
+
+    No full-data sort and no driver materialization of doc rows."""
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "rb": (df["doc_id"].to_numpy() // PACK_RANGE).astype("int64"),
+            "n_tokens": (df["text"].str.count(" ") + 1).astype("int64")}),
+        batch_format="pandas")
+    ds = ds.materialize()      # reused by both passes; per-doc ints only
+
+    sums = (ds.groupby("rb").sum("n_tokens").to_pandas()
+              .sort_values("rb").reset_index(drop=True))
+    starts = sums["sum(n_tokens)"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(sums["rb"].astype(int), starts.astype(int)))
+    ref = ray.put(offsets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(ref)[int(g["rb"].iloc[0])]
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        cum = base + np.concatenate(([0], np.cumsum(n[:-1])))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "seq_start": cum // PACK_BUDGET,
+            "seq_end": (cum + n - 1) // PACK_BUDGET,
+            "offset_in_seq": cum % PACK_BUDGET})
+
+    out = (ds.groupby("rb").map_groups(finish, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True) \
+              .astype({c: "int64" for c in
+                       ("n_tokens", "seq_start", "seq_end", "offset_in_seq")})
+
+
+def q_mixture_weights(sf_dir: str) -> pd.DataFrame:
+    """Per-source uniform-target mixture weights: weight = max_count /
+    count, the factor a sampler would apply to flatten the source
+    distribution.  Partial counts per batch, tiny groupby merge."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(
+            n=("doc_id", "size"))
+
+    parts = (_docs(sf_dir, ("doc_id", "source"))
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    out = (parts.groupby("source", as_index=False)["n"].sum()
+                .astype({"n": "int64"}))
+    out["weight"] = round_half_away(out["n"].max() / out["n"].to_numpy(), 6)
+    return out.sort_values("source").reset_index(drop=True)
