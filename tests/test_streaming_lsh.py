@@ -108,9 +108,11 @@ def test_stream_never_materializes_input(sf_dir, monkeypatch):
 
 
 def test_dedup_verify_never_materializes_corpus(sf_dir, monkeypatch):
-    """The MinHash/ngram verify steps must keep signatures and shingle
-    sets distributed (hash joins onto the candidate pairs): the only
-    driver-side to_pandas allowed is the final small pair list."""
+    """With the broadcast gate forced off, the MinHash/ngram verify steps
+    must keep signatures and shingle sets fully distributed (pair-halves
+    shuffle): the only driver-side to_pandas allowed is the final small
+    pair list."""
+    monkeypatch.setattr(dedup, "BROADCAST_MAX_BYTES", 0)
     real = rd.Dataset.to_pandas
 
     def bounded(self, *a, **k):
@@ -124,6 +126,15 @@ def test_dedup_verify_never_materializes_corpus(sf_dir, monkeypatch):
     assert {"id_a", "id_b", "est_jaccard"} <= set(pairs.columns)
     jac = dedup.ngram_jaccard_pairs(sf_dir, threshold=0.5)
     assert {"id_a", "id_b", "jaccard"} <= set(jac.columns)
+
+
+def test_dedup_verify_broadcast_matches_shuffle(sf_dir, monkeypatch):
+    """The size-gated broadcast verify and the pair-halves shuffle verify
+    are two implementations of the same attach — results must agree."""
+    bcast = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5)
+    monkeypatch.setattr(dedup, "BROADCAST_MAX_BYTES", 0)
+    shuf = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5)
+    assert bcast.equals(shuf)
 
 
 def test_stream_incremental_across_feeds(sf_dir):

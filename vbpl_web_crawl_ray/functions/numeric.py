@@ -18,3 +18,15 @@ def round_half_away(x, decimals: int = 4):
     if np.isscalar(x) or arr.ndim == 0:
         return float(out)
     return out
+
+
+def blob_matrix(blobs, dtype) -> np.ndarray:
+    """Decode a column of equal-width binary blobs into an (n, k) matrix
+    with ONE buffer copy (``b"".join`` + one frombuffer) instead of a
+    per-row frombuffer/stack loop — the verify stages run this over
+    candidate sets orders of magnitude larger than the corpus."""
+    blobs = list(blobs)
+    if not blobs:
+        return np.empty((0, 0), dtype=dtype)
+    flat = np.frombuffer(b"".join(blobs), dtype=dtype)
+    return flat.reshape(len(blobs), -1)

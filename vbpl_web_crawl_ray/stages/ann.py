@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..functions.numeric import round_half_away
+from ..functions.numeric import blob_matrix, round_half_away
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -115,8 +115,7 @@ def _distributed_kmeans(embds: rd.Dataset, dim: int, n_cells: int,
 
         def partials(df: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(cref)
-            m = np.stack([np.frombuffer(b, dtype=np.float64)
-                          for b in df["emb"]])
+            m = blob_matrix(df["emb"], np.float64)
             a = np.argmax(m @ c.T, axis=1)
             sums = np.zeros((len(c), m.shape[1]))
             np.add.at(sums, a, m)
@@ -139,6 +138,12 @@ def _distributed_kmeans(embds: rd.Dataset, dim: int, n_cells: int,
     return cents
 
 
+# An IVF index is a build-once artifact (the expensive k-means + posting
+# layout); queries reuse it. Keyed by every build parameter, so a changed
+# config rebuilds — same memo rationale as the sim-crawl config cache.
+_IVF_CACHE: dict[tuple, tuple[np.ndarray, str]] = {}
+
+
 def build_ivf_index(sf_dir: str, out_dir: str | None = None,
                     n_cells: int = 16, iters: int = 10,
                     seed: int = 5) -> tuple[np.ndarray, str]:
@@ -146,6 +151,11 @@ def build_ivf_index(sf_dir: str, out_dir: str | None = None,
     assignment pass writes posting lists as a cell-partitioned parquet
     directory. Returns (centroids, posting_dir): a query reads ONLY its
     probed cells' partitions."""
+    key = (os.path.abspath(sf_dir), n_cells, iters, seed)
+    if out_dir is None:
+        hit = _IVF_CACHE.get(key)
+        if hit is not None and os.path.isdir(hit[1]):
+            return hit
     embds = _emb_blob_ds(sf_dir).materialize()
     dim = len(np.frombuffer(embds.take(1)[0]["emb"], dtype=np.float64))
     cents = _distributed_kmeans(embds, dim, n_cells, iters, seed)
@@ -153,12 +163,15 @@ def build_ivf_index(sf_dir: str, out_dir: str | None = None,
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cref)
-        m = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb"]])
+        m = blob_matrix(df["emb"], np.float64)
         return df.assign(cell=np.argmax(m @ c.T, axis=1).astype(np.int64))
 
+    cache = out_dir is None
     out_dir = out_dir or tempfile.mkdtemp(prefix="ivf_index_")
     (embds.map_batches(assign, batch_format="pandas")
           .write_parquet(out_dir, partition_cols=["cell"]))
+    if cache:
+        _IVF_CACHE[key] = (cents, out_dir)
     return cents, out_dir
 
 
@@ -180,7 +193,7 @@ def ivf_query(cents: np.ndarray, posting_dir: str, q: np.ndarray,
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         qv = ray.get(qref)
-        m = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb"]])
+        m = blob_matrix(df["emb"], np.float64)
         sims = m @ qv
         idx = np.argsort(-sims, kind="stable")[:k]
         return pd.DataFrame({"vec_id": df["vec_id"].to_numpy()[idx].astype(np.int64),
@@ -233,7 +246,7 @@ def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         planes_, qcodes_, qv = ray.get(pref)
-        m = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb"]])
+        m = blob_matrix(df["emb"], np.float64)
         match = np.zeros(len(m), dtype=bool)
         for t in range(len(planes_)):
             match |= _codes(m, planes_[t]) == qcodes_[t]
@@ -259,12 +272,12 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
                            seed: int = 13) -> pd.DataFrame:
     """Scale path for cosine near-dup pairs: random-hyperplane signatures →
     (table, bucket) groupby → candidate pairs within buckets → exact cosine
-    verify via two hash joins of the embedding blobs onto the pairs. Only
-    (bucket_key, vec_id) rows shuffle in candidate generation and only the
-    candidates' embeddings move in the verify — the full matrix is never
-    built anywhere. Recall vs the exact baseline is asserted in tests —
+    verify via the pair-halves attach (the embedding blobs shuffle to the
+    pairs once). Only (bucket_key, vec_id) rows shuffle in candidate
+    generation and only the candidates' embeddings move in the verify —
+    the full matrix is never built anywhere. Recall vs the exact baseline is asserted in tests —
     LSH trades a bounded miss rate for candidate-set sparsity."""
-    from .dedup import _EMPTY_PAIRS, _dedup_pairs, _join_attach
+    from .dedup import _EMPTY_PAIRS, _attach_pair_payloads
     from .shuffle import bucketed_group_apply
 
     embds = _emb_blob_ds(sf_dir).materialize()
@@ -275,7 +288,7 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
 
     def signatures(df: pd.DataFrame) -> pd.DataFrame:
         planes_ = ray.get(planes_ref)
-        v = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb"]])
+        v = blob_matrix(df["emb"], np.float64)
         out_key, out_id = [], []
         for t in range(len(planes_)):
             codes = _codes(v, planes_[t])
@@ -298,22 +311,20 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = _dedup_pairs(
-        bucketed_group_apply(sigs, "bucket_key", pairs_in_bucket,
-                             num_buckets=8)).materialize()
+    cand = bucketed_group_apply(sigs, "bucket_key", pairs_in_bucket,
+                                num_buckets=8).materialize()
     if cand.count() == 0:
         return pd.DataFrame(_EMPTY_PAIRS)
 
-    with_a = _join_attach(cand, embds, "id_a", "emb", "emb_a",
-                          right_key="vec_id")
-    with_ab = _join_attach(with_a, embds, "id_b", "emb", "emb_b",
-                           right_key="vec_id")
+    # pair dedup happens inside the attach; embeddings move through the
+    # shuffle once (halves pattern) instead of once per side
+    with_ab = _attach_pair_payloads(cand, embds, "emb", id_col="vec_id")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame(_EMPTY_PAIRS)
-        a = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["emb_a"]])
-        b = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["emb_b"]])
+        a = blob_matrix(df["emb_a"], np.float64)
+        b = blob_matrix(df["emb_b"], np.float64)
         sims = np.einsum("ij,ij->i", a, b)
         keep = sims >= threshold
         return pd.DataFrame({"id_a": df["id_a"].to_numpy()[keep].astype(np.int64),

@@ -24,7 +24,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import hash64
-from ..functions.numeric import round_half_away
+from ..functions.numeric import blob_matrix, round_half_away
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -69,29 +69,98 @@ _EMPTY_PAIRS = {"id_a": pd.Series(dtype=np.int64),
                 "id_b": pd.Series(dtype=np.int64)}
 
 
-def _dedup_pairs(cand: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
-    """Distributed pair dedup: duplicates of (id_a, id_b) always share
-    id_a, so a bucketed drop_duplicates is exact — no driver collect.
-    Output is join-safe (compacted) since it feeds the verify joins."""
-    from .shuffle import bucketed_group_apply, compact_for_join
-    return compact_for_join(
-        bucketed_group_apply(cand, "id_a", lambda g: g.drop_duplicates(),
-                             num_buckets=num_buckets))
+# Size gate for the verify-attach strategy: a payload table at or under
+# this ships ONCE via ray.put and is probed in-task (broadcast join — the
+# LSH candidate set is often orders of magnitude larger than the payload
+# table it verifies against, so shuffling payloads to pairs moves far
+# more bytes than broadcasting the table).  Above the gate, the halves
+# shuffle below is the scale path.  Tests force the shuffle path by
+# setting this to 0.
+BROADCAST_MAX_BYTES = 64 << 20
 
 
-def _join_attach(cand: rd.Dataset, blobs: rd.Dataset, pair_key: str,
-                 blob_col: str, out_col: str,
-                 num_partitions: int = 8,
-                 right_key: str = "doc_id") -> rd.Dataset:
-    """Attach a per-doc payload column to candidate pairs via the native
-    hash join (signatures/sets shuffle to the pairs — no driver
-    materialization, no broadcast of the whole table)."""
-    joined = cand.join(blobs, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=(pair_key,), right_on=(right_key,))
-    return joined.map_batches(
-        lambda df: df.rename(columns={blob_col: out_col}),
-        batch_format="pandas")
+def _attach_pair_payloads(cand: rd.Dataset, payloads: rd.Dataset,
+                          payload_col: str, id_col: str = "doc_id",
+                          num_buckets: int = 16,
+                          placeholder: bytes | str = b"") -> rd.Dataset:
+    """(id_a, id_b) candidate pairs + a per-doc payload table ->
+    (id_a, id_b, <col>_a, <col>_b), distributed.
+
+    Strategy is chosen by the payload table's measured size (the classic
+    broadcast-vs-shuffle join decision):
+
+    - small side (<= BROADCAST_MAX_BYTES): collect the payload table
+      once, ray.put it, probe per batch — pairs never shuffle payloads
+      at all (one candidate-sized dedup shuffle only);
+    - large side: two hash joins (one per side) would move the full
+      payload table through an all-to-all TWICE; instead each pair
+      splits into two halves keyed by the doc whose payload it needs,
+      the halves union with the payload table, and one bucketed shuffle
+      attaches each half's payload (vectorized merge in-bucket).  A
+      second shuffle — sized by the CANDIDATES, not the corpus —
+      reunites the halves on id_a.
+
+    Duplicate candidate pairs (from multi-band / multi-shingle
+    collisions) are dropped in both paths, so callers don't need a
+    separate pair-dedup pass.
+
+    ``placeholder`` must carry the payload's Arrow type (b"" for binary
+    blobs, "" for strings) so the union's schemas unify."""
+    from .shuffle import bucketed_group_apply
+
+    size = payloads.size_bytes()
+    if size is not None and size <= BROADCAST_MAX_BYTES:
+        pdf = payloads.to_pandas()      # gated: provably small side
+        ref = ray.put(dict(zip(pdf[id_col], pdf[payload_col])))
+        a_col, b_col = f"{payload_col}_a", f"{payload_col}_b"
+
+        def attach_bcast(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates(["id_a", "id_b"])
+            m = ray.get(ref)
+            out = g.assign(**{a_col: g["id_a"].map(m),
+                              b_col: g["id_b"].map(m)})
+            return out.dropna(subset=[a_col, b_col])   # inner semantics
+
+        return bucketed_group_apply(cand, "id_a", attach_bcast,
+                                    num_buckets=num_buckets)
+
+    def halves(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.DataFrame({"key": df["id_a"], "id_a": df["id_a"],
+                          "id_b": df["id_b"], "side": np.int64(0),
+                          "payload": placeholder})
+        b = a.assign(key=df["id_b"].to_numpy(), side=np.int64(1))
+        return pd.concat([a, b], ignore_index=True)
+
+    def as_payload_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df[id_col],
+                             "id_a": np.int64(-1), "id_b": np.int64(-1),
+                             "side": np.int64(2),
+                             "payload": df[payload_col]})
+
+    tagged = cand.map_batches(halves, batch_format="pandas").union(
+        payloads.map_batches(as_payload_rows, batch_format="pandas"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        pl = g.loc[g["side"] == 2, ["key", "payload"]]
+        hv = (g.loc[g["side"] < 2, ["key", "id_a", "id_b", "side"]]
+               .drop_duplicates())
+        m = hv.merge(pl, on="key", how="inner")
+        return m[["id_a", "id_b", "side", "payload"]]
+
+    attached = bucketed_group_apply(tagged, "key", attach,
+                                    num_buckets=num_buckets)
+
+    a_col, b_col = f"{payload_col}_a", f"{payload_col}_b"
+
+    def reunite(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g.loc[g["side"] == 0, ["id_a", "id_b", "payload"]]
+                 .rename(columns={"payload": a_col}))
+        right = (g.loc[g["side"] == 1, ["id_a", "id_b", "payload"]]
+                  .rename(columns={"payload": b_col}))
+        return left.merge(right, on=["id_a", "id_b"], how="inner")
+
+    return bucketed_group_apply(attached, "id_a", reunite,
+                                num_buckets=num_buckets)
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
@@ -105,12 +174,24 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
     share a shingle within each one's first ``|S| - ceil(t*|S|) + 1``
     shingles. Any deterministic total order works for correctness — here
     (document_frequency, shingle), so no global rank dictionary is needed
-    and every stage is distributed:
+    and every stage is distributed, with the shuffle count minimized
+    (each Ray all-to-all costs seconds of fixed latency regardless of
+    volume, so stages that CAN share a shuffle do):
 
-      explode (doc, shingle) -> bucketed groupby DF counts -> hash-join
-      counts back to (doc, shingle) -> per-doc prefix emit -> per-shingle
-      pair gen (size-ratio pruned) -> pair dedup -> exact-Jaccard verify
-      via two hash joins of the shingle sets onto the candidate pairs.
+      shuffle 1 (by shingle_h): every occurrence of a shingle lands in
+        the same bucket, so the global document frequency is computed
+        in-bucket and attached to the (doc, shingle) rows in place — no
+        separate counts pass, no join-back;
+      shuffle 2 (by doc_id): per-doc prefix emit under the (df, shingle)
+        order;
+      shuffle 3 (by shingle_h): per-shingle pair generation with the
+        exact size-ratio prune (duplicate candidates across shingles are
+        kept — the verify is idempotent and the final result is small);
+      shuffle 4 (by doc key): candidate pair HALVES union'd with the
+        shingle-set table pick up their side's set — the full corpus
+        moves once here, not twice as with one join per side;
+      shuffle 5 (by id_a, candidate-sized): the two halves of each pair
+        meet, exact Jaccard vectorized per bucket.
 
     Nothing materializes on the driver until the final (small) pair list.
     """
@@ -146,21 +227,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
 
     exploded = sets_ds.map_batches(explode, batch_format="pandas")
 
-    # pass 1: global shingle document frequencies — per-batch combiner
-    # (each shingle ships once per batch) + bucketed sum. Fully distributed;
-    # the vocabulary never lands on the driver.
-    counts = bucketed_group_apply(
-        exploded, "shingle_h",
-        bucket_fn=lambda g: g.groupby("shingle_h", as_index=False)["c"].sum(),
-        partial_fn=lambda df: df.groupby("shingle_h", as_index=False)
-                                .agg(c=("doc_id", "size")),
-        num_buckets=16)
+    # shuffle 1: document frequencies computed in-bucket (a shingle's
+    # occurrences can't straddle buckets) and attached in place — the
+    # vocabulary never lands on the driver and never needs a join-back.
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        return g.assign(
+            c=g.groupby("shingle_h")["shingle_h"].transform("size")
+               .astype(np.int64))
 
-    # pass 2: join DF counts back onto (doc, shingle) rows, then emit each
-    # doc's prefix under the (c, shingle) total order
-    from .shuffle import compact_for_join
-    with_df = exploded.join(compact_for_join(counts, 16), join_type="inner",
-                            num_partitions=8, on=("shingle_h",))
+    with_df = bucketed_group_apply(exploded, "shingle_h", attach_df,
+                                   num_buckets=16)
 
     def per_doc_prefix(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -202,25 +278,21 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = _dedup_pairs(
-        bucketed_group_apply(prefix, "shingle_h", pairs_in_bucket,
-                             num_buckets=16)).materialize()
+    cand = bucketed_group_apply(prefix, "shingle_h", pairs_in_bucket,
+                                num_buckets=16).materialize()
     if cand.count() == 0:
         return pd.DataFrame({**_EMPTY_PAIRS,
                              "jaccard": pd.Series(dtype=np.float64)})
 
-    # verify: hash-join each side's shingle set onto the pair, exact
-    # Jaccard per candidate — the sets move to the (few) pairs, the driver
-    # never holds the corpus
-    sets_only = sets_ds.map_batches(
-        lambda df: df[["doc_id", "shingles"]], batch_format="pandas")
-    with_a = _join_attach(cand, sets_only, "id_a", "shingles", "sh_a")
-    with_ab = _join_attach(with_a, sets_only, "id_b", "shingles", "sh_b")
+    # verify shuffles A+B: each side's shingle set attaches to its pair
+    # halves (full corpus moves once), halves reunite candidate-sized.
+    with_ab = _attach_pair_payloads(cand, sets_ds, "shingles",
+                                    placeholder="")
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for ia, ib, ba, bb in zip(df["id_a"], df["id_b"],
-                                  df["sh_a"], df["sh_b"]):
+                                  df["shingles_a"], df["shingles_b"]):
             sa = set(ba.split(_SEP)) if ba else set()
             sb = set(bb.split(_SEP)) if bb else set()
             inter = len(sa & sb)
@@ -228,11 +300,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
             if union and inter / union >= threshold:
                 rows.append((ia, ib, round_half_away(inter / union, 4)))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
-            {"id_a": np.int64, "id_b": np.int64})
+            {"id_a": np.int64, "id_b": np.int64, "jaccard": np.float64})
 
-    return (with_ab.map_batches(verify, batch_format="pandas")
-                   .to_pandas().sort_values(["id_a", "id_b"])
-                   .reset_index(drop=True))
+    return (with_ab.map_batches(jaccard, batch_format="pandas")
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -322,25 +394,24 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
         return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
                              "id_b": np.array(out_b, dtype=np.int64)})
 
-    cand = _dedup_pairs(
-        banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
-    ).materialize()
+    cand = (banded.groupby("band")
+                  .map_groups(bucket_pairs, batch_format="pandas")
+                  .materialize())     # pair dedup happens in the attach
     if cand.count() == 0:
         return pd.DataFrame({**_EMPTY_PAIRS,
                              "est_jaccard": pd.Series(dtype=np.float64)})
 
-    # verify via two hash joins: each side's signature shuffles to its
-    # pairs; agreement is one vectorized uint64 compare per bucket — no
-    # driver signature map, no per-pair Python loop
-    with_a = _join_attach(cand, sigs, "id_a", "sig", "sig_a")
-    with_ab = _join_attach(with_a, sigs, "id_b", "sig", "sig_b")
+    # verify: each side's signature shuffles to its pair halves (corpus
+    # moves once), agreement is one vectorized uint64 compare per batch —
+    # no driver signature map, no per-pair Python loop
+    with_ab = _attach_pair_payloads(cand, sigs, "sig")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({**_EMPTY_PAIRS,
                                  "est_jaccard": pd.Series(dtype=np.float64)})
-        sa = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sig_a"]])
-        sb = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sig_b"]])
+        sa = blob_matrix(df["sig_a"], np.uint64)
+        sb = blob_matrix(df["sig_b"], np.uint64)
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         return pd.DataFrame({

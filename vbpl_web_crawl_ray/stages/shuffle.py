@@ -36,6 +36,103 @@ def bucket_of(values, num_buckets: int) -> np.ndarray:
             % num_buckets).astype(np.int64)
 
 
+def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                  num_buckets: int = 8, how: str = "inner",
+                  right_on: str | None = None) -> rd.Dataset:
+    """Distributed equi-join as ONE bucketed shuffle of the tagged union.
+
+    ``Dataset.join`` runs an actor-pool hash-join operator whose fixed
+    startup/build cost dominates at small-to-medium scale (~3-5 s per
+    call measured at sf0.1) while moving exactly the same bytes as a
+    bucket shuffle.  This joins the way the rest of this module shuffles:
+    pad both sides to a common Arrow schema (typed nulls), tag the side,
+    union (zero-copy), bucket by hash(key) % B, and pandas-merge inside
+    each bucket.  Same all-to-all volume, no join-actor pool, and the
+    skew/salting hook stays `bucket_of`.
+
+    Arrow-typed padding (not pandas NaN) is load-bearing: int64 keys with
+    NaN would round-trip through float64 and corrupt 64-bit hash keys.
+    The per-bucket filter drops the padded nulls BEFORE to_pandas, so
+    each side converts null-free at its original dtype.
+
+    Caller contract: besides the key, column names must not overlap
+    (rename first), and ``how`` is inner/left (right/full would need
+    null-padded emit of unmatched right rows; nothing here needs them).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if right_on and right_on != on:
+        right = right.map_batches(
+            lambda t: t.rename_columns(
+                [on if c == right_on else c for c in t.column_names]),
+            batch_format="pyarrow")
+
+    def _pa_schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        py_map = {int: pa.int64(), float: pa.float64(), str: pa.string(),
+                  bytes: pa.binary(), bool: pa.bool_()}
+
+        def conv(t):
+            if isinstance(t, pa.DataType):
+                return t
+            if t in py_map:
+                return py_map[t]
+            d = np.dtype(t)
+            if d.kind in "UO":
+                return pa.string()
+            return pa.from_numpy_dtype(d)
+
+        return pa.schema([(n, conv(t)) for n, t in zip(s.names, s.types)])
+
+    lschema, rschema = _pa_schema(left), _pa_schema(right)
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rextra = [c for c in rcols if c != on and c not in lcols]
+    lextra = [c for c in lcols if c != on and c not in rcols]
+    allcols = [on] + [c for c in lcols if c != on] + rextra
+
+    alltypes = {**rtypes, **ltypes}
+
+    def pad(side: int, extra: list[str], types: dict):
+        def f(t: pa.Table) -> pa.Table:
+            if on not in t.column_names:   # zero-column empty block from
+                t = pa.table({c: pa.nulls(0, type=alltypes[c])  # map_groups
+                              for c in (lcols if side == 0 else rcols)})
+            n = len(t)
+            cols = {c: t[c] for c in t.column_names}
+            for c in extra:
+                cols[c] = pa.nulls(n, type=types[c])
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            key = t[on].to_numpy(zero_copy_only=False)
+            cols[_BUCKET] = pa.array(bucket_of(key, num_buckets))
+            return pa.table({c: cols[c] for c in allcols + ["__side", _BUCKET]})
+        return f
+
+    lp = left.map_batches(pad(0, rextra, rtypes), batch_format="pyarrow")
+    rp = right.map_batches(pad(1, lextra, ltypes), batch_format="pyarrow")
+
+    out_order = lcols + rextra
+
+    def merge(g: pa.Table):
+        side = g["__side"]
+        lt = g.filter(pc.equal(side, 0)).select(lcols).combine_chunks()
+        rt = g.filter(pc.equal(side, 1)).select(rcols).combine_chunks()
+        out = lt.to_pandas().merge(rt.to_pandas(), on=on, how=how)
+        if len(out) == 0:   # keep Arrow types stable across empty blocks
+            return pa.table({c: pa.nulls(0, type=alltypes[c])
+                             for c in out_order})
+        return out[out_order]
+
+    return (lp.union(rp).groupby(_BUCKET)
+              .map_groups(merge, batch_format="pyarrow"))
+
+
 def compact_for_join(ds: rd.Dataset, num_blocks: int = 8) -> rd.Dataset:
     """Make a map_groups-derived dataset safe as a ``Dataset.join`` input.
 
