@@ -126,14 +126,15 @@ def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": np.array(ids, np.int64), "w": ws,
                              "tf": np.array(tfs, np.int64)})
 
-    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
-    dfreq = compact_for_join(bucketed_group_apply(
+    tf = docs.map_batches(tf_rows, batch_format="pandas")
+    # document frequency computed in-bucket and attached in place: every
+    # (doc, w) row of a word shares its bucket, so no counts pass and no
+    # join-back (same one-shuffle DF pattern as the ngram SSJoin)
+    joined = bucketed_group_apply(
         tf, "w",
-        bucket_fn=lambda g: g.groupby("w", as_index=False)["df"].sum(),
-        partial_fn=lambda d: d.groupby("w", as_index=False)
-                              .agg(df=("doc_id", "size")),
-        num_buckets=8), 8)
-    joined = tf.join(dfreq, join_type="inner", num_partitions=8, on=("w",))
+        bucket_fn=lambda g: g.assign(
+            df=g.groupby("w")["w"].transform("size").astype(np.int64)),
+        num_buckets=8)
 
     def per_doc_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(tfidf=round_half_away(
