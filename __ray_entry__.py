@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_user_state": _stream_user_state,
         # similarity search
         "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
+        "ann_multi_topk": lambda sf: ann.multi_query_topk(
+            sf, query_vec_ids=(0, 1, 2, 3), k=5),
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, query_vec_id=0, k=10),
         # fuzzy similarity join (J4/J5 pattern, dictionary-blocked)
@@ -703,6 +705,19 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cos_sim
             FROM embeddings WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "ann_multi_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3))
+            SELECT query_id, e.vec_id,
+                   ROUND(CAST(list_cosine_similarity(e.embedding, q.qe)
+                              AS DOUBLE), 4) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, q.qe)
+                               AS DOUBLE), 4) DESC, e.vec_id) <= 5
         """,
         "union_distinct": """
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'

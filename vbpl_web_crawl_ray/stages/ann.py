@@ -333,3 +333,48 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
     return (with_ab.map_batches(verify, batch_format="pandas")
                    .to_pandas().sort_values(["id_a", "id_b"])
                    .reset_index(drop=True))
+
+
+def multi_query_topk(sf_dir: str, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3),
+                     k: int = 5) -> pd.DataFrame:
+    """Batched exact ANN: top-k for a SET of queries in one corpus pass.
+
+    The query matrix broadcasts once via ray.put; each batch computes one
+    (batch x dim) @ (dim x Q) matmul and emits its local per-query top-k,
+    so the corpus streams exactly once however many queries ride along —
+    the amortization that makes brute-force the right baseline for
+    moderate Q at any corpus size. Driver merge is O(Q x k x batches).
+    """
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(query_vec_ids))])
+    order = {v: i for i, v in enumerate(t["vec_id"].to_pylist())}
+    qm = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+    qids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    qref = ray.put((qids, qm))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_ = ray.get(qref)
+        mat = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        sims = round_half_away(mat @ qm_.T, 4)          # n x Q
+        ids = df["vec_id"].to_numpy()
+        out = []
+        for j, qid in enumerate(qids_):
+            mask = ids != qid
+            s, i = sims[mask, j], ids[mask]
+            idx = np.lexsort((i, -s))[:k]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(idx), qid, dtype=np.int64),
+                "vec_id": i[idx].astype(np.int64),
+                "cos_sim": s[idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    merged = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (merged.sort_values(["query_id", "cos_sim", "vec_id"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                  .groupby("query_id", as_index=False).head(k)
+                  .reset_index(drop=True))
