@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
         "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
+        # batched model inference: logistic scorer, weights loaded once
+        # per actor (the model-checkpoint-in-__init__ pattern)
+        "model_quality_scores": lambda sf: textstats.model_quality_scores(
+            _docs(sf)),
         "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
         # corpus-level training-data accounting (partial-aggregate rollups)
         "corpus_stats": CP.q_corpus_stats,
@@ -593,6 +597,22 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue,
                    COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "model_quality_scores": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ({stop_list}))) AS DOUBLE) AS stops,
+                       CAST(length(text) AS DOUBLE) AS chars
+                FROM documents)
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-(
+                       0.8 * toks / 100.0
+                       + 2.5 * stops / toks
+                       - 1.2 * ((chars - (toks - 1)) / toks) / 10.0
+                       - 0.6))), 4) AS quality_prob
+            FROM f
         """,
         "hash_sample": """
             SELECT doc_id, source FROM documents

@@ -103,3 +103,49 @@ def rolling_fingerprint(ds: rd.Dataset, text_col: str = "text",
             fps[i] = hash64(grams).min()
         return pd.DataFrame({id_col: df[id_col].to_numpy(), "rolling_fp": fps})
     return ds.map_batches(f, batch_format="pandas")
+
+
+class QualityModel:
+    """Batched model inference as an actor-pool stage: a logistic
+    quality classifier whose weights load ONCE per actor in __init__
+    (the model-load-in-init pattern — at scale this is where a real
+    checkpoint deserializes; here the weights are fixed constants so the
+    score is reproducible and SQL-oracle-checkable). __call__ is one
+    vectorized feature extraction + one matmul + a sigmoid per batch —
+    no per-row Python in the scoring path.
+
+    Features (chosen to be ANSI-SQL-expressible for the oracle):
+      x1 = token count / 100
+      x2 = stopword-token fraction
+      x3 = mean word length / 10
+    score = sigmoid(w . x + b), rounded half-away to 6.
+    """
+
+    WEIGHTS = np.array([0.8, 2.5, -1.2])
+    BIAS = -0.6
+
+    def __init__(self):
+        # stands in for checkpoint load / tokenizer init: done once per
+        # actor, reused across every batch the actor scores
+        self.w = np.asarray(self.WEIGHTS, dtype=np.float64)
+        self.b = float(self.BIAS)
+        self.stop_pattern = _STOP_PATTERN
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].str.count(" ") + 1).to_numpy(np.float64)
+        stops = df["text"].str.count(self.stop_pattern).to_numpy(np.float64)
+        chars = df["text"].str.len().to_numpy(np.float64)
+        # mean word length: (chars - separators) / tokens
+        mwl = (chars - (toks - 1)) / toks
+        x = np.stack([toks / 100.0, stops / toks, mwl / 10.0], axis=1)
+        z = x @ self.w + self.b
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "quality_prob": round_half_away(1.0 / (1.0 + np.exp(-z)), 4)})
+
+
+def model_quality_scores(ds: rd.Dataset, concurrency=(1, 8),
+                         batch_size: int = 512) -> rd.Dataset:
+    """Score every document with the actor-pool quality model."""
+    return ds.map_batches(QualityModel, batch_format="pandas",
+                          concurrency=concurrency, batch_size=batch_size)
