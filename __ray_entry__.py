@@ -21,7 +21,7 @@ from vbpl_web_crawl_ray.pipelines import curation as CU  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
-from vbpl_web_crawl_ray.stages import ann, dedup, enrich, textstats  # noqa: E402
+from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 
 
 def entry() -> Any:
@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_filter": _embedding_dedup_filter,
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
+        # end-to-end semantic dedup from raw text: actor-pool feature-
+        # hashing embedder -> cosine pairs (exact-dup subset pytest-proven)
+        "doc_embedding_near_dup": lambda sf: embed.doc_embedding_near_dup(
+            sf, threshold=0.95),
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=0.45),
         "stream_user_state": _stream_user_state,
         # similarity search
