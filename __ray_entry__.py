@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_counts": CP.q_quality_filter_counts,
         "tfidf_topk": CP.q_tfidf_topk,
         "rollup_revenue": CP.q_rollup_revenue,
+        "cube_revenue": CP.q_cube_revenue,
         # curation: sampling / decontamination / packing (training-data
         # selection steps; all deterministic, all but packing shuffle-free)
         "hash_sample": CU.q_hash_sample,
@@ -601,6 +602,13 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue,
                    COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "model_quality_scores": f"""
             WITH f AS (

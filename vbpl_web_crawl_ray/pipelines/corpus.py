@@ -180,6 +180,37 @@ def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     return out[["l_returnflag", "l_linestatus", "revenue", "n"]]
 
 
+def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (l_returnflag, l_linestatus): all four grouping sets
+    from the SAME single partial pass as the rollup — the cube only adds
+    the (linestatus) margin, re-aggregated from the tiny detail frame."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+                  .agg(revenue=("revenue", "sum"), n=("revenue", "size")))
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    detail = (parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+                   .agg(revenue=("revenue", "sum"), n=("n", "sum")))
+    by_flag = (detail.groupby("l_returnflag", as_index=False)
+                     .agg(revenue=("revenue", "sum"), n=("n", "sum")))
+    by_flag["l_linestatus"] = None
+    by_status = (detail.groupby("l_linestatus", as_index=False)
+                       .agg(revenue=("revenue", "sum"), n=("n", "sum")))
+    by_status["l_returnflag"] = None
+    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                          "revenue": [detail["revenue"].sum()],
+                          "n": [detail["n"].sum()]})
+    out = pd.concat([detail, by_flag, by_status, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "revenue", "n"]]
+
+
 def q_quality_filter_counts(sf_dir: str, min_tokens: int = 20,
                             min_stop_hits: int = 3) -> pd.DataFrame:
     """The training-data admission chain: exact dedup (min-doc_id
