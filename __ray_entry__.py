@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_distinct": R2.q_intersect_distinct,
         "except_distinct": R2.q_except_distinct,
         "stats_per_group": R2.q_stats_per_group,
+        "corr_per_group": R2.q_corr_per_group,
         "median_per_group": R2.q_median_per_group,
         "orders_per_month": R2.q_orders_per_month,
         "conditional_agg": R2.q_conditional_agg,
@@ -771,6 +772,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(l_discount), 6) AS min_disc,
                    ROUND(MAX(l_discount), 6) AS max_disc,
                    ROUND(STDDEV_SAMP(l_discount), 6) AS std_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "corr_per_group": """
+            SELECT l_returnflag,
+                   ROUND(CORR(l_quantity, l_extendedprice), 4)
+                       AS corr_qty_price,
+                   COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
         """,
         "median_per_group": """

@@ -441,3 +441,36 @@ def q_value_histogram(sf_dir: str, lo: float = 0.0, hi: float = 100.0,
     out = parts.groupby("bin", as_index=False)["n"].sum()
     out = out[out["n"] > 0].astype({"bin": "int64", "n": "int64"})
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def q_corr_per_group(sf_dir: str):
+    """Per-group Pearson correlation from mergeable raw-moment partials
+    (n, sum x, sum y, sum x2, sum y2, sum xy per batch): the bivariate
+    member of the moment-partials family (stats_per_group is univariate).
+    Six floats per (batch, group) move through the shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].astype(float)
+        y = df["l_extendedprice"].astype(float)
+        return (df.assign(x=x, y=y, xx=x * x, yy=y * y, xy=x * y)
+                  .groupby("l_returnflag", as_index=False)
+                  .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                       sxx=("xx", "sum"), syy=("yy", "sum"),
+                       sxy=("xy", "sum")))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("l_returnflag", as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), syy=("syy", "sum"), sxy=("sxy", "sum"))
+        num = a["sxy"] - a["sx"] * a["sy"] / a["n"]
+        den = np.sqrt((a["sxx"] - a["sx"] ** 2 / a["n"])
+                      * (a["syy"] - a["sy"] ** 2 / a["n"]))
+        return pd.DataFrame({
+            "l_returnflag": a["l_returnflag"],
+            "corr_qty_price": round_half_away((num / den).to_numpy(), 4),
+            "n": a["n"].astype("int64")})
+
+    return bucketed_group_apply(ds, "l_returnflag", final,
+                                num_buckets=4, partial_fn=partial)
