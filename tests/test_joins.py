@@ -56,3 +56,39 @@ def test_salted_group_agg_matches_plain_sum():
     assert list(out["k"]) == list(want["k"])
     assert list(out["n"]) == list(want["n"])
     assert np.allclose(out["s"].to_numpy(), want["s"].to_numpy())
+
+
+def test_bucketed_join_matches_pandas_merge():
+    """bucketed_join (tagged-union single-shuffle equi-join) == pd.merge,
+    including 64-bit hash keys that would corrupt via a float round-trip
+    and string payloads needing typed null padding."""
+    from vbpl_web_crawl_ray.stages.shuffle import bucketed_join
+    rng = np.random.default_rng(7)
+    big = np.array([-9204192446649557554, 9214484546570052943,
+                    (1 << 62) + 12345], dtype=np.int64)
+    lk = np.concatenate([rng.integers(0, 500, 3000).astype(np.int64), big])
+    left = pd.DataFrame({"k": lk, "a": np.arange(len(lk), dtype=np.int64)})
+    rk = np.concatenate([rng.integers(0, 400, 600).astype(np.int64), big])
+    right = pd.DataFrame({"k": rk, "b": [f"s{i}" for i in range(len(rk))]})
+    got = (bucketed_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", num_buckets=4)
+           .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True))
+    want = (left.merge(right, on="k", how="inner")
+                .sort_values(["k", "a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # the 64-bit keys survived exactly
+    assert set(big) <= set(got["k"])
+
+
+def test_bucketed_join_right_on_and_left_how():
+    from vbpl_web_crawl_ray.stages.shuffle import bucketed_join
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "a": np.arange(10, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 10, 2, dtype=np.int64),
+                          "b": np.arange(5, dtype=np.int64)})
+    got = (bucketed_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", right_on="rk", num_buckets=3, how="left")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (left.merge(right.rename(columns={"rk": "k"}), on="k", how="left")
+                .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
