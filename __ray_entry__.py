@@ -224,6 +224,33 @@ def _minhash_dup_clusters(sf_dir: str):
     return g
 
 
+def _doc_pagerank(sf_dir: str):
+    """PageRank over the crawl's discovered link graph (the reference's
+    vbpl_doc_map / related-document tables form a citation graph between
+    legal documents — authority scoring is its natural iterative
+    consumer). Edges come straight off the crawl's edges parquet;
+    deterministic fixed-iteration ranks. Rows-only (iterative — not
+    SQL-expressible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vbpl_web_crawl_ray.stages.graph import pagerank
+
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4),
+                            fetch_concurrency=(1, 2),
+                            parse_concurrency=(1, 2))
+    files = sorted(glob.glob(f"{out}/edges/round=*/*.parquet")) \
+        + sorted(glob.glob(f"{out}/doc_map/round=*/*.parquet"))
+    frames = []
+    for f in files:
+        frames.append(pq.read_table(f, columns=["src", "dst"]).to_pandas())
+    import pandas as pd
+    edges = pd.concat(frames, ignore_index=True).drop_duplicates()
+    return pagerank(edges, src="src", dst="dst", iters=20)
+
+
 def _crawl_host_stats(sf_dir: str):
     """Per-host crawl accounting straight off the crawl-log PARQUET (the
     log is data-plane output, consumed as a dataset — never a driver
@@ -410,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sections": _crawl_sections,
         # per-host politeness audit over the crawl-log dataset (ST6/O3)
         "crawl_host_stats": _crawl_host_stats,
+        # iterative authority scoring over the crawled citation graph
+        "doc_pagerank": _doc_pagerank,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,
