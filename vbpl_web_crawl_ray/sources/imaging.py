@@ -71,17 +71,25 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(20 * np.log10(255.0) - 10 * np.log10(mse))
 
 
+def block_means(pixels: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Exact block-mean downsample to (gh, gw) via two reduceat passes —
+    identical to the per-cell ``.mean()`` loop (uint8 sums are integers,
+    exact in float64) at a fraction of the Python overhead."""
+    h, w = pixels.shape
+    ys = np.linspace(0, h, gh + 1).astype(int)
+    xs = np.linspace(0, w, gw + 1).astype(int)
+    s = np.add.reduceat(
+        np.add.reduceat(pixels.astype(np.float64), ys[:-1], axis=0),
+        xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    return s / counts
+
+
 def phash64(pixels: np.ndarray, grid: int = 8) -> int:
     """Average-hash: block-mean downsample to grid x grid, threshold at the
     mean -> 64-bit int. Robust to the jpeg quantization above (near-dup rows
     share phash within small Hamming distance)."""
-    h, w = pixels.shape
-    ys = np.linspace(0, h, grid + 1).astype(int)
-    xs = np.linspace(0, w, grid + 1).astype(int)
-    blocks = np.empty((grid, grid), dtype=np.float64)
-    for i in range(grid):
-        for j in range(grid):
-            blocks[i, j] = pixels[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    blocks = block_means(pixels, grid, grid)
     bits = (blocks > blocks.mean()).ravel()
     return int(np.packbits(bits).view(">u8")[0])
 

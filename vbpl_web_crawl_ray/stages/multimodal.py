@@ -56,6 +56,10 @@ class ResizeImages:
 
     def _resize(self, px: np.ndarray) -> np.ndarray:
         h, w = px.shape
+        if self.th <= h and self.tw <= w:      # vectorized exact path
+            from ..sources.imaging import block_means
+            return block_means(px, self.th, self.tw).astype(np.uint8)
+        # upscale: some blocks are empty slices — keep the loop semantics
         ys = np.linspace(0, h, self.th + 1).astype(int)
         xs = np.linspace(0, w, self.tw + 1).astype(int)
         out = np.empty((self.th, self.tw), dtype=np.uint8)
