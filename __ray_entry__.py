@@ -426,6 +426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_counts": R2.q_range_join_counts,
         "event_gap": R2.q_event_gap,
         "p95_per_type": R2.q_p95_per_type,
+        "pivot_orders": R2.q_pivot_orders,
+        "mode_per_group": R2.q_mode_per_group,
+        "ntile_quartiles": R2.q_ntile_quartiles,
         "value_histogram": R2.q_value_histogram,
         # the crawl itself as a gated pipeline (rows-only; deterministic)
         "crawl_payload": _crawl_payload,
@@ -802,6 +805,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(l_discount), 6) AS max_disc,
                    ROUND(STDDEV_SAMP(l_discount), 6) AS std_disc
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "pivot_orders": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE year(o_orderdate) = 1995) AS y1995,
+                   COUNT(*) FILTER (WHERE year(o_orderdate) = 1996) AS y1996,
+                   COUNT(*) FILTER (WHERE year(o_orderdate) = 1997) AS y1997
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "mode_per_group": """
+            WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+                       FROM orders GROUP BY 1, 2)
+            SELECT o_orderpriority, o_orderstatus AS mode_status, n
+            FROM c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY n DESC, o_orderstatus) = 1
+        """,
+        "ntile_quartiles": """
+            WITH t AS (SELECT o_totalprice,
+                              NTILE(4) OVER (ORDER BY o_totalprice,
+                                             o_orderkey) AS quartile
+                       FROM orders)
+            SELECT quartile, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 4) AS sum_price
+            FROM t GROUP BY quartile
         """,
         "corr_per_group": """
             SELECT l_returnflag,

@@ -474,3 +474,118 @@ def q_corr_per_group(sf_dir: str):
 
     return bucketed_group_apply(ds, "l_returnflag", final,
                                 num_buckets=4, partial_fn=partial)
+
+
+def q_pivot_orders(sf_dir: str):
+    """PIVOT: order counts per priority x order-year, wide layout. A
+    pivot over a KNOWN small column domain is a grouped conditional
+    aggregation — one partial pass, no shuffle of fact rows."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    years = (1995, 1996, 1997)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].astype("datetime64[us]").dt.year
+        out = {"o_orderpriority": df["o_orderpriority"]}
+        agg = pd.DataFrame(out).assign(
+            **{f"y{yy}": (y == yy).astype(np.int64) for yy in years})
+        return agg.groupby("o_orderpriority", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).sum()
+    for yy in years:
+        out[f"y{yy}"] = out[f"y{yy}"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_mode_per_group(sf_dir: str):
+    """Deterministic per-group mode (most frequent o_orderstatus per
+    priority; ties -> lexicographically smallest): counts are partial-
+    aggregated per batch, the tiny (group x value) table merges and
+    argmaxes on the driver."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["o_orderpriority", "o_orderstatus"],
+                           as_index=False).agg(n=("o_orderstatus", "size")))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby(["o_orderpriority", "o_orderstatus"],
+                      as_index=False)["n"].sum()
+    c = c.sort_values(["o_orderpriority", "n", "o_orderstatus"],
+                      ascending=[True, False, True], kind="mergesort")
+    out = c.groupby("o_orderpriority", as_index=False).head(1)
+    return (out.rename(columns={"o_orderstatus": "mode_status"})
+               .astype({"n": "int64"})
+               .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_ntile_quartiles(sf_dir: str):
+    """Global NTILE(4) over (o_totalprice, o_orderkey) order WITHOUT a
+    global sort: a fixed-bin histogram pass gives each value-bin's
+    global offset (the distributed rank pattern — same prefix-scan shape
+    as pack_sequences, keyed by value range instead of id range), then
+    each bin computes its rows' exact global positions locally. Output:
+    per-quartile count + revenue — compact, verifiable."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = ds.materialize()
+
+    lo, hi = None, None
+    mm = ds.map_batches(
+        lambda df: pd.DataFrame({"lo": [df["o_totalprice"].min()],
+                                 "hi": [df["o_totalprice"].max()]}),
+        batch_format="pandas").to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    nbins = 256
+    width = (hi - lo) / nbins or 1.0
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(((df["o_totalprice"] - lo) / width).astype(np.int64),
+                       nbins - 1)
+        return df.assign(bin=b)
+
+    counts = (ds.map_batches(binned, batch_format="pandas")
+                .map_batches(lambda df: df.groupby("bin", as_index=False)
+                             .agg(c=("bin", "size")), batch_format="pandas")
+                .to_pandas().groupby("bin")["c"].sum())
+    offsets = np.zeros(nbins, dtype=np.int64)
+    cum = 0
+    for b in range(nbins):
+        offsets[b] = cum
+        cum += int(counts.get(b, 0))
+    total = cum
+    import ray
+    oref = ray.put(offsets)
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    def rank_in_bin(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a value-bin arrive together (bucketed by bin): sort
+        # within, add the bin's global offset
+        out = []
+        for b, sub in g.groupby("bin"):
+            sub = sub.sort_values(["o_totalprice", "o_orderkey"],
+                                  kind="mergesort")
+            pos = ray.get(oref)[int(b)] + np.arange(len(sub))
+            # exact SQL NTILE(4): first (total%4) tiles get one extra row
+            base, rem = divmod(total, 4)
+            cut = rem * (base + 1)
+            q = np.where(pos < cut, pos // (base + 1),
+                         rem + (pos - cut) // max(base, 1)) + 1
+            out.append(pd.DataFrame({
+                "quartile": q.astype(np.int64),
+                "o_totalprice": sub["o_totalprice"].to_numpy()}))
+        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"quartile": pd.Series(dtype=np.int64),
+             "o_totalprice": pd.Series(dtype=np.float64)})
+        return (res.groupby("quartile", as_index=False)
+                   .agg(n=("o_totalprice", "size"),
+                        sum_price=("o_totalprice", "sum")))
+
+    parts = bucketed_group_apply(
+        ds.map_batches(binned, batch_format="pandas"), "bin", rank_in_bin,
+        num_buckets=8).to_pandas()
+    out = parts.groupby("quartile", as_index=False).agg(
+        n=("n", "sum"), sum_price=("sum_price", "sum"))
+    out["n"] = out["n"].astype("int64")
+    out["sum_price"] = round_half_away(out["sum_price"].to_numpy(), 4)
+    return out.sort_values("quartile").reset_index(drop=True)
