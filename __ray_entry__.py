@@ -442,6 +442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _crawl_host_stats,
         # iterative authority scoring over the crawled citation graph
         "doc_pagerank": _doc_pagerank,
+        # crawl output feeding the curation family: exact caption dedup
+        # over the crawled payload table (keep-min-image_id per caption)
+        "crawl_caption_dedup": lambda sf: dedup.exact_dedup(
+            _crawl_payload(sf), "caption", "image_id"),
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,
