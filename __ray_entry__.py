@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": CU.q_decontaminate,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
+        "resample_plan": CU.q_resample_plan,
         # dedup family (§2.7 + training-data additions)
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
@@ -711,6 +712,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST((SELECT MAX(n) FROM c) AS DOUBLE) / n, 6)
                        AS weight
             FROM c
+        """,
+        "resample_plan": """
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+                       GROUP BY lang),
+            w AS (SELECT lang, CAST((SELECT MAX(n) FROM c) AS DOUBLE) / n
+                         AS wt FROM c)
+            SELECT d.doc_id, d.lang,
+                   CAST(FLOOR(wt) + CASE WHEN
+                        substr(md5('rs:' || d.lang || ':' ||
+                                   CAST(d.doc_id AS VARCHAR)), 1, 8)
+                        < printf('%08x',
+                                 CAST(FLOOR((wt - FLOOR(wt)) * 4294967296)
+                                      AS BIGINT))
+                        THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+            FROM documents d JOIN w USING (lang)
         """,
         "quality_filter_counts": f"""
             WITH q AS (

@@ -187,3 +187,38 @@ def q_mixture_weights(sf_dir: str) -> pd.DataFrame:
                 .astype({"n": "int64"}))
     out["weight"] = round_half_away(out["n"].max() / out["n"].to_numpy(), 6)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_resample_plan(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted-resampling plan toward a uniform language
+    mixture: each doc gets n_repeats = floor(w) + Bernoulli(frac(w))
+    where w = max_lang_count / lang_count and the Bernoulli draw is the
+    same md5-hash trick as q_hash_sample (salted "rs:{lang}:{doc_id}") —
+    so the expected per-language token mass flattens, every node computes
+    the identical plan with no RNG state, and re-runs agree row-for-row.
+    Two passes: tiny per-lang counts, then one embarrassingly-parallel
+    map with the weight table broadcast."""
+    counts = (_docs(sf_dir, ("doc_id", "lang"))
+              .map_batches(lambda df: df.groupby("lang", as_index=False)
+                           .agg(n=("doc_id", "size")), batch_format="pandas")
+              .to_pandas().groupby("lang", as_index=False)["n"].sum())
+    weights = dict(zip(counts["lang"], counts["n"].max() / counts["n"]))
+    ref = ray.put(weights)
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(ref)
+        reps = np.empty(len(df), dtype=np.int64)
+        for i, (did, lang) in enumerate(zip(df["doc_id"], df["lang"])):
+            wt = w[lang]
+            base = int(np.floor(wt))
+            frac = wt - base
+            thr = format(int(np.floor(frac * 4294967296)), "08x")
+            h = hashlib.md5(f"rs:{lang}:{did}".encode()).hexdigest()[:8]
+            reps[i] = base + (1 if h < thr else 0)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "lang": df["lang"].to_numpy(),
+                             "n_repeats": reps})
+
+    out = (_docs(sf_dir, ("doc_id", "lang"))
+           .map_batches(plan, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
