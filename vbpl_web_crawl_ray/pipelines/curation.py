@@ -13,7 +13,9 @@ large-scale pretraining pipeline runs:
 - token-budget sequence packing (concatenate-and-chunk GPT-style
   packing: a distributed prefix scan assigning every doc its sequence
   id + offset),
-- source mixture weights (uniform-target reweighting factors).
+- source mixture weights (uniform-target reweighting factors),
+- a deterministic weighted-resampling plan executing those weights
+  (floor + md5-Bernoulli fractional repeats per doc).
 
 Scale notes per operator are inline; the common theme: documents never
 gather on the driver — only fixed-size partials (bucket sums, the
