@@ -109,7 +109,7 @@ def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
     per-doc inside the bucketed shuffle. Ties break on the ROUNDED score
     then the term, so the ranking is reproducible across engines."""
     from ..functions.numeric import round_half_away
-    from ..stages.shuffle import bucketed_group_apply, compact_for_join
+    from ..stages.shuffle import bucketed_group_apply
 
     docs = _docs(sf_dir, ("doc_id", "text"))
     n_docs = docs.count()

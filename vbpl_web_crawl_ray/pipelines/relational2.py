@@ -529,7 +529,6 @@ def q_ntile_quartiles(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     ds = ds.materialize()
 
-    lo, hi = None, None
     mm = ds.map_batches(
         lambda df: pd.DataFrame({"lo": [df["o_totalprice"].min()],
                                  "hi": [df["o_totalprice"].max()]}),
