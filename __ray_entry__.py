@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": P.q_image_resize,
         "phash_near_dup": P.q_phash_near_dup,
         "video_frame_sample": _video_frame_sample,
+        "audio_features": P.q_audio_features,
     }
 
 

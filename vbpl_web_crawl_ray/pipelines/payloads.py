@@ -154,3 +154,33 @@ def q_phash_near_dup(sf_dir: str) -> pd.DataFrame:
 
     return mm.phash_near_dup_pairs(
         base.map_batches(plant, batch_format="pandas"), max_hamming=2)
+
+
+def audio_table(sf_dir: str, rate: int = 16000, dur_s: float = 0.5) -> rd.Dataset:
+    """Deterministic audio+caption payload table derived from documents:
+    each doc gets a two-tone sine mix whose frequencies are a pure
+    function of doc_id (same hermetic-synthesis pattern as the image
+    payload table)."""
+    from ..stages.multimodal import encode_audio
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        t = np.arange(int(rate * dur_s)) / rate
+        rows = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            f1 = 220 + (did * 37) % 880
+            f2 = 110 + (did * 53) % 1760
+            x = 0.6 * np.sin(2 * np.pi * f1 * t) \
+                + 0.3 * np.sin(2 * np.pi * f2 * t)
+            rows.append({"audio_id": f"aud{did:08d}",
+                         "bytes": encode_audio(x, rate),
+                         "sample_rate": np.int32(rate),
+                         "n_samples": np.int64(len(t)),
+                         "caption": text[:120]})
+        return pd.DataFrame(rows)
+
+    return _docs(sf_dir).map_batches(synth, batch_format="pandas",
+                                     batch_size=mm.MULTIMODAL_BATCH)
+
+
+def q_audio_features(sf_dir: str) -> rd.Dataset:
+    return mm.audio_features(audio_table(sf_dir))
