@@ -278,16 +278,30 @@ def _pagerank_actors(edges_ds: rd.Dataset, src: str, dst: str,
 
     actors = [ray.remote(_PRPartition).remote(i, num_parts)
               for i in range(num_parts)]
-    loads = []
-    for batch in edges_ds.iter_batches(batch_format="pandas",
-                                       batch_size=65536):
-        s = batch[src].to_numpy()
-        t = batch[dst].to_numpy()
-        for a in actors:
-            loads.append(a.load_edges.remote(s, t))
-            loads.append(a.register_nodes.remote(np.unique(s)))
-            loads.append(a.register_nodes.remote(np.unique(t)))
-    ray.get(loads)
+
+    # loading runs INSIDE map_batches tasks: each task routes its batch's
+    # edge slices to their owner actors through the object store (the
+    # frontier-staging pattern) — the driver never streams the edge set
+    from .shuffle import bucket_of
+
+    def stage(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src].to_numpy()
+        t = df[dst].to_numpy()
+        owners = bucket_of(s, num_parts)
+        waits = []
+        for pid in np.unique(owners):
+            m = owners == pid
+            waits.append(actors[pid].load_edges.remote(s[m], t[m]))
+            waits.append(actors[pid].register_nodes.remote(np.unique(s[m])))
+        d_owners = bucket_of(t, num_parts)
+        for pid in np.unique(d_owners):
+            waits.append(actors[pid].register_nodes.remote(
+                np.unique(t[d_owners == pid])))
+        ray.get(waits)     # staged before the task reports done
+        return pd.DataFrame({"n": [len(df)]})
+
+    edges_ds.map_batches(stage, batch_format="pandas",
+                         batch_size=65536).count()
     n_total = sum(ray.get([a.register_nodes.remote(np.array([], np.int64))
                            for a in actors]))
     ray.get([a.init_ranks.remote(n_total) for a in actors])
