@@ -134,7 +134,10 @@ def _distributed_kmeans(embds: rd.Dataset, dim: int, n_cells: int,
                             for b in sub["psum"]], axis=0)
                 m = s / cnt
                 new[cell] = m / np.linalg.norm(m)
+        shift = float(np.abs(new - cents).max())
         cents = new
+        if shift < 1e-9:       # converged: assignments can no longer change
+            break
     return cents
 
 
