@@ -341,7 +341,93 @@ def _embedding_dedup_filter(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordering contract: the external driver's CORRECTNESS gate checks
+    only the FIRST 50 entries, so slots 1-50 are reserved for (a)
+    oracle-backed queries that have never had a driver row, (b) queries
+    new this round, (c) the rest of the oracle-backed surface in rotation.
+    Long-stable entries that hash-matched in both r1 and r2 sit past the
+    cap — they stay covered by tests/test_conformance.py, which runs
+    every oracle_sql() twin against DuckDB at sf0.001."""
     return {
+        # --- never driver-checked, oracle-backed (round-2 additions) ---
+        "corr_per_group": R2.q_corr_per_group,
+        "range_join_counts": R2.q_range_join_counts,
+        "event_gap": R2.q_event_gap,
+        "p95_per_type": R2.q_p95_per_type,
+        "pivot_orders": R2.q_pivot_orders,
+        "mode_per_group": R2.q_mode_per_group,
+        "ntile_quartiles": R2.q_ntile_quartiles,
+        "value_histogram": R2.q_value_histogram,
+        # --- round-3 additions (oracle-backed where SQL-expressible) ---
+        # (inserted here as they land)
+        # --- never driver-checked, rows-only crawl/multimodal entries ---
+        # crawl + external fuzzy fulltext recovery + sector enrich (M10/J6)
+        "enriched_meta": _enriched_meta,
+        # three-flavor crawl meta (M2+M4+M3 extractor configs, U2 registry)
+        "crawl_meta_flavors": _crawl_meta_flavors,
+        # full 12-column section hierarchy from the crawl sink (M5-M7)
+        "crawl_sections": _crawl_sections,
+        # per-host politeness audit over the crawl-log dataset (ST6/O3)
+        "crawl_host_stats": _crawl_host_stats,
+        # iterative authority scoring over the crawled citation graph
+        "doc_pagerank": _doc_pagerank,
+        # crawl output feeding the curation family: exact caption dedup
+        # over the crawled payload table (keep-min-image_id per caption)
+        "crawl_caption_dedup": lambda sf: dedup.exact_dedup(
+            _crawl_payload(sf), "caption", "image_id"),
+        "video_frame_sample": _video_frame_sample,
+        "audio_features": P.q_audio_features,
+        # --- oracle-backed, driver-checked only in round 1 ---
+        "union_distinct": R2.q_union_distinct,
+        "intersect_distinct": R2.q_intersect_distinct,
+        "except_distinct": R2.q_except_distinct,
+        "stats_per_group": R2.q_stats_per_group,
+        "median_per_group": R2.q_median_per_group,
+        "orders_per_month": R2.q_orders_per_month,
+        "conditional_agg": R2.q_conditional_agg,
+        "distinct_users_per_type": R2.q_distinct_users_per_type,
+        "running_total": R2.q_running_total,
+        "sliding_window": R2.q_sliding_window,
+        "asof_join": R2.q_asof_join,
+        "approx_distinct_users": R2.q_approx_distinct_users,
+        # --- oracle-backed rotation (hash-matched r1+r2; stay in-window) ---
+        "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
+        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
+        "ann_multi_topk": lambda sf: ann.multi_query_topk(
+            sf, query_vec_ids=(0, 1, 2, 3), k=5),
+        "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
+        "embedding_dedup_filter": _embedding_dedup_filter,
+        "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
+        # curation: sampling / decontamination / packing (training-data
+        # selection steps; all deterministic, all but packing shuffle-free)
+        "hash_sample": CU.q_hash_sample,
+        "dup_ngram_fraction": CU.q_dup_ngram_fraction,
+        "decontaminate": CU.q_decontaminate,
+        "pack_sequences": CU.q_pack_sequences,
+        "mixture_weights": CU.q_mixture_weights,
+        "resample_plan": CU.q_resample_plan,
+        # corpus-level training-data accounting (partial-aggregate rollups)
+        "corpus_stats": CP.q_corpus_stats,
+        "split_counts": CP.q_split_counts,
+        "bigram_topk": CP.q_bigram_topk,
+        "quality_filter_counts": CP.q_quality_filter_counts,
+        "tfidf_topk": CP.q_tfidf_topk,
+        "rollup_revenue": CP.q_rollup_revenue,
+        "cube_revenue": CP.q_cube_revenue,
+        # batched model inference: logistic scorer, weights loaded once
+        # per actor (the model-checkpoint-in-__init__ pattern)
+        "model_quality_scores": lambda sf: textstats.model_quality_scores(
+            _docs(sf)),
+        "token_count": lambda sf: textstats.token_count(_docs(sf)),
+        # ---------------- past the driver's 50-entry window ----------------
+        # (every oracle-backed entry below hash-matched the driver in BOTH
+        # r1 and r2 and is re-verified per-run by test_conformance.py)
+        "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
+        "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
+        "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
+        "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
+        "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
         # aggregations (SURVEY §2.5) — partial-aggregate combiner pattern
         "pricing_summary": R.q_pricing_summary,
         "count_per_source": R.q_count_per_source,
@@ -360,93 +446,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction / streaming-shaped (§2.2, §2.8)
         "props_extract": R.q_props_extract,
         "sessionize": R.q_sessionize,
-        # text analysis (training-data additions)
-        "token_count": lambda sf: textstats.token_count(_docs(sf)),
-        "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
-        "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
-        "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
-        "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
-        # batched model inference: logistic scorer, weights loaded once
-        # per actor (the model-checkpoint-in-__init__ pattern)
-        "model_quality_scores": lambda sf: textstats.model_quality_scores(
-            _docs(sf)),
-        "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
-        # corpus-level training-data accounting (partial-aggregate rollups)
-        "corpus_stats": CP.q_corpus_stats,
-        "split_counts": CP.q_split_counts,
-        "bigram_topk": CP.q_bigram_topk,
-        "quality_filter_counts": CP.q_quality_filter_counts,
-        "tfidf_topk": CP.q_tfidf_topk,
-        "rollup_revenue": CP.q_rollup_revenue,
-        "cube_revenue": CP.q_cube_revenue,
-        # curation: sampling / decontamination / packing (training-data
-        # selection steps; all deterministic, all but packing shuffle-free)
-        "hash_sample": CU.q_hash_sample,
-        "dup_ngram_fraction": CU.q_dup_ngram_fraction,
-        "decontaminate": CU.q_decontaminate,
-        "pack_sequences": CU.q_pack_sequences,
-        "mixture_weights": CU.q_mixture_weights,
-        "resample_plan": CU.q_resample_plan,
-        # dedup family (§2.7 + training-data additions)
-        "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
-        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
+        # dedup family (§2.7 + training-data additions; hash-seeded ones
+        # are rows-only by design, pinned by pytest parity instead)
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "minhash_dup_clusters": _minhash_dup_clusters,
         "phash_dup_clusters": _phash_dup_clusters,
-        "embedding_dedup_filter": _embedding_dedup_filter,
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
-        "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
         # end-to-end semantic dedup from raw text: actor-pool feature-
-        # hashing embedder -> cosine pairs (exact-dup subset pytest-proven)
+        # hashing embedder -> LSH-bucketed cosine pairs
         "doc_embedding_near_dup": lambda sf: embed.doc_embedding_near_dup(
             sf, threshold=0.95),
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=0.45),
         "stream_user_state": _stream_user_state,
-        # similarity search
-        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
-        "ann_multi_topk": lambda sf: ann.multi_query_topk(
-            sf, query_vec_ids=(0, 1, 2, 3), k=5),
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, query_vec_id=0, k=10),
-        # fuzzy similarity join (J4/J5 pattern, dictionary-blocked)
-        "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
-        # set ops / statistical aggregates / windows (batch 2)
-        "union_distinct": R2.q_union_distinct,
-        "intersect_distinct": R2.q_intersect_distinct,
-        "except_distinct": R2.q_except_distinct,
-        "stats_per_group": R2.q_stats_per_group,
-        "corr_per_group": R2.q_corr_per_group,
-        "median_per_group": R2.q_median_per_group,
-        "orders_per_month": R2.q_orders_per_month,
-        "conditional_agg": R2.q_conditional_agg,
-        "distinct_users_per_type": R2.q_distinct_users_per_type,
-        "running_total": R2.q_running_total,
-        "sliding_window": R2.q_sliding_window,
-        "approx_distinct_users": R2.q_approx_distinct_users,
-        "asof_join": R2.q_asof_join,
-        "range_join_counts": R2.q_range_join_counts,
-        "event_gap": R2.q_event_gap,
-        "p95_per_type": R2.q_p95_per_type,
-        "pivot_orders": R2.q_pivot_orders,
-        "mode_per_group": R2.q_mode_per_group,
-        "ntile_quartiles": R2.q_ntile_quartiles,
-        "value_histogram": R2.q_value_histogram,
         # the crawl itself as a gated pipeline (rows-only; deterministic)
         "crawl_payload": _crawl_payload,
-        # crawl + external fuzzy fulltext recovery + sector enrich (M10/J6)
-        "enriched_meta": _enriched_meta,
-        # three-flavor crawl meta (M2+M4+M3 extractor configs, U2 registry)
-        "crawl_meta_flavors": _crawl_meta_flavors,
-        # full 12-column section hierarchy from the crawl sink (M5-M7)
-        "crawl_sections": _crawl_sections,
-        # per-host politeness audit over the crawl-log dataset (ST6/O3)
-        "crawl_host_stats": _crawl_host_stats,
-        # iterative authority scoring over the crawled citation graph
-        "doc_pagerank": _doc_pagerank,
-        # crawl output feeding the curation family: exact caption dedup
-        # over the crawled payload table (keep-min-image_id per caption)
-        "crawl_caption_dedup": lambda sf: dedup.exact_dedup(
-            _crawl_payload(sf), "caption", "image_id"),
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,
@@ -454,8 +469,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": P.q_image_features,
         "image_resize": P.q_image_resize,
         "phash_near_dup": P.q_phash_near_dup,
-        "video_frame_sample": _video_frame_sample,
-        "audio_features": P.q_audio_features,
     }
 
 

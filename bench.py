@@ -290,8 +290,33 @@ def main_scaling() -> dict:
     }
 
 
+def _emit(result: dict) -> None:
+    """The external driver parses the LAST stdout line out of a ~2000-char
+    tail window; round 2's 84-query JSON line overflowed it and BENCH_r02
+    recorded ``"parsed": null``. Emit the full detail on an earlier line
+    AND to BENCH_FULL.json, then a final line guaranteed to fit."""
+    full = json.dumps(result)
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    if len(full) <= 1800:
+        print(full)
+        return
+    print(full)  # full detail (may fall outside the driver's tail window)
+    compact = dict(result)
+    qs = compact.pop("queries", None)
+    if qs:
+        compact["queries"] = {
+            "_n": len(qs), "_total_sec": round(sum(qs.values()), 2),
+            "_max_sec": round(max(qs.values()), 2),
+            "_detail": "BENCH_FULL.json"}
+    print(json.dumps(compact))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(main_scaling()))
+        _emit(main_scaling())
     else:
-        print(json.dumps(main_bench(crawl_only="--crawl-only" in sys.argv)))
+        _emit(main_bench(crawl_only="--crawl-only" in sys.argv))

@@ -37,3 +37,24 @@ def test_identical_texts_embed_identically(sf_dir, tmp_path):
         pair = (int(did), int(did) + 100_000)
         assert pair in got, pair
         assert got[pair] == 1.0
+
+
+def test_doc_near_dup_never_materializes_corpus(sf_dir, monkeypatch):
+    """With the broadcast gate forced off, the embed->near-dup pipeline
+    must keep the embedding matrix fully distributed (LSH candidates +
+    pair-halves verify): the only driver-side to_pandas allowed is the
+    final small pair list — the r2 driver-matrix anti-pattern stays dead."""
+    from vbpl_web_crawl_ray.stages import dedup
+
+    monkeypatch.setattr(dedup, "BROADCAST_MAX_BYTES", 0)
+    real = rd.Dataset.to_pandas
+
+    def bounded(self, *a, **k):
+        df = real(self, *a, **k)
+        assert len(df) < 10_000, \
+            f"driver materialized {len(df)} rows (corpus-sized)"
+        return df
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", bounded)
+    out = embed.doc_embedding_near_dup(sf_dir, threshold=0.95)
+    assert {"id_a", "id_b", "cos_sim"} <= set(out.columns)

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..functions.numeric import round_half_away
 from ..stages.textstats import EN_STOPWORDS
 
 
@@ -108,7 +109,6 @@ def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
     the tf rows meet their df via the native hash join; ranking happens
     per-doc inside the bucketed shuffle. Ties break on the ROUNDED score
     then the term, so the ranking is reproducible across engines."""
-    from ..functions.numeric import round_half_away
     from ..stages.shuffle import bucketed_group_apply
 
     docs = _docs(sf_dir, ("doc_id", "text"))
@@ -175,7 +175,7 @@ def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
                           "revenue": [detail["revenue"].sum()],
                           "n": [detail["n"].sum()]})
     out = pd.concat([detail, lvl1, total], ignore_index=True)
-    out["revenue"] = out["revenue"].round(4)
+    out["revenue"] = round_half_away(out["revenue"].to_numpy(), 4)
     out["n"] = out["n"].astype("int64")
     return out[["l_returnflag", "l_linestatus", "revenue", "n"]]
 
@@ -206,7 +206,7 @@ def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
                           "revenue": [detail["revenue"].sum()],
                           "n": [detail["n"].sum()]})
     out = pd.concat([detail, by_flag, by_status, total], ignore_index=True)
-    out["revenue"] = out["revenue"].round(4)
+    out["revenue"] = round_half_away(out["revenue"].to_numpy(), 4)
     out["n"] = out["n"].astype("int64")
     return out[["l_returnflag", "l_linestatus", "revenue", "n"]]
 

@@ -88,39 +88,65 @@ def q_dup_ngram_fraction(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _gram_hashes(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id per gram, uint64 gram hash) for every word DECON_NGRAM in
+    the batch — vectorized: explode the token lists once, shift-
+    concatenate k aligned views, mask grams that straddle row boundaries,
+    and hash with the pinned-key siphash. No per-gram Python loop."""
+    from ..functions.hashing import hash64
+
+    df = df.reset_index(drop=True)
+    ex = df["text"].str.split(" ").explode()
+    vals = ex.to_numpy(dtype=object)
+    k = DECON_NGRAM
+    if len(vals) < k:
+        return (np.array([], dtype=np.int64), np.array([], dtype=np.uint64))
+    pos = ex.index.to_numpy()          # positional row label per token
+    n = len(vals) - k + 1
+    same_row = pos[:n] == pos[k - 1:]
+    parts = pd.Series(vals[:n])
+    for j in range(1, k):
+        parts = parts + " " + pd.Series(vals[j:n + j])
+    grams = parts.to_numpy(dtype=object)[same_row]
+    doc_ids = df["doc_id"].to_numpy()[pos[:n][same_row]]
+    return doc_ids, hash64(grams)
+
+
 def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: flag every training doc that shares a
     word 4-gram with the held-out eval slice (doc_id % 97 == 0).
 
     Scale shape: the eval set is a benchmark — thousands of docs, MBs —
-    so its distinct-gram set is broadcast once via ray.put and probed
-    inside map_batches (the canonical small-side broadcast join); the
-    100 TB training side streams.  An eval set too big to broadcast
-    would fall back to the bucketed gram-hash semi-join in
+    so its distinct grams broadcast once via ray.put AS A SORTED uint64
+    HASH ARRAY (8 B/gram, ~4x smaller than the raw strings, and probed
+    by searchsorted instead of Python set lookups); the 100 TB training
+    side streams through one map_batches. An eval set too big to
+    broadcast would fall back to the bucketed gram-hash semi-join in
     stages/joins.py (bloom_semi_join)."""
+    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["doc_id"] % EVAL_MOD == 0]
+        _, gh = _gram_hashes(sel)
+        return pd.DataFrame({"g": np.unique(gh)})
+
     ev = (_docs(sf_dir, ("doc_id", "text"))
-          .filter(lambda r: r["doc_id"] % EVAL_MOD == 0)
-          .to_pandas())
-    grams: set[str] = set()
-    for t in ev["text"]:
-        w = t.split(" ")
-        grams.update(" ".join(w[i:i + DECON_NGRAM])
-                     for i in range(len(w) - DECON_NGRAM + 1))
-    ref = ray.put(grams)
+          .map_batches(eval_grams, batch_format="pandas").to_pandas())
+    eval_hashes = np.unique(ev["g"].to_numpy().astype(np.uint64))
+    ref = ray.put(eval_hashes)
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
-        gs = ray.get(ref)
-        rows = []
-        for did, t in zip(df["doc_id"], df["text"]):
-            if did % EVAL_MOD == 0:
-                continue
-            w = t.split(" ")
-            hits = sum(1 for i in range(len(w) - DECON_NGRAM + 1)
-                       if " ".join(w[i:i + DECON_NGRAM]) in gs)
-            if hits:
-                rows.append((did, hits))
-        return pd.DataFrame(rows, columns=["doc_id", "n_hits"]) \
-            .astype({"doc_id": "int64", "n_hits": "int64"})
+        train = df[df["doc_id"] % EVAL_MOD != 0]
+        doc_ids, gh = _gram_hashes(train)
+        evh = ray.get(ref)
+        ix = np.searchsorted(evh, gh)
+        hit = np.zeros(len(gh), dtype=bool)
+        in_range = ix < len(evh)
+        hit[in_range] = evh[ix[in_range]] == gh[in_range]
+        if not hit.any():
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_hits": pd.Series(dtype="int64")})
+        counts = pd.Series(doc_ids[hit]).value_counts().sort_index()
+        return pd.DataFrame({"doc_id": counts.index.to_numpy("int64"),
+                             "n_hits": counts.to_numpy("int64")})
 
     out = _docs(sf_dir, ("doc_id", "text")).map_batches(
         probe, batch_format="pandas").to_pandas()

@@ -270,24 +270,33 @@ def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
             .reset_index(drop=True))
 
 
-def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
-                           n_planes: int = 4, n_tables: int = 10,
-                           seed: int = 13) -> pd.DataFrame:
-    """Scale path for cosine near-dup pairs: random-hyperplane signatures →
-    (table, bucket) groupby → candidate pairs within buckets → exact cosine
-    verify via the pair-halves attach (the embedding blobs shuffle to the
-    pairs once). Only (bucket_key, vec_id) rows shuffle in candidate
-    generation and only the candidates' embeddings move in the verify —
-    the full matrix is never built anywhere. Recall vs the exact baseline is asserted in tests —
-    LSH trades a bounded miss rate for candidate-set sparsity."""
+def lsh_near_dup_pairs(embds: rd.Dataset, threshold: float,
+                       n_planes: int = 4, n_tables: int = 10,
+                       seed: int = 13, id_col: str = "vec_id",
+                       with_sim: bool = False) -> pd.DataFrame:
+    """Cosine near-dup pairs over ANY (id, emb-blob) dataset:
+    random-hyperplane signatures → (table, bucket) groupby → candidate
+    pairs within buckets → exact cosine verify via the pair-halves
+    attach (the embedding blobs shuffle to the pairs once). Only
+    (bucket_key, id) rows shuffle in candidate generation and only the
+    candidates' embeddings move in the verify — the full matrix is never
+    built anywhere, driver included. ``with_sim`` adds a ``cos_sim``
+    column (rounded half-away, 4 dp) and applies the threshold to the
+    ROUNDED value (oracle-comparable semantics)."""
     from .dedup import _EMPTY_PAIRS, _attach_pair_payloads
     from .shuffle import bucketed_group_apply
 
-    embds = _emb_blob_ds(sf_dir).materialize()
+    embds = embds.materialize()
     dim = len(np.frombuffer(embds.take(1)[0]["emb"], dtype=np.float64))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
+
+    def empty() -> pd.DataFrame:
+        cols = dict(_EMPTY_PAIRS)
+        if with_sim:
+            cols["cos_sim"] = pd.Series(dtype=np.float64)
+        return pd.DataFrame(cols)
 
     def signatures(df: pd.DataFrame) -> pd.DataFrame:
         planes_ = ray.get(planes_ref)
@@ -296,16 +305,16 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
         for t in range(len(planes_)):
             codes = _codes(v, planes_[t])
             out_key.append(t * (1 << n_planes) + codes)
-            out_id.append(df["vec_id"].to_numpy())
+            out_id.append(df[id_col].to_numpy())
         return pd.DataFrame({"bucket_key": np.concatenate(out_key),
-                             "vec_id": np.concatenate(out_id)})
+                             id_col: np.concatenate(out_id)})
 
     sigs = embds.map_batches(signatures, batch_format="pandas")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
         for _, sub in g.groupby("bucket_key"):
-            u = np.sort(sub["vec_id"].unique())
+            u = np.sort(sub[id_col].unique())
             if len(u) >= 2:
                 a, b = np.triu_indices(len(u), k=1)
                 out_a.append(u[a]); out_b.append(u[b])
@@ -317,18 +326,25 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
     cand = bucketed_group_apply(sigs, "bucket_key", pairs_in_bucket,
                                 num_buckets=8).materialize()
     if cand.count() == 0:
-        return pd.DataFrame(_EMPTY_PAIRS)
+        return empty()
 
     # pair dedup happens inside the attach; embeddings move through the
     # shuffle once (halves pattern) instead of once per side
-    with_ab = _attach_pair_payloads(cand, embds, "emb", id_col="vec_id")
+    with_ab = _attach_pair_payloads(cand, embds, "emb", id_col=id_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame(_EMPTY_PAIRS)
+            return empty()
         a = blob_matrix(df["emb_a"], np.float64)
         b = blob_matrix(df["emb_b"], np.float64)
         sims = np.einsum("ij,ij->i", a, b)
+        if with_sim:
+            r = round_half_away(sims, 4)
+            keep = r >= threshold
+            return pd.DataFrame({
+                "id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
+                "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
+                "cos_sim": r[keep]})
         keep = sims >= threshold
         return pd.DataFrame({"id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
                              "id_b": df["id_b"].to_numpy()[keep].astype(np.int64)})
@@ -336,6 +352,17 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
     return (with_ab.map_batches(verify, batch_format="pandas")
                    .to_pandas().sort_values(["id_a", "id_b"])
                    .reset_index(drop=True))
+
+
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
+                           n_planes: int = 4, n_tables: int = 10,
+                           seed: int = 13) -> pd.DataFrame:
+    """Scale path for cosine near-dup pairs over the embeddings table.
+    Recall vs the exact baseline is asserted in tests — LSH trades a
+    bounded miss rate for candidate-set sparsity."""
+    return lsh_near_dup_pairs(_emb_blob_ds(sf_dir), threshold,
+                              n_planes=n_planes, n_tables=n_tables,
+                              seed=seed, id_col="vec_id")
 
 
 def multi_query_topk(sf_dir: str, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3),

@@ -20,7 +20,6 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.hashing import hash64
-from ..functions.numeric import round_half_away
 
 
 class HashingEmbedder:
@@ -65,46 +64,34 @@ def embed_documents(ds: rd.Dataset, dim: int = 64,
 
 
 def doc_embedding_near_dup(sf_dir: str, threshold: float = 0.95,
-                           dim: int = 64) -> pd.DataFrame:
+                           dim: int = 64, n_planes: int = 4,
+                           n_tables: int = 12, seed: int = 17) -> pd.DataFrame:
     """End-to-end semantic dedup over raw documents: embed (actor pool)
-    -> exact cosine pairs >= threshold. Identical texts embed
-    identically, so the exact-duplicate pair set is a provable subset of
-    this result (asserted in tests); near-identical texts surface too.
+    -> hyperplane-LSH candidate buckets -> exact cosine verify through
+    the size-gated pair-payload attach. Identical texts embed
+    identically (cosine exactly 1.0), collide in EVERY LSH table, and so
+    are guaranteed to surface — the exact-duplicate pair set is a
+    provable subset of this result (asserted in tests); near-identical
+    texts surface with a bounded LSH miss rate (~(1-0.65)^12 at 0.95).
 
-    Verify is the broadcast exact baseline — the embedded matrix is
-    (n x dim) float64; LSH bucketing (ann.embedding_near_dup_lsh) is the
-    scale path once the matrix outgrows broadcast."""
-    import ray
+    The driver never holds the corpus or the embedding matrix: the
+    embedded dataset stays distributed, candidates come from the
+    (bucket_key, doc_id) shuffle, and the verify attaches blobs via
+    dedup._attach_pair_payloads (broadcast only under its 64 MB gate) —
+    the same poisoned-to_pandas guard the other dedup paths carry is
+    tested for this pipeline too."""
+    from .ann import lsh_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    emb = embed_documents(ds, dim=dim)
-    pdf = emb.to_pandas()      # (n x dim) control-sized at test scale
-    ids = pdf["doc_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy())
-    order = np.argsort(ids, kind="stable")
-    ids, mat = ids[order], mat[order]
-    mref = ray.put((ids, mat))
 
-    # block-partitioned pair scan: each task scores one row-block against
-    # the broadcast matrix (the brute-force near-dup pattern)
-    nblocks = max(1, len(ids) // 512)
-    blocks = rd.range(nblocks)
+    def blob(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "emb": [r.tobytes() for r in m]})
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids_, mat_ = ray.get(mref)
-        out = []
-        for b in df["id"]:
-            lo, hi = b * 512, min((b + 1) * 512, len(ids_)) if b < nblocks - 1 else len(ids_)
-            sims = mat_[lo:hi] @ mat_.T
-            for i in range(lo, hi):
-                js = np.where(round_half_away(sims[i - lo], 4) >= threshold)[0]
-                js = js[ids_[js] > ids_[i]]
-                out.extend((ids_[i], ids_[j],
-                            round_half_away(float(sims[i - lo, j]), 4))
-                           for j in js)
-        return pd.DataFrame(out, columns=["id_a", "id_b", "cos_sim"]).astype(
-            {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64})
-
-    res = blocks.map_batches(pairs, batch_format="pandas").to_pandas()
-    return res.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    embds = embed_documents(ds, dim=dim).map_batches(
+        blob, batch_format="pandas")
+    return lsh_near_dup_pairs(embds, threshold, n_planes=n_planes,
+                              n_tables=n_tables, seed=seed,
+                              id_col="doc_id", with_sim=True)

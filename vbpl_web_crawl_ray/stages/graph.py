@@ -188,26 +188,38 @@ def _pagerank_broadcast(edges_ds: rd.Dataset, src: str, dst: str,
 class _PRPartition:
     """One PageRank partition: holds its shard of the adjacency list and
     rank vector (nodes with hash(node) % P == pid). Built ONCE; each
-    iteration exchanges only contribution dicts through the object store
-    (actor-to-actor via refs) — the Pregel-style raw-actor path the
-    Dataset API can't express without per-iteration shuffles."""
+    iteration exchanges only (targets, sums) contribution arrays through
+    the object store (actor-to-actor via refs) — the Pregel-style
+    raw-actor path the Dataset API can't express without per-iteration
+    shuffles."""
 
     def __init__(self, pid: int, num_parts: int):
         self.pid = pid
         self.P = num_parts
         self.adj: dict[int, np.ndarray] = {}
         self.ranks: dict[int, float] = {}
-        self.out_deg: dict[int, int] = {}
+        self._seen_batches: set[bytes] = set()
+        self._n_edges = 0
 
     def _owner(self, nodes: np.ndarray) -> np.ndarray:
         from .shuffle import bucket_of
         return bucket_of(nodes, self.P)
 
-    def load_edges(self, srcs: np.ndarray, dsts: np.ndarray) -> int:
+    def load_edges(self, batch_id: bytes, srcs: np.ndarray,
+                   dsts: np.ndarray) -> int:
+        # idempotence guard: Ray Data may retry/re-execute a stage task
+        # (task failure, object loss); without it the same edge batch
+        # loads twice and silently inflates out-degrees. batch_id is a
+        # content digest computed by the sender; edge_total() lets the
+        # caller verify nothing was wrongly skipped either.
+        if batch_id in self._seen_batches:
+            return 0
+        self._seen_batches.add(batch_id)
         mine = self._owner(srcs) == self.pid
         s, t = srcs[mine], dsts[mine]
         if not len(s):
             return 0
+        self._n_edges += len(s)
         order = np.argsort(s, kind="mergesort")
         s, t = s[order], t[order]
         cuts = np.flatnonzero(np.diff(s)) + 1
@@ -219,6 +231,9 @@ class _PRPartition:
                               else np.concatenate([prev, targets]))
         return int(mine.sum())
 
+    def edge_total(self) -> int:
+        return self._n_edges
+
     def register_nodes(self, nodes: np.ndarray) -> int:
         mine = nodes[self._owner(nodes) == self.pid]
         for v in mine:
@@ -226,46 +241,64 @@ class _PRPartition:
         return len(self.ranks)
 
     def init_ranks(self, n_total: int):
-        for v in self.ranks:
-            self.ranks[v] = 1.0 / n_total
-            self.out_deg[v] = len(self.adj.get(v, ()))
+        """Freeze the registration dicts into contiguous arrays: rank
+        vector, adjacency targets concatenated in node order, the
+        partition-local unique-target index, and per-owner slices — the
+        one-time indexing that makes emit()/apply() pure numpy (the
+        per-edge Python loop here used to dominate every iteration)."""
+        self.nodes = np.array(sorted(self.ranks))
+        n = len(self.nodes)
+        self.rank_vec = np.full(n, 1.0 / n_total)
+        deg = np.array([len(self.adj.get(v.item(), ()))
+                        for v in self.nodes], dtype=np.int64)
+        self.dangling_mask = deg == 0
+        self.deg_pos = deg[deg > 0]
+        pos_nodes = self.nodes[deg > 0]
+        if len(pos_nodes):
+            targets = np.concatenate([self.adj[v.item()] for v in pos_nodes])
+        else:
+            targets = np.array([], dtype=self.nodes.dtype)
+        # per-edge contributions accumulate onto unique targets via one
+        # np.add.at (edge_inv maps edge -> unique-target slot), then ship
+        # per owner as (targets, sums) array pairs
+        self.uniq_targets, self.edge_inv = np.unique(targets,
+                                                     return_inverse=True)
+        t_owner = (self._owner(self.uniq_targets)
+                   if len(self.uniq_targets)
+                   else np.array([], dtype=np.int64))
+        self.owner_ix = [np.flatnonzero(t_owner == o)
+                         for o in range(self.P)]
+        self.adj = {}            # the arrays above carry everything now
 
     def emit(self):
-        """Per-target-partition contribution dicts (each ray.put
+        """Per-target-partition (targets, sums) arrays (each ray.put
         separately) + this shard's dangling mass. The driver receives
         only P refs + one scalar per actor and forwards each ref to its
         target — contributions flow actor-to-actor through the object
         store, never through the driver."""
         import ray
-        boxes = [dict() for _ in range(self.P)]
-        dangling = 0.0
-        for v, r in self.ranks.items():
-            deg = self.out_deg[v]
-            if not deg:
-                dangling += r
-                continue
-            share = r / deg
-            targets = self.adj[v]
-            owners = self._owner(targets)
-            for t, o in zip(targets, owners):
-                t = t.item() if hasattr(t, "item") else t
-                boxes[o][t] = boxes[o].get(t, 0.0) + share
-        return [ray.put(b) for b in boxes], dangling
+        shares = self.rank_vec[~self.dangling_mask] / self.deg_pos
+        sums = np.zeros(len(self.uniq_targets))
+        np.add.at(sums, self.edge_inv, np.repeat(shares, self.deg_pos))
+        dangling = float(self.rank_vec[self.dangling_mask].sum())
+        return [ray.put((self.uniq_targets[ix], sums[ix]))
+                for ix in self.owner_ix], dangling
 
     def apply(self, inboxes: list, dangling_total: float, n_total: int,
               d: float):
         import ray
         base = (1 - d) / n_total + d * dangling_total / n_total
-        new = {v: base for v in self.ranks}
+        acc = np.full(len(self.nodes), base)
         for ref in inboxes:
-            for v, c in ray.get(ref).items():
-                new[v] += d * c
-        self.ranks = new
+            t, s_arr = ray.get(ref)
+            # every target shipped here is registered locally, so the
+            # sorted-nodes searchsorted is exact; targets are unique
+            # within one inbox, so plain fancy-index add suffices
+            acc[np.searchsorted(self.nodes, t)] += d * s_arr
+        self.rank_vec = acc
 
     def collect(self) -> pd.DataFrame:
-        items = sorted(self.ranks.items())
-        return pd.DataFrame({"node": [v for v, _ in items],
-                             "rank": [r for _, r in items]})
+        return pd.DataFrame({"node": self.nodes, "rank": self.rank_vec})
 
 
 def _pagerank_actors(edges_ds: rd.Dataset, src: str, dst: str,
@@ -285,13 +318,20 @@ def _pagerank_actors(edges_ds: rd.Dataset, src: str, dst: str,
     from .shuffle import bucket_of
 
     def stage(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
         s = df[src].to_numpy()
         t = df[dst].to_numpy()
         owners = bucket_of(s, num_parts)
         waits = []
         for pid in np.unique(owners):
             m = owners == pid
-            waits.append(actors[pid].load_edges.remote(s[m], t[m]))
+            # deterministic content digest: identical across task retries
+            # (the load_edges idempotence key), distinct across batches
+            bid = hashlib.blake2b(
+                bucket_of(s[m], 1 << 62).tobytes()
+                + bucket_of(t[m], 1 << 62).tobytes(),
+                digest_size=16).digest()
+            waits.append(actors[pid].load_edges.remote(bid, s[m], t[m]))
             waits.append(actors[pid].register_nodes.remote(np.unique(s[m])))
         d_owners = bucket_of(t, num_parts)
         for pid in np.unique(d_owners):
@@ -300,8 +340,16 @@ def _pagerank_actors(edges_ds: rd.Dataset, src: str, dst: str,
         ray.get(waits)     # staged before the task reports done
         return pd.DataFrame({"n": [len(df)]})
 
-    edges_ds.map_batches(stage, batch_format="pandas",
-                         batch_size=65536).count()
+    n_staged = edges_ds.map_batches(stage, batch_format="pandas",
+                                    batch_size=65536).sum("n")
+    loaded = sum(ray.get([a.edge_total.remote() for a in actors]))
+    if loaded != n_staged:
+        # either a twin batch was wrongly digest-skipped or a load was
+        # lost: out-degrees would be silently wrong, so refuse to rank
+        raise RuntimeError(
+            f"PageRank edge staging mismatch: {loaded} loaded vs "
+            f"{n_staged} staged (duplicate-batch digest collision or "
+            "dropped load)")
     n_total = sum(ray.get([a.register_nodes.remote(np.array([], np.int64))
                            for a in actors]))
     ray.get([a.init_ranks.remote(n_total) for a in actors])

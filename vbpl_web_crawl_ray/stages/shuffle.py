@@ -118,16 +118,20 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
     rp = right.map_batches(pad(1, lextra, ltypes), batch_format="pyarrow")
 
     out_order = lcols + rextra
+    out_schema = pa.schema([(c, alltypes[c]) for c in out_order])
 
     def merge(g: pa.Table):
         side = g["__side"]
         lt = g.filter(pc.equal(side, 0)).select(lcols).combine_chunks()
         rt = g.filter(pc.equal(side, 1)).select(rcols).combine_chunks()
         out = lt.to_pandas().merge(rt.to_pandas(), on=on, how=how)
-        if len(out) == 0:   # keep Arrow types stable across empty blocks
-            return pa.table({c: pa.nulls(0, type=alltypes[c])
-                             for c in out_order})
-        return out[out_order]
+        # pandas null-fills unmatched rows on how='left', silently
+        # promoting int64 right-extras to float64 in buckets that contain
+        # unmatched keys; casting every bucket back to the declared Arrow
+        # schema (nullable) keeps block schemas identical for downstream
+        # Arrow consumers (write_parquet / union / further joins).
+        return pa.Table.from_pandas(out[out_order], schema=out_schema,
+                                    preserve_index=False)
 
     return (lp.union(rp).groupby(_BUCKET)
               .map_groups(merge, batch_format="pyarrow"))
