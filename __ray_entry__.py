@@ -17,6 +17,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vbpl_web_crawl_ray.pipelines import corpus as CP  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import docmeta as DM  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import curation as CU  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
@@ -214,6 +215,48 @@ def _enriched_meta(sf_dir: str):
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def _crawl_meta_states(sf_dir: str):
+    """Crawl where a slice of phapquy pages omits effective/gazette dates
+    and the vbInfo state block; the parse stage recovers them through the
+    concetti.test JSON API (3-key fuzzy acceptance, reference
+    vbpl.py:806-920) and re-derives state from the recovered dates. The
+    full date surface of the meta table comes back per doc (rows-only:
+    the crawl+JSON-enrich chain is not SQL-expressible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4,
+                                         missing_dates_rate=0.4))
+    t = pq.read_table(sorted(glob.glob(f"{out}/meta/round=*/*.parquet")),
+                      columns=["doc_id", "effective_date", "expiration_date",
+                               "gazette_date", "state",
+                               "applicable_information"])
+    return (t.to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def _anle_file_sections(sf_dir: str):
+    """Crawl an anle portal whose cases each expose 2..4 attachment files
+    (div#filetaive, reference anle.py:107-120), then the decoupled
+    re-association pass: doc id parsed back out of each FILENAME,
+    non-PDF containers transcoded, watermark stripped, sections re-keyed
+    per case with last-file-wins upsert order (anle.py:193-215,260-287).
+    Rows-only: the crawl+binary-decode chain is not SQL-expressible."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4,
+                                         flavors=("anle",),
+                                         anle_files_per_doc=3))
+    t = pq.read_table(sorted(glob.glob(
+        f"{out}/anle_sections/round=*/*.parquet")),
+        columns=["anle_id", "context", "solution", "content"])
+    return t.to_pandas().sort_values("anle_id").reset_index(drop=True)
+
+
 def _minhash_dup_clusters(sf_dir: str):
     """Near-dup GROUPS: MinHash-LSH pairs -> connected components."""
     from vbpl_web_crawl_ray.stages.graph import dup_clusters
@@ -359,7 +402,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_quartiles": R2.q_ntile_quartiles,
         "value_histogram": R2.q_value_histogram,
         # --- round-3 additions (oracle-backed where SQL-expressible) ---
-        # (inserted here as they land)
+        # 3-valued document state from dates (reference vbpl.py:875-892)
+        "meta_effect_state": DM.q_meta_effect_state,
+        # crawl-wired date/state fidelity incl. the concetti JSON-API
+        # recovery for pages missing their dates (rows-only)
+        "crawl_meta_states": _crawl_meta_states,
+        # 1-doc -> N-binary-files re-association, filename-keyed (rows-only)
+        "anle_file_sections": _anle_file_sections,
         # --- never driver-checked, rows-only crawl/multimodal entries ---
         # crawl + external fuzzy fulltext recovery + sector enrich (M10/J6)
         "enriched_meta": _enriched_meta,
@@ -946,6 +995,28 @@ def oracle_sql() -> dict[str, str]:
                    END AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY 1 HAVING COUNT(*) > 0
+        """,
+        "meta_effect_state": """
+            WITH d AS (
+                SELECT doc_id,
+                       DATE '2020-01-01' + ((doc_id * 7) % 3000)
+                           * INTERVAL 1 DAY AS eff,
+                       CASE WHEN doc_id % 3 = 0 THEN NULL
+                            ELSE DATE '2020-01-01' + ((doc_id * 7) % 3000)
+                                     * INTERVAL 1 DAY
+                                 + (365 + doc_id % 900) * INTERVAL 1 DAY
+                       END AS exp
+                FROM documents)
+            SELECT doc_id,
+                   CAST(eff AS TIMESTAMP) AS effective_date,
+                   CAST(exp AS TIMESTAMP) AS expiration_date,
+                   CASE WHEN TIMESTAMP '2024-01-01' < eff
+                             THEN 'Chưa có hiệu lực'
+                        WHEN exp IS NOT NULL
+                             AND TIMESTAMP '2024-01-01' >= exp
+                             THEN 'Hết hiệu lực'
+                        ELSE 'Có hiệu lực' END AS state
+            FROM d
         """,
         "fuzzy_name_pairs": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

@@ -61,9 +61,15 @@ def test_hopnhat_meta_config(crawl_out):
     rows = [r for r in t.to_pylist()
             if r["doc_type"] == "Văn bản hợp nhất"]
     assert {int(r["doc_id"]) for r in rows} == set(_hopnhat_ids())
+    web = SimWeb(CFG)
     for r in rows:
         assert r["serial_number"].endswith("/VBHN-BCT")
-        assert r["issuance_date"] is None or len(r["issuance_date"]) == 10
+        # reference hợp nhất dict (vbpl.py:542-548) has NO issuance field:
+        # 'Ngày xác thực' -> effective_date, plus gazette_date
+        assert r["issuance_date"] is None
+        assert len(r["effective_date"]) == 10
+        gaz = web.doc_dates(int(r["doc_id"]))["gazette"]
+        assert r["gazette_date"] == (gaz.isoformat() if gaz else None)
         assert ".pdf" in (r["file_link"] or "")
 
 

@@ -249,7 +249,24 @@ class CrawlEngine:
         while self.round < max_rounds and self.run_round():
             if checkpoint_dir:
                 self.checkpoint(checkpoint_dir)
+        self._reassociate_anle_files()
         return self.round
+
+    def _reassociate_anle_files(self) -> None:
+        """Post-crawl pass: re-key harvested anle attachment blobs to
+        their docs via the filename-embedded id and write the section
+        table (reference anle.py:193-215,260-287 — there a separate
+        process_anle job over downloaded file paths). Idempotent: the
+        derived round=reassoc partition is rebuilt from the accumulated
+        anle_files parts on every drain."""
+        parts = sorted(glob.glob(
+            f"{self.out_dir}/anle_files/round=*/part-*.parquet"))
+        if not parts:
+            return
+        from ..stages.fulltext import reassociate_anle_files
+        dst = f"{self.out_dir}/anle_sections/round=reassoc"
+        shutil.rmtree(dst, ignore_errors=True)
+        reassociate_anle_files(rd.read_parquet(parts)).write_parquet(dst)
 
     def run_refresh_cycles(self, seed_urls: list[str], cycles: int,
                            max_rounds_per_cycle: int = 64) -> int:

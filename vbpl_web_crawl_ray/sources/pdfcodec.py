@@ -31,4 +31,30 @@ def decode_pdf_binary(data: bytes) -> str:
         "ParseStage(pdf_codec=...)")
 
 
-PDF_CODECS = {"simpdf": decode_simpdf, "binary": decode_pdf_binary}
+SIMDOC_MAGIC = b"%SIMDOC%"
+
+
+def transcode_simdoc(data: bytes) -> bytes:
+    """DOC->PDF transcode seam (reference anle.py:205-210: ``is_pdf``
+    check then ``aw.Document(path).save('temp.pdf')``). The sim transcode
+    re-containers the text as SIMPDF and injects the Aspose evaluation
+    watermark — exactly the artifact the reference strips afterwards
+    (anle.py:221-223)."""
+    if not data.startswith(SIMDOC_MAGIC):
+        raise ValueError("not a SIMDOC container")
+    from ..stages.fulltext import ASPOSE_WATERMARK
+    return (SIMPDF_MAGIC + ASPOSE_WATERMARK.encode()
+            + data[len(SIMDOC_MAGIC):])
+
+
+def decode_document(data: bytes) -> str:
+    """Magic-dispatched decode: non-PDF containers are transcoded to PDF
+    first, then text-extracted — the reference's ``process_anle`` flow
+    (anle.py:198-215)."""
+    if data.startswith(SIMDOC_MAGIC):
+        data = transcode_simdoc(data)
+    return decode_simpdf(data)
+
+
+PDF_CODECS = {"simpdf": decode_simpdf, "binary": decode_pdf_binary,
+              "document": decode_document}

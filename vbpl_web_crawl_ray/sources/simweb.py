@@ -19,6 +19,7 @@ URL space per host ``host{k}.test``:
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 from dataclasses import dataclass
 
@@ -26,6 +27,11 @@ import numpy as np
 
 from ..functions.hashing import hash64_one
 from .imaging import encode_image, gen_pixels
+
+# The sim portal's fixed "today": document states are a pure function of
+# (dates, SIM_NOW) so crawls are deterministic across real time (the
+# reference derives state vs datetime.now(), app/service/vbpl.py:875-892).
+SIM_NOW = _dt.date(2024, 1, 1)
 
 
 @dataclass
@@ -42,6 +48,18 @@ class SimWebConfig:
                                             # toanvan div -> parse falls back to
                                             # the search.test fuzzy recovery
                                             # (M10, reference vbpl.py:459-470)
+    missing_dates_rate: float = 0.0         # phapquy docs whose page omits the
+                                            # effective-date row + vbInfo block
+                                            # -> the crawler recovers dates and
+                                            # state from the concetti.test JSON
+                                            # API (J4, reference vbpl.py:806-920)
+    anle_files_per_doc: int = 0             # >0 -> anle detail pages carry
+                                            # 2..(1+this) div#filetaive file
+                                            # links instead of inline text;
+                                            # filenames embed '(doc_id)-' the
+                                            # crawler must parse back out to
+                                            # re-key sections (reference
+                                            # anle.py:107-120,193-204,262)
     cross_host_every: int = 7               # every k-th doc links cross-host
     hot_host_factor: int = 1                # host 0 gets factor x pages (skew knob)
     img_min: int = 32                       # min image dimension
@@ -80,6 +98,9 @@ class SimWebConfig:
 _URL_RE = re.compile(
     r"^https?://host(?P<host>\d+)\.test(?P<path>/[^?]*)(?:\?(?P<query>.*))?$")
 _SEARCH_RE = re.compile(r"^https?://search\.test/search\.aspx\?q=(?P<q>.*)$")
+_CONCETTI_RE = re.compile(
+    r"^https?://concetti\.test/documents/search\?(?P<q>.*)$")
+_SERIAL_RE = re.compile(r"^(\d+)/QĐ-TTg$")
 
 
 class SimWeb:
@@ -119,6 +140,43 @@ class SimWeb:
         crawler must recover the text from the secondary search host."""
         return (hash64_one(f"noft{doc_id}") % 10_000
                 < self.cfg.missing_fulltext_rate * 10_000)
+
+    def missing_dates(self, doc_id: int) -> bool:
+        """True -> this phapquy doc's page omits the effective/gazette date
+        rows AND the vbInfo state block; the crawler's concetti JSON-API
+        enrichment is the only way to recover them (the reference runs
+        search_concetti exactly to fill such gaps, vbpl.py:806-920)."""
+        return (hash64_one(f"nodates{doc_id}") % 10_000
+                < self.cfg.missing_dates_rate * 10_000)
+
+    def doc_dates(self, doc_id: int) -> dict:
+        """Deterministic full date set + portal state for one document
+        (the reference's persisted surface, app/model/vbpl.py:7-27:
+        issuance/effective/expiration/gazette dates + state). The
+        issuance triple keeps the original formula so existing pins stay
+        valid; the rest derive from a second hash. State is the 3-valued
+        rule vs SIM_NOW (vbpl.py:875-892 semantics)."""
+        h = hash64_one(f"date{doc_id}")
+        day, month, year = 1 + h % 28, 1 + (h >> 8) % 12, 2000 + (h >> 16) % 24
+        iss = _dt.date(int(year), int(month), int(day))
+        h2 = hash64_one(f"date2:{doc_id}")
+        if h2 % 20 == 0:                    # a slice not yet in effect
+            eff = iss + _dt.timedelta(days=3000 + int(h2 >> 8) % 3000)
+        else:
+            eff = iss + _dt.timedelta(days=15 + int((h2 >> 8) % 45))
+        gaz = (iss + _dt.timedelta(days=int((h2 >> 16) % 10))
+               if (h2 >> 24) % 5 else None)
+        exp = (eff + _dt.timedelta(days=365 + int((h2 >> 32) % 730))
+               if (h2 >> 44) % 10 < 3 else None)
+        if SIM_NOW < eff:
+            state = "Chưa có hiệu lực"
+        elif exp is not None and SIM_NOW >= exp:
+            state = "Hết hiệu lực"
+        else:
+            state = "Có hiệu lực"
+        return {"issuance": iss, "effective": eff, "gazette": gaz,
+                "expiration": exp, "state": state,
+                "applicable_information": f"Thông tin áp dụng {doc_id % 3}"}
 
     def img_moved(self, doc_id: int) -> bool:
         """~10% of images 404 at the primary path and live at the fallback
@@ -209,12 +267,27 @@ class SimWeb:
             lines.append("hết")
         return "\n".join(lines)
 
-    def _anle_text_block(self, doc_id: int) -> str:
+    def _anle_text_block(self, doc_id: int, part: int | None = None) -> str:
         words = self._caption(doc_id).split(" ")
+        tail = "" if part is None else f" bản đính kèm {part}"
         return (f"Tình huống án lệ:\n{' '.join(words[:8]) or 'tình huống'}\n"
                 f"Giải pháp pháp lý:\n{' '.join(words[8:16]) or 'giải pháp'}\n"
                 f"Ghi chú: hết phần này\n"
-                f"NỘI DUNG ÁN LỆ\n[1] {' '.join(words[16:]) or 'nội dung'}\n")
+                f"NỘI DUNG ÁN LỆ\n[1] {' '.join(words[16:]) or 'nội dung'}"
+                f"{tail}\n")
+
+    def n_anle_files(self, doc_id: int) -> int:
+        """Attachment count for one anle case: 2..(1+anle_files_per_doc),
+        deterministic (the multi-file shape needs >=2 per case)."""
+        f = self.cfg.anle_files_per_doc
+        return 0 if f <= 0 else 2 + int(hash64_one(f"anlef{doc_id}") % f)
+
+    def _anle_file_body(self, doc_id: int, part: int) -> bytes:
+        """One attachment: even parts are SIMPDF, odd parts SIMDOC (the
+        reference's is_pdf/else-transcode split, anle.py:205-210). Content
+        varies per part so last-file-wins upsert order is observable."""
+        text = self._anle_text_block(doc_id, part=part).encode()
+        return ((b"%SIMDOC%" + text) if part % 2 else (b"%SIMPDF%" + text))
 
     def luocdo_of(self, doc_id: int) -> list[tuple[int, str, bool]]:
         """Doc-map ('lược đồ') edges — the reference's SECOND link phase
@@ -268,9 +341,13 @@ class SimWeb:
                    f'data="/pdf/{doc_id}.pdf" type="application/pdf">'
                    '</object></div>\n'
                    if self.hopnhat_pdf_on_main(doc_id) else "")
-            return f"""<ul class="vbInfo">
+            gaz = self.doc_dates(doc_id)["gazette"]
+            gaz_li = (f"\n<li>Ngày đăng công báo: "
+                      f"{gaz.day:02d}/{gaz.month:02d}/{gaz.year}</li>"
+                      if gaz is not None else "")
+            return f"""<ul class="vbInfo hopnhat">
 <li>Số hiệu: {doc_id}/VBHN-BCT</li>
-<li>Ngày xác thực: {day:02d}/{month:02d}/{year}</li>
+<li>Ngày xác thực: {day:02d}/{month:02d}/{year}</li>{gaz_li}
 <li>Loại văn bản: Văn bản hợp nhất</li>
 <li>Cơ quan ban hành: Bộ {k}</li>
 </ul>
@@ -280,6 +357,17 @@ class SimWeb:
 {rels}
 </ul>""".encode()
         if self.flavor_of_host(k) == "anle":
+            nf = self.n_anle_files(doc_id)
+            if nf:
+                # multi-file shape (reference anle.py:107-120): N download
+                # divs, filename embeds '(doc_id)-p{part}'; no inline text
+                body = "\n".join(
+                    f'<div id="filetaive"><a href="/anle-file/({doc_id})-'
+                    f'p{i}.{"doc" if i % 2 else "pdf"}">Tải về</a></div>'
+                    for i in range(nf))
+            else:
+                body = (f'<div class="anle-text">\n'
+                        f'{self._anle_text_block(doc_id)}</div>')
             return f"""<div id="thuoctinh">
 <tr><th>Số án lệ</th><td>{doc_id}/AL</td></tr>
 <tr><th>Ngày thông qua</th><td>{day:02d}/{month:02d}/{year}</td></tr>
@@ -287,21 +375,44 @@ class SimWeb:
 </div>
 <td class="title">{cap}</td>
 <img class="payload" src="/img/{doc_id}.{fmt}"/>
-<div class="anle-text">
-{self._anle_text_block(doc_id)}</div>
+{body}
 <ul class="relatedDoc">
 {rels}
 </ul>""".encode()
         toanvan = ("" if self.missing_fulltext(doc_id) else
                    f'<div class="toanvancontent">\n'
                    f'{self._fulltext_block(doc_id)}</div>\n')
-        return f"""<div class="vbProperties">
+        # full phapquy attribute surface (reference regex dict
+        # vbpl.py:610-618 + div.vbInfo state/expiration vbpl.py:640-648 +
+        # box-map breadcrumb title vbpl.py:594-601); missing_dates docs
+        # omit the date rows and the vbInfo block entirely — the concetti
+        # enrichment is their only date source
+        dd = self.doc_dates(doc_id)
+
+        def fd(d: _dt.date) -> str:
+            return f"{d.day:02d}/{d.month:02d}/{d.year}"
+
+        date_rows = info = ""
+        if not self.missing_dates(doc_id):
+            date_rows = (f"<tr><td>Ngày có hiệu lực</td>"
+                         f"<td>{fd(dd['effective'])}</td></tr>\n")
+            if dd["gazette"] is not None:
+                date_rows += (f"<tr><td>Ngày đăng công báo</td>"
+                              f"<td>{fd(dd['gazette'])}</td></tr>\n")
+            exp_li = (f"\n<li>Ngày hết hiệu lực: {fd(dd['expiration'])}</li>"
+                      if dd["expiration"] is not None else "")
+            info = (f'<div class="vbInfo"><ul>\n'
+                    f'<li>Hiệu lực: {dd["state"]}</li>{exp_li}\n'
+                    f'</ul></div>\n')
+        return f"""<div class="box-map"><a href="">{cap}</a></div>
+<div class="vbProperties">
 <tr><td>Số ký hiệu</td><td>{doc_id}/QĐ-TTg</td></tr>
 <tr><td>Ngày ban hành</td><td>{day:02d}/{month:02d}/{year}</td></tr>
+{date_rows}<tr><td>Thông tin áp dụng</td><td>{dd['applicable_information']}</td></tr>
 <tr><td>Loại văn bản</td><td>Quyết định</td></tr>
 <tr><td>Cơ quan ban hành</td><td>Bộ {k}</td></tr>
 </div>
-<td class="title">{cap}</td>
+{info}<td class="title">{cap}</td>
 <img class="payload" src="/img/{doc_id}.{fmt}"/>
 {toanvan}<ul class="relatedDoc">
 {rels}
@@ -369,9 +480,50 @@ class SimWeb:
                 f'</pre></div>')
         return "\n".join(items).encode()
 
+    def _concetti_body(self, query: str) -> bytes:
+        """Concetti-style JSON search API (reference search_concetti,
+        vbpl.py:806-920): camelCase-marshalled query params, paged items
+        with name/number/key identity fields and ISO effective/expiry
+        dates. Item 1 is a low-similarity decoy the client's 3-key fuzzy
+        acceptance must reject; real hits follow, resolved by serial
+        number or by caption. Date-range params are accepted (and, like
+        most real search APIs, treated as advisory)."""
+        import json
+        from urllib.parse import parse_qs, unquote
+
+        q = parse_qs(query)
+        key = unquote(q.get("key", [""])[0])
+        page = int(q.get("page", ["1"])[0])
+        limit = int(q.get("limit", ["5"])[0])
+        sm = _SERIAL_RE.match(key)
+        ids = ([int(sm.group(1))] if sm else self._docs_with_caption(key))
+        items = [{"active": False, "slug": "cb-0", "key": "cb-0",
+                  "name": "Thông báo phát hành công báo", "number": "0/CB",
+                  "issueDate": None, "effectiveDate": None,
+                  "expiryDate": None, "gazetteDate": None}]
+        for did in ids[:8]:
+            dd = self.doc_dates(did)
+            items.append({
+                "active": dd["state"] == "Có hiệu lực",
+                "slug": f"vb-{did}", "key": f"vb-{did}",
+                "name": self._caption(did), "number": f"{did}/QĐ-TTg",
+                "issueDate": dd["issuance"].isoformat(),
+                "effectiveDate": dd["effective"].isoformat(),
+                "expiryDate": (dd["expiration"].isoformat()
+                               if dd["expiration"] is not None else None),
+                "gazetteDate": (dd["gazette"].isoformat()
+                                if dd["gazette"] is not None else None)})
+        lo = (page - 1) * limit
+        return json.dumps({"items": items[lo:lo + limit]}).encode()
+
     def get(self, url: str, attempt: int = 0) -> tuple[int, str, bytes]:
         """(status, content_type, body). Deterministic; ``attempt`` models
         the transient-500 retry path."""
+        cm = _CONCETTI_RE.match(url)
+        if cm:
+            if self.is_flaky(url, attempt):
+                return 500, "text/plain", b"transient"
+            return 200, "application/json", self._concetti_body(cm.group("q"))
         sm = _SEARCH_RE.match(url)
         if sm:
             if self.is_flaky(url, attempt):
@@ -410,6 +562,16 @@ class SimWeb:
                     return 404, "text/plain", b""
                 return 200, "text/html", self._doc2_body(doc_id)
             return 200, "text/html", self._doc_body(doc_id)
+        af = re.match(r"^/anle-file/\((\d+)\)-p(\d+)\.(pdf|doc)$", path)
+        if af:
+            doc_id, part = int(af.group(1)), int(af.group(2))
+            if (self.cfg.host_of_doc(doc_id) != k
+                    or self.flavor_of_host(k) != "anle"
+                    or part >= self.n_anle_files(doc_id)
+                    or (af.group(3) == "doc") != bool(part % 2)):
+                return 404, "text/plain", b""
+            return (200, "application/octet-stream",
+                    self._anle_file_body(doc_id, part))
         pdf = re.match(r"^/pdf/(\d+)\.pdf$", path)
         if pdf:
             doc_id = int(pdf.group(1))

@@ -278,3 +278,63 @@ def sectionize_pdf_batch(ds: rd.Dataset, id_col: str = "doc_id",
             "content": [extract_pdf_section(ANLE_CONTENT, t) for t in texts],
         })
     return ds.map_batches(f, batch_format="pandas")
+
+
+# filename-embedded identity (reference anle.py:196-204: the file path is
+# the ONLY carrier of the doc id — r'\((.*?)\)-' — and of processing order)
+ANLE_FILE_ID_RE = re.compile(r"\((.*?)\)-")
+ANLE_FILE_SEQ_RE = re.compile(r"-p(\d+)\.")
+
+
+def reassociate_anle_files(files_ds: rd.Dataset,
+                           codec=None) -> rd.Dataset:
+    """1-doc -> N-binary-files re-association (reference
+    anle.py:107-120,193-215,260-287): each attachment's doc id is parsed
+    back OUT OF THE FILENAME, the blob decoded through the pluggable codec
+    (non-PDF containers transcode first), watermark stripped, the three
+    anle sections extracted, then sections re-keyed per doc keeping the
+    LAST file's values — the observable outcome of the reference's
+    sequential per-file upsert (to_anle_section_db, anle.py:260-287).
+
+    Distributed shape: one decode+extract map_batches pass (per-blob codec
+    work, like the image decode stages), then a tiny (one row per file)
+    bucketed argmax by file sequence. The blob column never shuffles —
+    only the extracted section rows do."""
+    from ..sources.pdfcodec import decode_document
+    from .shuffle import bucketed_group_apply
+    codec = codec or decode_document
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        ids, seqs, ctx, sol, cont = [], [], [], [], []
+        for name, data in zip(df["file_name"], df["data"]):
+            m = ANLE_FILE_ID_RE.search(name)
+            if m is None:
+                continue
+            try:
+                text = codec(bytes(data))
+            except NotImplementedError:
+                continue
+            text = text.replace(ASPOSE_WATERMARK, "")
+            sq = ANLE_FILE_SEQ_RE.search(name)
+            ids.append(m.group(1))
+            seqs.append(int(sq.group(1)) if sq else 0)
+            ctx.append(extract_pdf_section(ANLE_CONTEXT, text))
+            sol.append(extract_pdf_section(ANLE_SOLUTION, text))
+            cont.append(extract_pdf_section(ANLE_CONTENT, text))
+        return pd.DataFrame({"anle_id": pd.array(ids, dtype="string"),
+                             "seq": pd.array(seqs, dtype="int64"),
+                             "context": pd.array(ctx, dtype="string"),
+                             "solution": pd.array(sol, dtype="string"),
+                             "content": pd.array(cont, dtype="string")})
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        # per-batch winner per doc (keeps seq for the cross-batch argmax)
+        return (g.sort_values("seq")
+                 .groupby("anle_id", as_index=False).tail(1))
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        return partial(g)[["anle_id", "context", "solution", "content"]]
+
+    per_file = files_ds.map_batches(extract, batch_format="pandas")
+    return bucketed_group_apply(per_file, "anle_id", last,
+                                partial_fn=partial)

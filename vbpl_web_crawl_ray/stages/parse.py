@@ -42,11 +42,24 @@ from ..state.frontier import partition_of
 # ---- extractor configs (U1): field -> regex with one capture group ----
 
 DOC_ATTR_CONFIG = {
+    # the reference's full 7-field pháp quy regex dict (vbpl.py:610-618)
     "serial_number": r"<tr><td>Số ký hiệu</td><td>(.*?)</td></tr>",
     "issuance_date": r"<tr><td>Ngày ban hành</td><td>(.*?)</td></tr>",
+    "effective_date": r"<tr><td>Ngày có hiệu lực</td><td>(.*?)</td></tr>",
+    "gazette_date": r"<tr><td>Ngày đăng công báo</td><td>(.*?)</td></tr>",
+    "applicable_information":
+        r"<tr><td>Thông tin áp dụng</td><td>(.*?)</td></tr>",
     "doc_type": r"<tr><td>Loại văn bản</td><td>(.*?)</td></tr>",
     "issuing_authority": r"<tr><td>Cơ quan ban hành</td><td>(.*?)</td></tr>",
 }
+
+# div.vbInfo scrape: state + expiration date (reference vbpl.py:605-606,
+# 640-648) and the box-map breadcrumb title (vbpl.py:594-601; the sim
+# serves the caption there, so `title` keeps its caption value and
+# td.title doubles as the reference's sub_title source)
+VBINFO_STATE_RE = re.compile(r"<li>Hiệu lực: (.*?)</li>")
+VBINFO_EXP_RE = re.compile(r"<li>Ngày hết hiệu lực: (.*?)</li>")
+BOXMAP_RE = re.compile(r'<div class="box-map"><a href="">(.*?)</a></div>')
 
 # second flavor, different markup and field set — the extractor is
 # parameterized per doc type exactly as the reference requires (M3/M4:
@@ -60,8 +73,11 @@ ANLE_ATTR_CONFIG = {
 # third flavor: consolidated documents — attrs in a vbInfo list, full text
 # behind a PDF <object> (reference hợp nhất config vbpl.py:542-573)
 HOPNHAT_ATTR_CONFIG = {
+    # the reference's hợp nhất dict (vbpl.py:542-548) has NO issuance
+    # field: 'Ngày xác thực' maps to effective_date, plus gazette_date
     "serial_number": r"<li>Số hiệu: (.*?)</li>",
-    "issuance_date": r"<li>Ngày xác thực: (.*?)</li>",
+    "effective_date": r"<li>Ngày xác thực: (.*?)</li>",
+    "gazette_date": r"<li>Ngày đăng công báo: (.*?)</li>",
     "doc_type": r"<li>Loại văn bản: (.*?)</li>",
     "issuing_authority": r"<li>Cơ quan ban hành: (.*?)</li>",
 }
@@ -73,7 +89,7 @@ HOPNHAT_ATTR_CONFIG = {
 FLAVOR_REGISTRY = {
     "anle": {"marker": 'id="thuoctinh"', "attrs": ANLE_ATTR_CONFIG,
              "tabs": ()},
-    "hopnhat": {"marker": 'class="vbInfo"', "attrs": HOPNHAT_ATTR_CONFIG,
+    "hopnhat": {"marker": 'class="vbInfo hopnhat"', "attrs": HOPNHAT_ATTR_CONFIG,
                 "tabs": ("/doc.aspx?ItemID={id}", "/doc2.aspx?ItemID={id}")},
     "phapquy": {"marker": None, "attrs": DOC_ATTR_CONFIG, "tabs": ()},
 }
@@ -81,6 +97,9 @@ OBJECT_RE = re.compile(r'<object data="([^"]+)"')
 
 TOANVAN_RE = re.compile(r'<div class="toanvancontent">\n(.*?)</div>', re.S)
 ANLE_TEXT_RE = re.compile(r'<div class="anle-text">\n(.*?)</div>', re.S)
+# the reference's pdf_nodes = soup.find_all('div', {'id': 'filetaive'})
+# multi-file harvest (anle.py:107-114)
+FILETAIVE_RE = re.compile(r'<div id="filetaive"><a href="([^"]+)">')
 
 CAPTION_RE = re.compile(r'<td class="title">(.*?)</td>', re.S)
 NEXT_RE = re.compile(r'<a class="next" href="([^"]+)">')
@@ -96,6 +115,13 @@ SEARCH_RESULT_RE = re.compile(
     r'(?:<a class="target" href="(?P<turl>[^"]+)"[^>]*>.*?</a>)?'
     r'<pre class="fulltext">(.*?)</pre></div>', re.S)
 SEARCH_URL = "http://search.test/search.aspx?q={q}"
+CONCETTI_URL = "http://concetti.test/documents/search"
+
+
+def _iso_date(s: str | None):
+    """'YYYY-MM-DD' -> datetime.date (None-propagating)."""
+    import datetime as dt
+    return dt.date.fromisoformat(s) if s else None
 LUOCDO_RE = re.compile(
     r'<li class="luocdo"><a href="([^"]+)">(.*?)</a>'
     r'<span class="map-type">(.*?)</span></li>', re.S)
@@ -118,13 +144,23 @@ PAYLOAD_SCHEMA = pa.schema([
 # nothing below ever transits a collector actor or the driver
 EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
                          ("label", pa.string())])
+# the reference's full persisted vbpl surface (app/model/vbpl.py:7-27):
+# original 7 columns plus sub_title, effective/expiration/gazette dates,
+# state and applicable_information (new fields appended so positional
+# consumers of the old prefix stay valid)
 META_SCHEMA = pa.schema([("doc_id", pa.string()),
                          ("serial_number", pa.string()),
                          ("issuance_date", pa.string()),
                          ("doc_type", pa.string()),
                          ("issuing_authority", pa.string()),
                          ("title", pa.string()),
-                         ("file_link", pa.string())])
+                         ("file_link", pa.string()),
+                         ("sub_title", pa.string()),
+                         ("effective_date", pa.string()),
+                         ("expiration_date", pa.string()),
+                         ("gazette_date", pa.string()),
+                         ("state", pa.string()),
+                         ("applicable_information", pa.string())])
 # full hierarchy persisted (reference vbpl_toan_van model,
 # app/model/vbpl.py:77-97 — all 8 hierarchy columns, not just chapter)
 SECTION_SCHEMA = pa.schema([("vbpl_id", pa.string()),
@@ -154,12 +190,20 @@ DOC_MAP_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
                             ("map_label", pa.string())])
 FAIL_SCHEMA = pa.schema([("url", pa.string()), ("status", pa.int32())])
 
+# raw anle attachments (1 doc -> N binary files): deliberately carries NO
+# doc id — the re-association stage must parse it back out of the
+# filename, as the reference's process_anle does from the file path
+# (anle.py:196-204)
+ANLE_FILE_SCHEMA = pa.schema([("file_name", pa.string()),
+                              ("data", pa.binary())])
+
 SIDE_TABLES = ("edges", "doc_map", "meta", "sections", "sub_parts",
-               "anle_sections", "fails")
+               "anle_sections", "anle_files", "fails")
 _SIDE_SCHEMAS = {"edges": EDGE_SCHEMA, "doc_map": DOC_MAP_SCHEMA,
                  "meta": META_SCHEMA,
                  "sections": SECTION_SCHEMA, "sub_parts": SUB_PART_SCHEMA,
-                 "anle_sections": ANLE_SECTION_SCHEMA, "fails": FAIL_SCHEMA}
+                 "anle_sections": ANLE_SECTION_SCHEMA,
+                 "anle_files": ANLE_FILE_SCHEMA, "fails": FAIL_SCHEMA}
 
 
 def _none_last(row: tuple):
@@ -240,6 +284,42 @@ class ParseStage:
                 return block.split("\n")
         return None
 
+    def _concetti_lookup(self, title: str | None, sub_title: str | None,
+                         serial: str | None,
+                         issuance_iso: str | None) -> dict | None:
+        """Concetti JSON-API enrichment (reference search_concetti,
+        vbpl.py:806-920): camelCase-marshalled query params (the engine's
+        snake_to_camel converters), key types tried in reference order
+        (title, sub_title, serial_number), <=2 pages x limit 5 per key,
+        and 3-key fuzzy acceptance — the first item whose name OR number
+        OR key reaches the ratio threshold wins."""
+        import json
+        from urllib.parse import urlencode
+
+        from ..functions.fuzzy import ratio
+        from ..functions.text import snake_to_camel
+
+        base = {"target": "document", "sort": "keyword", "limit": 5,
+                "select": "active,slug,key,name,number,issueDate,"
+                          "effectiveDate,expiryDate,gazetteDate"}
+        if issuance_iso:
+            base[snake_to_camel("issue_date_from")] = issuance_iso
+        for key in (title, sub_title, serial):
+            if not key:
+                continue
+            for page in (1, 2):
+                params = dict(base, key=key, page=page)
+                status, body = self._fetch_inline(
+                    CONCETTI_URL + "?" + urlencode(params))
+                if status != 200:
+                    continue
+                items = json.loads(body.decode()).get("items", [])
+                for it in items:
+                    if max(ratio(key, it["name"]), ratio(key, it["number"]),
+                           ratio(key, it["key"])) >= self.enrich_threshold:
+                        return it
+        return None
+
     def _resolve_by_title(self, href: str, title: str) -> str | None:
         """Doc-map title-search fallback (reference vbpl.py:758-804): an
         ItemID-less 'lược đồ' href is resolved by searching the title and
@@ -308,15 +388,31 @@ class ParseStage:
         # flavor dispatch by markup (FLAVOR_REGISTRY markers), extractor
         # parameterized per doc type (M2/M3/M4 regex dicts, reference
         # vbpl.py:542-548,610-618, anle.py:75-84)
-        if 'class="vbInfo"' in body:
+        if FLAVOR_REGISTRY["hopnhat"]["marker"] in body:
             self._parse_hopnhat(rec, body, doc_id, caption, file_links, out)
-        elif 'id="thuoctinh"' in body:
+        elif FLAVOR_REGISTRY["anle"]["marker"] in body:
             attrs = extract_attributes(body, self.anle_config)
+            # multi-attachment harvest (reference anle.py:107-120): fetch
+            # every div#filetaive link; the raw bytes land in the
+            # anle_files side table keyed ONLY by filename — the
+            # re-association stage parses the doc id back out of it
+            file_hits = FILETAIVE_RE.findall(body)
+            names = []
+            for href in file_hits:
+                furl = urljoin(rec["url"], href)
+                status, data = self._fetch_inline(furl)
+                if status == 200 and data:
+                    name = furl.rsplit("/", 1)[-1]
+                    names.append(name)
+                    out["anle_files"].append((name, data))
+            if names:
+                file_link = " ".join(names)
             out["meta"].append((str(doc_id), attrs["serial_number"],
                                 dmy_to_iso(attrs["issuance_date"]), "Án lệ",
-                                attrs.get("sector"), caption, file_link))
+                                attrs.get("sector"), caption, file_link)
+                               + (None,) * 6)
             txt_m = ANLE_TEXT_RE.search(body)
-            if txt_m:
+            if txt_m and not file_hits:
                 text = txt_m.group(1)
                 out["anle_sections"].append(
                     (str(doc_id),
@@ -325,10 +421,36 @@ class ParseStage:
                      extract_pdf_section(ANLE_CONTENT, text)))
         else:
             attrs = extract_attributes(body, self.attr_config)
-            out["meta"].append((str(doc_id), attrs["serial_number"],
-                                dmy_to_iso(attrs["issuance_date"]),
+            # breadcrumb title (box-map) + td.title as sub_title source
+            # (reference vbpl.py:594-601; the engine's `title` column
+            # keeps the caption value both serve in this sim)
+            bm = BOXMAP_RE.search(body)
+            title = bm.group(1).strip() if bm else caption
+            iss = dmy_to_iso(attrs["issuance_date"])
+            eff = dmy_to_iso(attrs["effective_date"])
+            gaz = dmy_to_iso(attrs["gazette_date"])
+            st_m = VBINFO_STATE_RE.search(body)
+            state = st_m.group(1).strip() if st_m else None
+            exp_m = VBINFO_EXP_RE.search(body)
+            exp = dmy_to_iso(exp_m.group(1).strip()) if exp_m else None
+            if eff is None and self.enrich:
+                # dates absent from the portal page -> concetti JSON-API
+                # recovery; accepted item updates effective/expiry and the
+                # state re-derives from the new dates (vbpl.py:875-892)
+                it = self._concetti_lookup(title, caption,
+                                           attrs["serial_number"], iss)
+                if it is not None and it["effectiveDate"] is not None:
+                    from ..sources.simweb import SIM_NOW
+
+                    from .enrich import derive_effect_state
+                    eff = it["effectiveDate"]
+                    exp = it["expiryDate"] or exp
+                    state = derive_effect_state(
+                        _iso_date(eff), _iso_date(exp), SIM_NOW)
+            out["meta"].append((str(doc_id), attrs["serial_number"], iss,
                                 attrs["doc_type"], attrs["issuing_authority"],
-                                caption, file_link))
+                                title, file_link, caption, eff, exp, gaz,
+                                state, attrs["applicable_information"]))
             tv_m = TOANVAN_RE.search(body)
             lines = tv_m.group(1).split("\n") if tv_m else (
                 self._recover_fulltext(caption) if self.enrich else None)
@@ -417,10 +539,13 @@ class ParseStage:
                              sp["sub_section_part_number"],
                              sp["sub_section_part_title"]))
         out["meta"].append((str(doc_id), attrs["serial_number"],
-                            dmy_to_iso(attrs["issuance_date"]),
+                            None,  # no issuance field in the hợp nhất dict
                             attrs["doc_type"], attrs["issuing_authority"],
                             caption,
-                            " ".join(file_links) if file_links else None))
+                            " ".join(file_links) if file_links else None,
+                            None,
+                            dmy_to_iso(attrs["effective_date"]), None,
+                            dmy_to_iso(attrs["gazette_date"]), None, None))
 
     # ---- per-batch data-plane sink ----
 
