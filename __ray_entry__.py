@@ -177,8 +177,7 @@ def _enriched_meta(sf_dir: str):
                                          missing_fulltext_rate=0.4))
 
     meta = rd.read_parquet(sorted(glob.glob(f"{out}/meta/round=*/*.parquet")),
-                           columns=["doc_id", "doc_type", "title",
-                                    "issuing_authority"])
+                           columns=["doc_id", "doc_type", "title", "sector"])
     # sector candidates: every 3rd caption becomes a catalog title mapping
     # to a sector bucket; containment (candidate title contains the doc
     # title) + ' - ' multi-join + default + never-downgrade semantics
@@ -186,15 +185,17 @@ def _enriched_meta(sf_dir: str):
                   for i, c in enumerate(cfg.captions[:60]) if i % 3 == 0]
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        df["sector0"] = np.where(df["doc_type"] == "Án lệ",
-                                 df["issuing_authority"], None)
-        return df
+        # prior = the crawl's own sector column (anle rows carry their
+        # portal sector, phapquy rows none yet); pandas string dtype so
+        # all-null blocks keep an Arrow string type through the join
+        df["sector0"] = df["sector"].astype("string")
+        return df.drop(columns=["sector"])
 
     enriched = containment_enrich(
         meta.map_batches(prep, batch_format="pandas"),
         key_col="title", existing_col="sector0", candidates=candidates,
         cand_title="title", cand_value="sector", default="Khác",
-        out_col="sector")
+        out_col="sector").drop_columns(["sector0"])
 
     sec_files = sorted(glob.glob(f"{out}/sections/round=*/*.parquet"))
     from vbpl_web_crawl_ray.stages.shuffle import (bucketed_group_apply,

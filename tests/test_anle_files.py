@@ -75,9 +75,14 @@ def test_file_table_and_meta_links(crawl_out):
         f"{crawl_out}/meta/round=*/*.parquet"))).to_pylist()}
     for did, r in meta.items():
         nf = web.n_anle_files(did)
-        want = " ".join(f"({did})-p{i}.{'doc' if i % 2 else 'pdf'}"
-                        for i in range(nf))
-        assert r["file_link"] == want
+        k = CFG.host_of_doc(did)
+        parts = [f"({did})-p{i}.{'doc' if i % 2 else 'pdf'}"
+                 for i in range(nf)]
+        # reference anle.py:117-120: file_link = local names,
+        # org_pdf_link = source URLs, both space-joined
+        assert r["file_link"] == " ".join(parts)
+        assert r["org_pdf_link"] == " ".join(
+            f"http://host{k}.test/anle-file/{p}" for p in parts)
     # every harvested blob decodes to its page's per-part text
     got = {n: bytes(d) for n, d in
            zip(files["file_name"].to_pylist(), files["data"].to_pylist())}

@@ -96,3 +96,30 @@ def test_recrawl_idempotent(crawl_out, tmp_path):
 
 def test_get_total_docs():
     assert SimWeb(CFG).get_total_docs(0) == CFG.docs_per_host(0)
+
+
+def test_store_html_blob_table(tmp_path):
+    """store_html persists the raw full-text node verbatim per doc (the
+    reference's vbpl.html LONGTEXT column, app/model/vbpl.py:23 set at
+    vbpl.py:458) in its own content table, off by default."""
+    cfg = SimWebConfig(n_hosts=1, pages_per_host=2, docs_per_page=4,
+                       captions=tuple(f"Văn bản mẫu {i}" for i in range(9)),
+                       flavors=("phapquy",), flaky_rate=0.0, missing_rate=0.0)
+    out = str(tmp_path / "html_out")
+    eng = CrawlEngine(cfg, out, num_partitions=1, store_html=True)
+    eng.seed(SimWeb(cfg).seed_urls())
+    eng.run(max_rounds=8)
+    t = pq.read_table(sorted(glob.glob(f"{out}/html/round=*/part-*.parquet")))
+    rows = {int(r["doc_id"]): r["html"] for r in t.to_pylist()}
+    assert len(rows) == t.num_rows == 8        # one blob per doc
+    web = SimWeb(cfg)
+    for did, html in rows.items():
+        want = (f'<div class="toanvancontent">\n'
+                f'{web._fulltext_block(did)}</div>')
+        assert html == want, did
+    # off by default: the flagship crawl writes no html parts
+    out2 = str(tmp_path / "nohtml_out")
+    eng2 = CrawlEngine(cfg, out2, num_partitions=1)
+    eng2.seed(SimWeb(cfg).seed_urls())
+    eng2.run(max_rounds=8)
+    assert not glob.glob(f"{out2}/html/round=*/part-*.parquet")

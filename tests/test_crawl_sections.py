@@ -106,5 +106,14 @@ def test_meta_flavors(crawl_out):
     assert phapquy and anle
     assert all(r["serial_number"].endswith("/QĐ-TTg") for r in phapquy)
     assert all(r["serial_number"].endswith("/AL") for r in anle)
-    # anle rows carry the sector in the authority slot (unified meta schema)
-    assert all(r["issuing_authority"].startswith("Dân sự") for r in anle)
+    # full anle attribute surface (reference regex dict anle.py:75-84,
+    # unified-meta mapping: adoption->issuance, application->effective,
+    # publication->gazette); anle rows have no issuing authority
+    for r in anle:
+        assert r["issuing_authority"] is None
+        assert r["sector"].startswith("Dân sự")
+        assert r["title"].startswith("Án lệ số")
+        assert r["publication_decision"].endswith("/QĐ-CA")
+        assert len(r["effective_date"]) == 10   # Ngày áp dụng
+        assert r["state"] in ("Có hiệu lực", "Hết hiệu lực",
+                              "Chưa có hiệu lực")

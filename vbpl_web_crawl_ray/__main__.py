@@ -41,6 +41,9 @@ def main(argv=None):
     c.add_argument("--partitions", type=int, default=4)
     c.add_argument("--paginate-via-links", action="store_true")
     c.add_argument("--max-per-host", type=int, default=None)
+    c.add_argument("--store-html", action="store_true",
+                   help="also persist the raw full-text HTML node per doc "
+                        "(the reference's vbpl.html LONGTEXT column)")
     c.add_argument("--checkpoint-dir", default=None)
     c.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint-dir's manifest instead "
@@ -100,10 +103,12 @@ def main(argv=None):
             if not args.checkpoint_dir:
                 p.error("--resume requires --checkpoint-dir")
             eng = CrawlEngine.resume(args.checkpoint_dir, cfg, args.out,
-                                     max_per_host_per_round=args.max_per_host)
+                                     max_per_host_per_round=args.max_per_host,
+                                     store_html=args.store_html)
         else:
             eng = CrawlEngine(cfg, args.out, num_partitions=args.partitions,
-                              max_per_host_per_round=args.max_per_host)
+                              max_per_host_per_round=args.max_per_host,
+                              store_html=args.store_html)
             eng.seed(SimWeb(cfg).seed_urls())
         rounds = eng.run(checkpoint_dir=args.checkpoint_dir)
         print(json.dumps({"rounds": rounds, "fetched": len(eng.crawl_log),

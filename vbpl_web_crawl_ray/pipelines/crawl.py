@@ -112,7 +112,7 @@ class CrawlEngine:
                  default_delay: float = 1.0, bloom_capacity: int = 1_000_000,
                  track_seen: bool = False, use_actors: bool = True,
                  allow_deletions: bool = False, real_time: bool = False,
-                 enrich: bool = True):
+                 enrich: bool = True, store_html: bool = False):
         self.cfg = cfg
         self.out_dir = out_dir
         self.num_partitions = num_partitions
@@ -131,6 +131,7 @@ class CrawlEngine:
         self.allow_deletions = allow_deletions
         self.track_seen = track_seen
         self.enrich = enrich
+        self.store_html = store_html
         self.actors = [
             FrontierActor.remote(i, num_partitions, cfg,
                                  default_delay=default_delay,
@@ -198,7 +199,7 @@ class CrawlEngine:
         parse_kw = {"frontier_handles": self.actors,
                     "counters": self.counters,
                     "out_dir": self.out_dir, "round_no": r,
-                    "enrich": self.enrich}
+                    "enrich": self.enrich, "store_html": self.store_html}
         fetch_kw = {"cfg": self.cfg}
         if self.real_time:
             import time as _time

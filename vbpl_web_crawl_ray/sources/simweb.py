@@ -368,10 +368,22 @@ class SimWeb:
             else:
                 body = (f'<div class="anle-text">\n'
                         f'{self._anle_text_block(doc_id)}</div>')
+            # full 8-field attribute table (reference regex dict
+            # anle.py:75-84); publication/application dates + state reuse
+            # the doc_dates model, decision is a derived serial
+            dd = self.doc_dates(doc_id)
+            pub = (f"\n<tr><th>Ngày công bố</th><td>{dd['gazette'].day:02d}/"
+                   f"{dd['gazette'].month:02d}/{dd['gazette'].year}</td></tr>"
+                   if dd["gazette"] is not None else "")
             return f"""<div id="thuoctinh">
 <tr><th>Số án lệ</th><td>{doc_id}/AL</td></tr>
-<tr><th>Ngày thông qua</th><td>{day:02d}/{month:02d}/{year}</td></tr>
+<tr><th>Tên án lệ</th><td>Án lệ số {doc_id} về {cap}</td></tr>
+<tr><th>Ngày thông qua</th><td>{day:02d}/{month:02d}/{year}</td></tr>{pub}
+<tr><th>Quyết định công bố</th><td>{doc_id}/QĐ-CA</td></tr>
+<tr><th>Ngày áp dụng</th><td>{dd['effective'].day:02d}/\
+{dd['effective'].month:02d}/{dd['effective'].year}</td></tr>
 <tr><th>Lĩnh vực</th><td>Dân sự {k}</td></tr>
+<tr><th>Trạng thái</th><td>{dd['state']}</td></tr>
 </div>
 <td class="title">{cap}</td>
 <img class="payload" src="/img/{doc_id}.{fmt}"/>

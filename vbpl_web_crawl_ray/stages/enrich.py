@@ -77,7 +77,7 @@ def containment_enrich(ds: rd.Dataset, key_col: str, existing_col: str,
                            dtype=object)
             old = df[existing_col].to_numpy(dtype=object)
             keep_old = np.array(
-                [o is not None and o != default for o in old], dtype=bool)
+                [not pd.isna(o) and o != default for o in old], dtype=bool)
             df[out_col] = np.where(keep_old, old, new)
             return df
 

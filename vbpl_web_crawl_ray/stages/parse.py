@@ -65,9 +65,19 @@ BOXMAP_RE = re.compile(r'<div class="box-map"><a href="">(.*?)</a></div>')
 # parameterized per doc type exactly as the reference requires (M3/M4:
 # hợp nhất dict vbpl.py:542-548, anle dict anle.py:75-84)
 ANLE_ATTR_CONFIG = {
+    # the reference's full 8-field anle regex dict (anle.py:75-84);
+    # unified-meta column mapping: adoption_date -> issuance_date,
+    # application_date -> effective_date, publication_date -> gazette_date
+    # (the anle model's semantically-equivalent slots, app/model/anle.py)
     "serial_number": r"<tr><th>Số án lệ</th><td>(.*?)</td></tr>",
-    "issuance_date": r"<tr><th>Ngày thông qua</th><td>(.*?)</td></tr>",
+    "title": r"<tr><th>Tên án lệ</th><td>(.*?)</td></tr>",
+    "adoption_date": r"<tr><th>Ngày thông qua</th><td>(.*?)</td></tr>",
+    "publication_date": r"<tr><th>Ngày công bố</th><td>(.*?)</td></tr>",
+    "publication_decision":
+        r"<tr><th>Quyết định công bố</th><td>(.*?)</td></tr>",
+    "application_date": r"<tr><th>Ngày áp dụng</th><td>(.*?)</td></tr>",
     "sector": r"<tr><th>Lĩnh vực</th><td>(.*?)</td></tr>",
+    "state": r"<tr><th>Trạng thái</th><td>(.*?)</td></tr>",
 }
 
 # third flavor: consolidated documents — attrs in a vbInfo list, full text
@@ -160,7 +170,10 @@ META_SCHEMA = pa.schema([("doc_id", pa.string()),
                          ("expiration_date", pa.string()),
                          ("gazette_date", pa.string()),
                          ("state", pa.string()),
-                         ("applicable_information", pa.string())])
+                         ("applicable_information", pa.string()),
+                         ("sector", pa.string()),
+                         ("publication_decision", pa.string()),
+                         ("org_pdf_link", pa.string())])
 # full hierarchy persisted (reference vbpl_toan_van model,
 # app/model/vbpl.py:77-97 — all 8 hierarchy columns, not just chapter)
 SECTION_SCHEMA = pa.schema([("vbpl_id", pa.string()),
@@ -197,13 +210,20 @@ FAIL_SCHEMA = pa.schema([("url", pa.string()), ("status", pa.int32())])
 ANLE_FILE_SCHEMA = pa.schema([("file_name", pa.string()),
                               ("data", pa.binary())])
 
+# raw full-text HTML blob per doc (the reference's vbpl.html LONGTEXT
+# column, app/model/vbpl.py:23, set to str(fulltext_node) at
+# vbpl.py:458) — a separate content table rather than a meta column so
+# metadata scans never drag the blobs; off by default (store_html)
+HTML_SCHEMA = pa.schema([("doc_id", pa.string()), ("html", pa.string())])
+
 SIDE_TABLES = ("edges", "doc_map", "meta", "sections", "sub_parts",
-               "anle_sections", "anle_files", "fails")
+               "anle_sections", "anle_files", "html", "fails")
 _SIDE_SCHEMAS = {"edges": EDGE_SCHEMA, "doc_map": DOC_MAP_SCHEMA,
                  "meta": META_SCHEMA,
                  "sections": SECTION_SCHEMA, "sub_parts": SUB_PART_SCHEMA,
                  "anle_sections": ANLE_SECTION_SCHEMA,
-                 "anle_files": ANLE_FILE_SCHEMA, "fails": FAIL_SCHEMA}
+                 "anle_files": ANLE_FILE_SCHEMA, "html": HTML_SCHEMA,
+                 "fails": FAIL_SCHEMA}
 
 
 def _none_last(row: tuple):
@@ -236,9 +256,10 @@ class ParseStage:
                  counters=None, out_dir: str | None = None,
                  round_no: int = 0, max_retries: int = 3,
                  enrich: bool = True, enrich_threshold: float = 0.8,
-                 pdf_codec=None):
+                 pdf_codec=None, store_html: bool = False):
         from ..sources.pdfcodec import decode_simpdf
         self.pdf_codec = pdf_codec or decode_simpdf
+        self.store_html = store_html
         self.web = SimWeb(cfg)
         self.max_retries = max_retries
         self.frontier = list(frontier_handles or [])
@@ -397,20 +418,29 @@ class ParseStage:
             # anle_files side table keyed ONLY by filename — the
             # re-association stage parses the doc id back out of it
             file_hits = FILETAIVE_RE.findall(body)
-            names = []
+            names, org_urls = [], []
             for href in file_hits:
                 furl = urljoin(rec["url"], href)
                 status, data = self._fetch_inline(furl)
                 if status == 200 and data:
-                    name = furl.rsplit("/", 1)[-1]
-                    names.append(name)
-                    out["anle_files"].append((name, data))
+                    names.append(furl.rsplit("/", 1)[-1])
+                    org_urls.append(furl)
+                    out["anle_files"].append((names[-1], data))
             if names:
+                # reference anle.py:117-120: file_link = local names,
+                # org_pdf_link = source URLs, both space-joined
                 file_link = " ".join(names)
             out["meta"].append((str(doc_id), attrs["serial_number"],
-                                dmy_to_iso(attrs["issuance_date"]), "Án lệ",
-                                attrs.get("sector"), caption, file_link)
-                               + (None,) * 6)
+                                dmy_to_iso(attrs["adoption_date"]), "Án lệ",
+                                None, attrs.get("title") or caption,
+                                file_link, None,
+                                dmy_to_iso(attrs.get("application_date")),
+                                None,
+                                dmy_to_iso(attrs.get("publication_date")),
+                                attrs.get("state"), None,
+                                attrs.get("sector"),
+                                attrs.get("publication_decision"),
+                                " ".join(org_urls) if org_urls else None))
             txt_m = ANLE_TEXT_RE.search(body)
             if txt_m and not file_hits:
                 text = txt_m.group(1)
@@ -450,8 +480,13 @@ class ParseStage:
             out["meta"].append((str(doc_id), attrs["serial_number"], iss,
                                 attrs["doc_type"], attrs["issuing_authority"],
                                 title, file_link, caption, eff, exp, gaz,
-                                state, attrs["applicable_information"]))
+                                state, attrs["applicable_information"],
+                                None, None, None))
             tv_m = TOANVAN_RE.search(body)
+            if self.store_html and tv_m:
+                # raw full-text node verbatim (reference vbpl.html,
+                # vbpl.py:458: str(fulltext))
+                out["html"].append((str(doc_id), tv_m.group(0)))
             lines = tv_m.group(1).split("\n") if tv_m else (
                 self._recover_fulltext(caption) if self.enrich else None)
             if lines is not None:
@@ -512,6 +547,7 @@ class ParseStage:
                     obj_m = OBJECT_RE.search(tab_body.decode())
                     if obj_m:
                         break
+        pdf_url = None
         if obj_m is not None:
             pdf_url = urljoin(rec["url"], obj_m.group(1))
             status, data = self._fetch_inline(pdf_url)
@@ -545,7 +581,11 @@ class ParseStage:
                             " ".join(file_links) if file_links else None,
                             None,
                             dmy_to_iso(attrs["effective_date"]), None,
-                            dmy_to_iso(attrs["gazette_date"]), None, None))
+                            dmy_to_iso(attrs["gazette_date"]), None, None,
+                            None, None,
+                            # org_pdf_link = the portal PDF source URL
+                            # (reference vbpl.py:492,508)
+                            pdf_url))
 
     # ---- per-batch data-plane sink ----
 
