@@ -64,7 +64,7 @@ def embed_documents(ds: rd.Dataset, dim: int = 64,
 
 
 def doc_embedding_near_dup(sf_dir: str, threshold: float = 0.95,
-                           dim: int = 64, n_planes: int = 4,
+                           dim: int = 64, n_planes: int = 8,
                            n_tables: int = 12, seed: int = 17) -> pd.DataFrame:
     """End-to-end semantic dedup over raw documents: embed (actor pool)
     -> hyperplane-LSH candidate buckets -> exact cosine verify through
@@ -72,7 +72,13 @@ def doc_embedding_near_dup(sf_dir: str, threshold: float = 0.95,
     identically (cosine exactly 1.0), collide in EVERY LSH table, and so
     are guaranteed to surface — the exact-duplicate pair set is a
     provable subset of this result (asserted in tests); near-identical
-    texts surface with a bounded LSH miss rate (~(1-0.65)^12 at 0.95).
+    texts surface with a bounded LSH miss rate (per-table collision
+    (1-acos(0.95)/pi)^8 ~= 0.43, so miss ~(1-0.43)^12 ~= 0.1% at 0.95).
+    8 planes (256 buckets/table) vs 4 keeps that recall while cutting
+    the candidate set ~16x at 5k docs — measured 5x wall-time win at
+    sf0.1 with an identical pair set (a 0.95 threshold means a small
+    angle, so each plane splits near-dups rarely; wide thresholds like
+    the 0.45 embeddings query are what need few planes).
 
     The driver never holds the corpus or the embedding matrix: the
     embedded dataset stays distributed, candidates come from the
