@@ -22,6 +22,7 @@ from vbpl_web_crawl_ray.pipelines import curation as CU  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 
 
@@ -405,6 +406,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (oracle-backed where SQL-expressible) ---
         # 3-valued document state from dates (reference vbpl.py:875-892)
         "meta_effect_state": DM.q_meta_effect_state,
+        # exact phi-heavy-hitters via mergeable Misra-Gries sketch +
+        # exact candidate-count verify (vocabulary never shuffles)
+        "heavy_hitter_bigrams": CP.q_heavy_hitter_bigrams,
+        # Okapi BM25 retrieval: 2 streaming passes, local-topk merge
+        "bm25_topk": CP.q_bm25_topk,
+        # per-stratum deterministic downsampling (integer hex thresholds)
+        "stratified_sample": CU.q_stratified_sample,
+        # Bloom-guarded semi join: distributed filter build, prune before
+        # the exact bucketed join shuffles only survivors
+        "bloom_semi_counts": SO.q_bloom_semi_counts,
+        # Bloom-guarded anti join with the exact-verify escape hatch
+        "bloom_anti_users": SO.q_bloom_anti_users,
+        # hot-key-salted two-round aggregate (north-rule skew treatment)
+        "salted_event_stats": SO.q_salted_event_stats,
         # crawl-wired date/state fidelity incl. the concetti JSON-API
         # recovery for pages missing their dates (rows-only)
         "crawl_meta_states": _crawl_meta_states,
@@ -449,30 +464,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_filter": _embedding_dedup_filter,
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
+        # modified since their last driver check (round-2 close-out:
+        # vectorized decontaminate filter, half-away ROUND in rollup/cube)
+        # -> re-verify in-window this round
+        "decontaminate": CU.q_decontaminate,
+        "rollup_revenue": CP.q_rollup_revenue,
+        "cube_revenue": CP.q_cube_revenue,
+        # heaviest multi-stage corpus pipelines (most regression-prone)
+        "bigram_topk": CP.q_bigram_topk,
+        "quality_filter_counts": CP.q_quality_filter_counts,
+        "tfidf_topk": CP.q_tfidf_topk,
+        # ---------------- past the driver's 50-entry window ----------------
+        # (every oracle-backed entry below hash-matched the driver in at
+        # least one prior round unchanged and is re-verified per-run by
+        # test_conformance.py)
+        # batched model inference: logistic scorer, weights loaded once
+        # per actor (the model-checkpoint-in-__init__ pattern)
+        "model_quality_scores": lambda sf: textstats.model_quality_scores(
+            _docs(sf)),
+        "token_count": lambda sf: textstats.token_count(_docs(sf)),
         # curation: sampling / decontamination / packing (training-data
         # selection steps; all deterministic, all but packing shuffle-free)
         "hash_sample": CU.q_hash_sample,
         "dup_ngram_fraction": CU.q_dup_ngram_fraction,
-        "decontaminate": CU.q_decontaminate,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
         # corpus-level training-data accounting (partial-aggregate rollups)
         "corpus_stats": CP.q_corpus_stats,
         "split_counts": CP.q_split_counts,
-        "bigram_topk": CP.q_bigram_topk,
-        "quality_filter_counts": CP.q_quality_filter_counts,
-        "tfidf_topk": CP.q_tfidf_topk,
-        "rollup_revenue": CP.q_rollup_revenue,
-        "cube_revenue": CP.q_cube_revenue,
-        # batched model inference: logistic scorer, weights loaded once
-        # per actor (the model-checkpoint-in-__init__ pattern)
-        "model_quality_scores": lambda sf: textstats.model_quality_scores(
-            _docs(sf)),
-        "token_count": lambda sf: textstats.token_count(_docs(sf)),
-        # ---------------- past the driver's 50-entry window ----------------
-        # (every oracle-backed entry below hash-matched the driver in BOTH
-        # r1 and r2 and is re-verified per-run by test_conformance.py)
         "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
         "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
@@ -1028,6 +1048,84 @@ def oracle_sql() -> dict[str, str]:
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE 1.0 - levenshtein(a.p_name, b.p_name) * 1.0
                   / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) >= 0.8
+        """,
+        # float literals below use e-notation (0.75e0) where parity with
+        # the engine's IEEE-double arithmetic matters: DuckDB parses bare
+        # decimal literals as exact DECIMALs, which would diverge from the
+        # engine's float64 in the last ulp.
+        "heavy_hitter_bigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            b AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))]) AS bigram
+                  FROM t),
+            tot AS (SELECT COUNT(*) AS n FROM b)
+            SELECT bigram, COUNT(*) AS n_occ FROM b GROUP BY bigram
+            HAVING COUNT(*) >= (SELECT n FROM tot) * 0.0011e0
+            ORDER BY n_occ DESC, bigram
+        """,
+        "bm25_topk": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            tf AS (SELECT doc_id,
+                     CAST(SUM(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS DOUBLE) AS tf1,
+                     CAST(SUM(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS DOUBLE) AS tf2,
+                     CAST(SUM(CASE WHEN w = 'vector' THEN 1 ELSE 0 END) AS DOUBLE) AS tf3
+                   FROM tok GROUP BY doc_id),
+            dl AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                   FROM documents),
+            st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                          CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+                   FROM dl),
+            dfq AS (SELECT
+                 CAST(COUNT(DISTINCT CASE WHEN w = 'join' THEN doc_id END) AS DOUBLE) AS df1,
+                 CAST(COUNT(DISTINCT CASE WHEN w = 'hash' THEN doc_id END) AS DOUBLE) AS df2,
+                 CAST(COUNT(DISTINCT CASE WHEN w = 'vector' THEN doc_id END) AS DOUBLE) AS df3
+                    FROM tok)
+            SELECT dl.doc_id,
+                   ROUND( ln((st.n - dfq.df1 + 0.5e0) / (dfq.df1 + 0.5e0) + 1)
+                            * tf.tf1 * (1.2e0 + 1)
+                            / (tf.tf1 + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl.len / st.avglen))
+                        + ln((st.n - dfq.df2 + 0.5e0) / (dfq.df2 + 0.5e0) + 1)
+                            * tf.tf2 * (1.2e0 + 1)
+                            / (tf.tf2 + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl.len / st.avglen))
+                        + ln((st.n - dfq.df3 + 0.5e0) / (dfq.df3 + 0.5e0) + 1)
+                            * tf.tf3 * (1.2e0 + 1)
+                            / (tf.tf3 + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl.len / st.avglen)),
+                        4) AS bm25
+            FROM dl JOIN tf USING (doc_id) CROSS JOIN st CROSS JOIN dfq
+            ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        "stratified_sample": """
+            WITH c AS (SELECT event_type, COUNT(*) AS n
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type
+            FROM events e JOIN c USING (event_type)
+            WHERE c.n <= 300
+               OR substr(md5('strat:' || e.event_type || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8)
+                  < lower(lpad(to_hex(CAST(300 AS BIGINT) * 4294967296 // c.n),
+                               8, '0'))
+            ORDER BY event_id
+        """,
+        "bloom_semi_counts": """
+            SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "bloom_anti_users": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events
+                                    WHERE event_type = 'error')
+            ORDER BY c_custkey
+        """,
+        "salted_event_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(MIN(value), 4) AS min_value,
+                   ROUND(MAX(value), 4) AS max_value,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -1,0 +1,87 @@
+"""Misra-Gries sketch properties + the sketch-guided exact heavy hitters,
+and the distributed Bloom build used by the bloom-join queries."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vbpl_web_crawl_ray.functions.hashing import hash64
+from vbpl_web_crawl_ray.stages.joins import (build_key_bloom,
+                                             build_key_bloom_dist)
+from vbpl_web_crawl_ray.stages.sketches import mg_compress, mg_heavy_hitters
+
+
+@given(st.lists(st.tuples(st.text(min_size=1, max_size=3),
+                          st.integers(min_value=1, max_value=50)),
+                min_size=0, max_size=40),
+       st.integers(min_value=1, max_value=10))
+@settings(max_examples=60, deadline=None)
+def test_mg_compress_bound_and_size(pairs, k):
+    counts = pd.Series(dict(pairs), dtype=np.int64)
+    out = mg_compress(counts, k)
+    assert len(out) <= k
+    # every kept counter undercounts by the same bounded amount, and the
+    # kept set contains every item whose count exceeds the (k+1)-th largest
+    if len(counts) > k:
+        vals = np.sort(counts.to_numpy())[::-1]
+        thresh = vals[k]
+        for item, w in out.items():
+            assert w == counts[item] - thresh
+        for item, w in counts.items():
+            if w > thresh:
+                assert item in out.index
+    else:
+        assert out.equals(counts)
+
+
+def _skewed_docs(n_rows=400, seed=7):
+    """Zipf-ish item stream as one-token 'documents': a few hot items,
+    a long tail — enough distinct items that per-batch MG(k) compresses."""
+    rng = np.random.default_rng(seed)
+    hot = rng.choice(["h0", "h1", "h2"], size=n_rows * 3)
+    tail = np.array([f"t{i}" for i in rng.integers(0, 200, size=n_rows)])
+    items = np.concatenate([hot, tail])
+    rng.shuffle(items)
+    return pd.DataFrame({"item": items})
+
+
+def test_mg_heavy_hitters_exact_on_skewed_stream(ray_session):
+    df = _skewed_docs()
+    phi = 0.05
+    k = 40                      # >= 2/phi, far below 203 distinct items
+    ds = rd.from_pandas(df).repartition(8)  # many batches -> real merging
+
+    def extract(b: pd.DataFrame) -> pd.Series:
+        return b["item"].value_counts().astype(np.int64)
+
+    got = mg_heavy_hitters(ds, extract, phi=phi, k=k)
+    truth = df["item"].value_counts()
+    n = int(truth.sum())
+    want = truth[truth >= phi * n]
+    want = (want.rename_axis("item").reset_index(name="n_occ")
+                .sort_values(["n_occ", "item"], ascending=[False, True])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_occ": "int64"}), want.astype({"n_occ": "int64"}))
+
+
+def test_mg_heavy_hitters_empty_input(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"item": pd.Series(dtype=str)}))
+    out = mg_heavy_hitters(
+        ds, lambda b: b["item"].value_counts().astype(np.int64), phi=0.1)
+    assert len(out) == 0
+    assert list(out.columns) == ["item", "n_occ"]
+
+
+def test_build_key_bloom_dist_equals_sequential(ray_session):
+    keys = pd.DataFrame({"k": np.arange(5000, dtype=np.int64) * 13 % 4001})
+    seq = build_key_bloom(keys["k"].to_numpy(), capacity=8192, fp_rate=0.001)
+    dist = build_key_bloom_dist(rd.from_pandas(keys).repartition(7), "k",
+                                capacity=8192, fp_rate=0.001)
+    # OR of per-batch bit arrays == sequential adds: same bits exactly
+    assert np.array_equal(seq.bits, dist.bits)
+    assert (dist.num_bits, dist.num_hashes) == (seq.num_bits, seq.num_hashes)
+    probe = hash64(keys["k"].astype(str).to_numpy())
+    assert dist.contains(probe).all()      # no false negatives

@@ -252,3 +252,81 @@ def q_quality_filter_counts(sf_dir: str, min_tokens: int = 20,
     return (parts.groupby("source", as_index=False)["n"].sum()
                  .astype({"n": "int64"})
                  .sort_values("source").reset_index(drop=True))
+
+
+def _bigram_counts(df: pd.DataFrame) -> pd.Series:
+    """Exact bigram counts for one batch (same ``toks[i] + ' ' +
+    toks[i+1]`` convention as q_bigram_topk / the oracle SQL)."""
+    counts: dict[str, int] = {}
+    for t in df["text"]:
+        toks = t.split(" ")
+        for i in range(len(toks) - 1):
+            b = toks[i] + " " + toks[i + 1]
+            counts[b] = counts.get(b, 0) + 1
+    return pd.Series(counts, dtype=np.int64)
+
+
+def q_heavy_hitter_bigrams(sf_dir: str, phi: float = 0.0011) -> pd.DataFrame:
+    """Exact phi-heavy-hitter bigrams via the mergeable Misra-Gries
+    sketch (stages/sketches.py): per-batch MG partials -> small merge ->
+    candidate set -> one exact counting pass over broadcast candidates.
+    Unlike q_bigram_topk (fixed top-k), this answers the threshold form
+    — "every n-gram covering >= 0.11% of the corpus" — with the corpus
+    vocabulary never shuffling and the driver holding O(1/phi)."""
+    from ..stages.sketches import mg_heavy_hitters
+
+    return mg_heavy_hitters(_docs(sf_dir, ("text",)), _bigram_counts,
+                            phi=phi, item_col="bigram")
+
+
+def q_bm25_topk(sf_dir: str, terms: tuple[str, ...] = ("join", "hash", "vector"),
+                k1: float = 1.2, b: float = 0.75,
+                limit: int = 20) -> pd.DataFrame:
+    """BM25 retrieval (Robertson-Sparck Jones probabilistic ranking, the
+    public Okapi BM25 form) for a fixed term query over the corpus:
+    top-``limit`` documents by score.
+
+    Two streaming passes, O(limit x batches) driver state: pass 1
+    reduces the collection statistics (N, total length, per-term
+    document frequency) as tiny per-batch partials; pass 2 broadcasts
+    the idf/avglen constants, scores every batch vectorized, and emits
+    only each batch's local top-``limit`` — a corpus-size-independent
+    driver merge. Score arithmetic is ordered to match the oracle SQL
+    expression exactly (same association, ties broken on the ROUNDED
+    score then doc_id)."""
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        row = {"n_docs": [len(df)],
+               "sum_len": [int(toks.str.len().sum())]}
+        ex = toks.explode()
+        for i, t in enumerate(terms):
+            m = ex[ex == t]
+            row[f"df_{i}"] = [int(m.groupby(level=0).size().astype(bool).sum())]
+        return pd.DataFrame(row)
+
+    st = docs.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    n_docs = float(st["n_docs"])
+    avglen = float(st["sum_len"]) / n_docs          # exact int / exact int
+    idfs = [np.log((n_docs - float(st[f"df_{i}"]) + 0.5)
+                   / (float(st[f"df_{i}"]) + 0.5) + 1)
+            for i in range(len(terms))]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        L = toks.str.len().to_numpy(np.float64)
+        ex = toks.explode()
+        s = np.zeros(len(df), np.float64)
+        for t, idf in zip(terms, idfs):
+            tf = ((ex == t).groupby(level=0).sum()
+                  .reindex(df.index, fill_value=0).to_numpy(np.float64))
+            s = s + idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * L / avglen))
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "bm25": round_half_away(s, 4)})
+        return (out.sort_values(["bm25", "doc_id"], ascending=[False, True])
+                   .head(limit))
+
+    merged = docs.map_batches(score, batch_format="pandas").to_pandas()
+    return (merged.sort_values(["bm25", "doc_id"], ascending=[False, True])
+                  .head(limit).reset_index(drop=True))

@@ -250,3 +250,40 @@ def q_resample_plan(sf_dir: str) -> pd.DataFrame:
     out = (_docs(sf_dir, ("doc_id", "lang"))
            .map_batches(plan, batch_format="pandas").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_stratified_sample(sf_dir: str, cap: int = 300) -> pd.DataFrame:
+    """Deterministic per-stratum downsampling of events to an EXPECTED
+    ``cap`` rows per event_type: rate_g = min(1, cap / n_g), realized as
+    the exact integer hex threshold (cap * 2^32 // n_g) compared against
+    the md5 of the salted row key — integer division on both engines, so
+    no float-boundary drift. Like q_hash_sample, the keep decision is a
+    pure row function given the broadcast stratum sizes: identical at
+    any parallelism, across resumes, and across engines. Two streaming
+    passes — a tiny per-type count aggregate (G rows cross the wire),
+    then the embarrassingly-parallel filter; the per-group rate is what
+    q_hash_sample's single global rate cannot express when stratum sizes
+    are skewed (downsample the giant web slice, keep all of the rare
+    curated slice)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    parts = ev.map_batches(
+        lambda df: df.groupby("event_type", as_index=False)
+                     .agg(n=("event_id", "size")),
+        batch_format="pandas").to_pandas()
+    sizes = parts.groupby("event_type")["n"].sum().to_dict()
+    # 'g' sorts above every hex digit => keep-all sentinel for small strata
+    thresh = {t: ("g" if n <= cap else format((cap << 32) // int(n), "08x"))
+              for t, n in sizes.items()}
+    ref = ray.put(thresh)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        th = ray.get(ref)
+        keys = ("strat:" + df["event_type"].astype(str) + ":"
+                + df["event_id"].astype(str))
+        h = np.array([hashlib.md5(k.encode()).hexdigest()[:8] for k in keys])
+        lim = df["event_type"].map(th).to_numpy()
+        return df.loc[h < lim, ["event_id", "event_type"]]
+
+    out = ev.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -1,0 +1,113 @@
+"""Scale-hardened join/aggregation paths, exposed as oracle-backed queries.
+
+These exercise the stages/joins.py primitives end-to-end (they were
+previously only unit-tested): Bloom-guarded semi/anti joins — the
+100-TB substitute for broadcasting an exact key set — and hot-key-salted
+two-round aggregation. Reference parallels: the Bloom probes replace the
+reference's per-row MySQL primary-key existence checks
+(/root/reference/app/service/vbpl.py:188-190) at a scale where neither a
+DB round-trip per row nor an exact broadcast set fits; the salted
+aggregate is the skew treatment the north-rule asks for on hot hosts,
+applied to a relational aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+from ..stages.joins import (bloom_anti_join, bloom_semi_join,
+                            build_key_bloom_dist, salted_group_agg)
+from ..stages.shuffle import bucketed_join
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_bloom_semi_counts(sf_dir: str) -> pd.DataFrame:
+    """Lineitem rows whose order is URGENT, counted per return flag —
+    semi join with a Bloom pre-filter.
+
+    The urgent-order key set is built into a Bloom filter WITHOUT the
+    driver ever holding the keys (fixed-geometry bit-array partials,
+    OR-merged); the probe side streams through the broadcast filter and
+    drops the ~80% certain non-members with zero shuffle. Only the
+    survivors (true matches + the filter's ~0.1% FPs) enter the exact
+    bucketed semi join against the key set, so the all-to-all moves a
+    fifth of the fact table. The final count is a per-batch partial ->
+    tiny driver merge."""
+    urgent = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+              .map_batches(lambda df: df.loc[df["o_orderpriority"] == "1-URGENT",
+                                             ["o_orderkey"]],
+                           batch_format="pandas"))
+    urgent = urgent.materialize()       # built once, probed twice below
+    bf = build_key_bloom_dist(urgent, "o_orderkey", fp_rate=0.001)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    survivors = bloom_semi_join(li, "l_orderkey", bf)
+    exact = bucketed_join(survivors, urgent, on="l_orderkey",
+                          right_on="o_orderkey", how="inner", num_buckets=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    out = (exact.map_batches(partial, batch_format="pandas").to_pandas()
+                .groupby("l_returnflag", as_index=False)["n"].sum())
+    return (out.astype({"n": "int64"})
+               .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def q_bloom_anti_users(sf_dir: str) -> pd.DataFrame:
+    """Customer keys that never produced an 'error' event — anti join
+    through the Bloom filter with the exact-verify escape hatch.
+
+    An anti join cannot trust a Bloom filter alone (an FP would silently
+    DROP a legitimate row), so rows the filter flags are re-checked
+    against the true key set; the filter's job is to let the certain
+    non-members pass without touching it. The error-user key set is tiny
+    (it fits broadcast — the point of the query is the operator shape,
+    which stays correct when only the Bloom bits fit)."""
+    err = (_read(sf_dir, "events", ["user_id", "event_type"])
+           .map_batches(lambda df: df.loc[df["event_type"] == "error",
+                                          ["user_id"]].drop_duplicates(),
+                        batch_format="pandas"))
+    keys = err.to_pandas()["user_id"].unique()      # small: distinct users
+    bf = build_key_bloom_dist(err, "user_id", capacity=max(1024, len(keys)),
+                              fp_rate=0.001)
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    out = (bloom_anti_join(cust, "c_custkey", bf, exact_keys=keys)
+           .to_pandas())
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_salted_event_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type value stats via the two-round SALTED aggregate:
+    round 1 reduces (type, salt) slices so no single reducer ever sees a
+    hot key's full volume; round 2 merges the tiny per-salt partials.
+    Associative pieces only (sum / count / min / max), so the salting is
+    invisible in the result."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            s=("value", "sum"), n=("value", "size"),
+            lo=("value", "min"), hi=("value", "max"))
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+
+    out = salted_group_agg(ev, "event_type", partial, merge,
+                           num_buckets=4, salt=4).to_pandas()
+    out["total_value"] = round_half_away(out.pop("s").to_numpy(), 4)
+    out["lo"] = round_half_away(out["lo"].to_numpy(), 4)
+    out["hi"] = round_half_away(out["hi"].to_numpy(), 4)
+    out = out.rename(columns={"lo": "min_value", "hi": "max_value"})
+    out = out[["event_type", "n", "min_value", "max_value", "total_value"]]
+    return (out.astype({"n": "int64"})
+               .sort_values("event_type").reset_index(drop=True))

@@ -33,6 +33,36 @@ def build_key_bloom(keys, capacity: int | None = None,
     return bf
 
 
+def build_key_bloom_dist(ds: rd.Dataset, key_col: str,
+                         capacity: int | None = None,
+                         fp_rate: float = 0.001) -> BloomFilter:
+    """Distributed Bloom build over a key dataset the driver never holds.
+
+    (m, k) parameters are fixed up front from ``capacity`` (default:
+    ``ds.count()``), so every batch can set bits into its own zeroed
+    array of the SAME geometry; the driver then ORs the fixed-size
+    partials streamed via ``iter_batches``. Driver memory is O(m bits) —
+    two filter-sized arrays — never O(keys); at 10^9 keys / 0.1% FP
+    that's ~1.8 GB of bits vs ~8+ GB of raw keys plus set overhead."""
+    n = capacity or max(1024, ds.count())
+    proto = BloomFilter(n, fp_rate)
+
+    def bits_of(df: pd.DataFrame) -> pd.DataFrame:
+        part = BloomFilter(n, fp_rate)
+        part.add(hash64(df[key_col].astype(str).to_numpy()))
+        return pd.DataFrame({"bits": [part.bits.tobytes()],
+                             "n_new": [part.count]})
+
+    total = 0
+    for b in (ds.map_batches(bits_of, batch_format="pandas")
+                .iter_batches(batch_size=16, batch_format="pandas")):
+        for blob, c in zip(b["bits"], b["n_new"]):
+            proto.bits |= np.frombuffer(blob, dtype=np.uint64)
+            total += int(c)
+    proto.count = total     # upper bound: cross-batch dups double-count
+    return proto
+
+
 def bloom_semi_join(ds: rd.Dataset, key_col: str,
                     bloom: BloomFilter) -> rd.Dataset:
     """Keep rows whose key is (probably) in the filter. No false negatives:

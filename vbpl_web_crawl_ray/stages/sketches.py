@@ -1,0 +1,106 @@
+"""Mergeable heavy-hitter sketches (Misra-Gries) with exact verification.
+
+Public algorithms only: Misra & Gries, "Finding repeated elements"
+(Sci. Comp. Prog. 1982); mergeability per Agarwal et al., "Mergeable
+Summaries" (PODS 2012): two MG(k) summaries merge by summing counters
+and re-compressing (subtract the (k+1)-th largest counter, drop
+non-positive), with total undercount error <= N/(k+1).
+
+The 100-TB shape: the corpus vocabulary never shuffles. Each batch
+compresses its exact item counts to <= k counters (one streaming
+map_batches pass); only those tiny (item, weight) partials cross a small
+groupby; the driver compresses the merged counters once more to k and
+holds O(k) — never O(vocabulary). Because MG has no false negatives
+above the error bound, choosing k >= 2/phi guarantees every item with
+true frequency >= phi*N is a candidate; a second streaming pass counts
+ONLY the broadcast candidates exactly (vectorized isin) and filters on
+the true threshold, so the final answer is EXACT heavy hitters,
+sketch-guided. (The reference engine has no sketch analogue — this is
+part of the training-data toolkit the brief adds on top; cf. the HLL
+distinct counter in relational2.py.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+# sentinel item carrying each batch's total item count through the same
+# (item, n) partial stream in the verify pass; "\x00" sorts before any
+# token and cannot appear in whitespace-split text
+_TOTAL = "\x00__total__"
+
+
+def mg_compress(counts: pd.Series, k: int) -> pd.Series:
+    """Compress exact (item -> weight) counters to at most k Misra-Gries
+    counters: subtract the (k+1)-th largest weight from every counter and
+    drop the non-positive ones. Each surviving weight underestimates the
+    input weight by at most that threshold."""
+    if len(counts) <= k:
+        return counts
+    vals = np.partition(counts.to_numpy(), len(counts) - k - 1)
+    thresh = vals[len(counts) - k - 1]          # (k+1)-th largest
+    out = counts - thresh
+    return out[out > 0]
+
+
+def mg_heavy_hitters(ds: rd.Dataset,
+                     extract: Callable[[pd.DataFrame], pd.Series],
+                     phi: float, k: int | None = None,
+                     item_col: str = "item",
+                     count_col: str = "n_occ") -> pd.DataFrame:
+    """Exact phi-heavy-hitters (items with true frequency >= phi * N)
+    over ``extract``'s items, guided by a mergeable Misra-Gries sketch.
+
+    ``extract`` maps a pandas batch to a Series of exact item counts for
+    that batch (index = item). Three stages, two streaming passes:
+
+    1. per-batch MG(k) partials (<= k rows each, k defaults to
+       ceil(2/phi) so the sketch error N/(k+1) < phi*N/2);
+    2. small groupby-sum of the partials + one driver-side re-compress
+       -> candidate set, provably a superset of the true heavy hitters;
+    3. exact counting pass restricted to the broadcast candidates, plus
+       per-batch totals for N; filter true count >= phi * N.
+    """
+    from .shuffle import bucketed_group_apply
+
+    k = int(k if k is not None else np.ceil(2.0 / phi))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        comp = mg_compress(extract(df), k)
+        return pd.DataFrame({"item": comp.index.astype(str),
+                             "w": comp.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_group_apply(
+        parts, "item",
+        lambda g: g.groupby("item", as_index=False)["w"].sum(),
+        num_buckets=8).to_pandas()
+    if not len(merged):
+        return pd.DataFrame({item_col: pd.Series(dtype=str),
+                             count_col: pd.Series(dtype=np.int64)})
+    cand = mg_compress(merged.set_index("item")["w"], k)
+    cand_ref = ray.put(frozenset(cand.index))
+
+    def exact(df: pd.DataFrame) -> pd.DataFrame:
+        vc = extract(df)
+        total = int(vc.sum())
+        sub = vc[vc.index.isin(ray.get(cand_ref))]
+        return pd.DataFrame({
+            "item": list(sub.index.astype(str)) + [_TOTAL],
+            "n": np.concatenate([sub.to_numpy(np.int64),
+                                 np.array([total], np.int64)])})
+
+    counts = (ds.map_batches(exact, batch_format="pandas")
+                .to_pandas()                      # <= (k+1) rows per batch
+                .groupby("item", as_index=False)["n"].sum())
+    n_total = int(counts.loc[counts["item"] == _TOTAL, "n"].iloc[0])
+    out = counts[(counts["item"] != _TOTAL)
+                 & (counts["n"] >= phi * n_total)]
+    out = (out.sort_values(["n", "item"], ascending=[False, True])
+              .reset_index(drop=True))
+    return out.rename(columns={"item": item_col, "n": count_col})
