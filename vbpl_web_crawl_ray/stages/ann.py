@@ -141,6 +141,57 @@ def _distributed_kmeans(embds: rd.Dataset, dim: int, n_cells: int,
     return cents
 
 
+def _sample_kmeans(embds: rd.Dataset, dim: int, n_cells: int,
+                   iters: int, seed: int,
+                   sample_cap: int | None = None) -> np.ndarray:
+    """Train centroids on a BOUNDED deterministic sample, locally.
+
+    The faiss-style build: k-means quality needs only a few hundred
+    training points per cell, so the training set is a fixed-size
+    modulus sample of the corpus (size <= ~cap regardless of corpus
+    size — the driver holds O(cap x dim), never O(corpus)). Lloyd
+    iterations then run in-process on that tiny matrix instead of
+    paying a full distributed pass per iteration; the corpus itself is
+    only streamed once, by the assignment pass in build_ivf_index.
+    Deterministic: modulus sampling + seeded init, no RNG state shared
+    across workers."""
+    cap = sample_cap or max(256 * n_cells, 2048)
+    n = embds.count()
+    m = max(1, n // cap)
+    sample = (embds.map_batches(
+        lambda df: df[df["vec_id"].to_numpy() % m == 0],
+        batch_format="pandas").to_pandas())
+    x = blob_matrix(sample["emb"], np.float64)
+    n_cells = min(n_cells, len(x))
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding (Arthur & Vassilvitskii, SODA'07): local training
+    # makes the better init and extra Lloyd rounds essentially free
+    cents = np.empty((n_cells, x.shape[1]))
+    cents[0] = x[rng.integers(len(x))]
+    d2 = np.full(len(x), np.inf)
+    for i in range(1, n_cells):
+        d2 = np.minimum(d2, np.sum((x - cents[i - 1]) ** 2, axis=1))
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents[i] = x[rng.choice(len(x), p=p)]
+    iters = max(iters, 25)
+    for _ in range(iters):
+        a = np.argmax(x @ cents.T, axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=n_cells)
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new = new / norms
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < 1e-9:
+            break
+    return cents
+
+
 # An IVF index is a build-once artifact (the expensive k-means + posting
 # layout); queries reuse it. Keyed by every build parameter, so a changed
 # config rebuilds — same memo rationale as the sim-crawl config cache.
@@ -149,19 +200,22 @@ _IVF_CACHE: dict[tuple, tuple[np.ndarray, str]] = {}
 
 def build_ivf_index(sf_dir: str, out_dir: str | None = None,
                     n_cells: int = 16, iters: int = 10,
-                    seed: int = 5) -> tuple[np.ndarray, str]:
-    """Distributed IVF build: k-means over the streamed corpus, then the
-    assignment pass writes posting lists as a cell-partitioned parquet
-    directory. Returns (centroids, posting_dir): a query reads ONLY its
-    probed cells' partitions."""
-    key = (os.path.abspath(sf_dir), n_cells, iters, seed)
+                    seed: int = 5, train: str = "sample") -> tuple[np.ndarray, str]:
+    """Distributed IVF build: k-means (``train="sample"``: local Lloyd on
+    a bounded modulus sample, one corpus stream total; ``train="full"``:
+    broadcast-centroid partial-sum passes over the whole corpus), then
+    the assignment pass writes posting lists as a cell-partitioned
+    parquet directory. Returns (centroids, posting_dir): a query reads
+    ONLY its probed cells' partitions."""
+    key = (os.path.abspath(sf_dir), n_cells, iters, seed, train)
     if out_dir is None:
         hit = _IVF_CACHE.get(key)
         if hit is not None and os.path.isdir(hit[1]):
             return hit
     embds = _emb_blob_ds(sf_dir).materialize()
     dim = len(np.frombuffer(embds.take(1)[0]["emb"], dtype=np.float64))
-    cents = _distributed_kmeans(embds, dim, n_cells, iters, seed)
+    kmeans = _sample_kmeans if train == "sample" else _distributed_kmeans
+    cents = kmeans(embds, dim, n_cells, iters, seed)
     cref = ray.put(cents)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
