@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti_users": SO.q_bloom_anti_users,
         # hot-key-salted two-round aggregate (north-rule skew treatment)
         "salted_event_stats": SO.q_salted_event_stats,
+        # exact repeated-substring spans (Lee et al. substring dedup):
+        # in-bucket >=2-occurrence flag, vectorized interval union
+        "substring_dup_stats": lambda sf: dedup.repeated_span_stats(_docs(sf)),
         # crawl-wired date/state fidelity incl. the concetti JSON-API
         # recovery for pages missing their dates (rows-only)
         "crawl_meta_states": _crawl_meta_states,
@@ -1107,6 +1110,24 @@ def oracle_sql() -> dict[str, str]:
                   < lower(lpad(to_hex(CAST(300 AS BIGINT) * 4294967296 // c.n),
                                8, '0'))
             ORDER BY event_id
+        """,
+        "substring_dup_stats": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([{'p': i, 'gram': array_to_string(toks[i:i+7], ' ')}
+                                 FOR i IN range(1, len(toks) - 6)]) AS s
+                  FROM t),
+            pos AS (SELECT doc_id, s.p AS p, s.gram AS gram FROM g),
+            dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+            f AS (SELECT doc_id, p FROM pos
+                  WHERE gram IN (SELECT gram FROM dup)),
+            cov AS (SELECT doc_id, COUNT(DISTINCT idx) AS dup_tokens
+                    FROM (SELECT doc_id, unnest(range(p, p + 8)) AS idx FROM f)
+                    GROUP BY doc_id),
+            cnt AS (SELECT doc_id, COUNT(*) AS dup_grams FROM f GROUP BY doc_id)
+            SELECT doc_id, dup_grams, dup_tokens
+            FROM cnt JOIN cov USING (doc_id) ORDER BY doc_id
         """,
         "bloom_semi_counts": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem

@@ -85,3 +85,27 @@ def test_build_key_bloom_dist_equals_sequential(ray_session):
     assert (dist.num_bits, dist.num_hashes) == (seq.num_bits, seq.num_hashes)
     probe = hash64(keys["k"].astype(str).to_numpy())
     assert dist.contains(probe).all()      # no false negatives
+
+
+def test_repeated_span_stats_planted(ray_session):
+    from vbpl_web_crawl_ray.stages.dedup import repeated_span_stats
+    shared = "a b c d e f g h"            # one 8-gram shared by docs 0/1
+    run9 = "r1 r2 r3 r4 r5 r6 r7 r8 r9"   # 9-token run shared by docs 4/5
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            shared + " u1 u2 u3 u4",                 # doc 0: 1 gram, 8 tokens
+            "v1 v2 " + shared,                       # doc 1: 1 gram, 8 tokens
+            "A B C D E F G H q A B C D E F G H",    # doc 2: internal repeat
+            "w1 w2 w3 w4 w5 w6 w7 w8 w9",           # doc 3: unique -> absent
+            run9 + " s1",                            # doc 4: 2 grams overlap
+            "t1 " + run9,                            # doc 5: 2 grams overlap
+        ]})
+    got = repeated_span_stats(rd.from_pandas(docs).repartition(3))
+    want = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 4, 5], np.int64),
+        "dup_grams": np.array([1, 1, 2, 2, 2], np.int64),
+        # doc 2: spans [0,8) + [9,17) disjoint = 16; docs 4/5: grams at
+        # p and p+1 overlap -> union = 9 tokens
+        "dup_tokens": np.array([8, 8, 16, 9, 9], np.int64)})
+    pd.testing.assert_frame_equal(got, want)

@@ -540,3 +540,73 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFra
 
     return (ds.map_batches(PairFinder, batch_format="pandas", concurrency=(1, 2))
               .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level duplication (repeated n-token spans)
+# ---------------------------------------------------------------------------
+
+def repeated_span_stats(ds: rd.Dataset, n: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id") -> pd.DataFrame:
+    """Exact substring-level duplication accounting (Lee et al., ACL'22,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    public method, at n-token granularity): a token position counts as
+    duplicated when some n-token gram covering it occurs >= 2 times in
+    the CORPUS (across documents or repeated inside one). Returns
+    (doc_id, dup_grams, dup_tokens) for every doc with at least one
+    flagged gram: the number of flagged gram starts, and the size of the
+    union of their [p, p+n) spans — the "how much of this doc is
+    boilerplate" signal substring dedup trims on.
+
+    Shape: ONE gram-hash-bucketed shuffle of (gh, gram, doc_id, pos)
+    rows (the same explode volume tf-idf pays), with the >=2 occurrence
+    flag decided in-bucket grouped on the FULL gram string — a gram
+    never straddles its hash bucket and string grouping makes hash
+    collisions harmless, so the flag is exact. Flagged (doc_id, pos)
+    rows then take one doc-bucketed shuffle where the interval union is
+    a vectorized running-max scan. The driver only ever holds the final
+    per-doc stats; no suffix array, no global sort."""
+    from .shuffle import bucketed_group_apply
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, grams = [], [], []
+        for did, t in zip(df[id_col], df[text_col]):
+            toks = t.split(" ")
+            for i in range(len(toks) - n + 1):
+                ids.append(did)
+                poss.append(i)
+                grams.append(" ".join(toks[i:i + n]))
+        out = pd.DataFrame({id_col: np.array(ids, np.int64),
+                            "pos": np.array(poss, np.int64),
+                            "gram": grams})
+        out["gh"] = hash64(out["gram"].to_numpy()).astype(np.int64)
+        return out
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gram")["gram"].transform("size")
+        return g.loc[c >= 2, [id_col, "pos"]]
+
+    flagged = bucketed_group_apply(
+        ds.map_batches(explode, batch_format="pandas"), "gh", flag,
+        num_buckets=8)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_g, out_t = [], [], []
+        for did, sub in g.groupby(id_col):
+            p = np.sort(sub["pos"].to_numpy())
+            end = p + n
+            run_max = np.maximum.accumulate(end)
+            new_run = np.ones(len(p), dtype=bool)
+            new_run[1:] = p[1:] > run_max[:-1]
+            starts = np.flatnonzero(new_run)
+            run_end = np.maximum.reduceat(end, starts)
+            out_id.append(did)
+            out_g.append(len(p))
+            out_t.append(int((run_end - p[starts]).sum()))
+        return pd.DataFrame({id_col: np.array(out_id, np.int64),
+                             "dup_grams": np.array(out_g, np.int64),
+                             "dup_tokens": np.array(out_t, np.int64)})
+
+    out = bucketed_group_apply(flagged, id_col, per_doc,
+                               num_buckets=8).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
