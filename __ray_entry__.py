@@ -423,6 +423,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact repeated-substring spans (Lee et al. substring dedup):
         # in-bucket >=2-occurrence flag, vectorized interval union
         "substring_dup_stats": lambda sf: dedup.repeated_span_stats(_docs(sf)),
+        # mergeable Munro-Paterson quantile summary: fixed-size per-batch
+        # sketches, driver merges summaries not values (rows-only:
+        # bounded-rank-error estimate, pinned vs exact by pytest)
+        "sketch_p95_per_type": SO.q_sketch_p95_per_type,
         # crawl-wired date/state fidelity incl. the concetti JSON-API
         # recovery for pages missing their dates (rows-only)
         "crawl_meta_states": _crawl_meta_states,

@@ -109,3 +109,75 @@ def test_repeated_span_stats_planted(ray_session):
         # p and p+1 overlap -> union = 9 tokens
         "dup_tokens": np.array([8, 8, 16, 9, 9], np.int64)})
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---- mergeable quantile summary ----
+
+def test_quantile_sketch_exact_below_capacity():
+    from vbpl_web_crawl_ray.stages.sketches import QuantileSketch
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=100)
+    sk = QuantileSketch(k=64).add(x)       # 100 < 2k: no collapse
+    xs = np.sort(x)
+    for q in (0.1, 0.5, 0.95):
+        # inverted-CDF estimator: smallest value with cum count >= ceil(qN)
+        want = xs[max(1, int(np.ceil(q * len(x)))) - 1]
+        assert sk.quantile(q) == want
+
+
+def test_quantile_sketch_rank_error_bound():
+    from vbpl_web_crawl_ray.stages.sketches import QuantileSketch
+    rng = np.random.default_rng(5)
+    streams = {
+        "normal": rng.normal(size=60000),
+        "sorted": np.arange(60000, dtype=np.float64),
+        "reversed": np.arange(60000, dtype=np.float64)[::-1].copy(),
+    }
+    k = 256
+    for name, x in streams.items():
+        sk = QuantileSketch(k)
+        for chunk in np.array_split(x, 137):
+            sk.add(chunk)
+        xs = np.sort(x)
+        n = len(x)
+        bound = (np.log2(n / k) + 2) * n / (2 * k)   # collapse-damage cap
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95, 0.99):
+            est = sk.quantile(q)
+            rank = np.searchsorted(xs, est, side="right")
+            assert abs(rank - q * n) <= bound, (name, q, rank, q * n, bound)
+
+
+def test_quantile_sketch_merge_equivalent_accuracy():
+    from vbpl_web_crawl_ray.stages.sketches import QuantileSketch
+    rng = np.random.default_rng(9)
+    x = rng.exponential(size=40000)
+    whole = QuantileSketch(128).add(x)
+    parts = [QuantileSketch(128).add(c) for c in np.array_split(x, 23)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.count == whole.count == len(x)
+    xs = np.sort(x)
+    n = len(x)
+    bound = (np.log2(n / 128) + 2) * n / 256
+    for q in (0.5, 0.9, 0.99):
+        for sk in (whole, merged):
+            rank = np.searchsorted(xs, sk.quantile(q), side="right")
+            assert abs(rank - q * n) <= bound
+
+
+def test_sketch_quantile_per_group_close_to_exact(ray_session, sf_dir):
+    from vbpl_web_crawl_ray.pipelines.scaleops import q_sketch_p95_per_type
+    got = q_sketch_p95_per_type(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    for _, row in got.iterrows():
+        vals = np.sort(ev.loc[ev["event_type"] == row["event_type"],
+                              "value"].to_numpy())
+        n = len(vals)
+        assert row["n"] == n
+        rank = np.searchsorted(vals, row["q95"], side="right")
+        # groups are ~200-2000 values: sketches with k=256 see no or one
+        # collapse, so the estimate must sit within a few ranks of exact
+        bound = max(2, (np.log2(max(n / 256, 1)) + 2) * n / 512)
+        assert abs(rank - 0.95 * n) <= bound

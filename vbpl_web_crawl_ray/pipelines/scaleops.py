@@ -111,3 +111,19 @@ def q_salted_event_stats(sf_dir: str) -> pd.DataFrame:
     out = out[["event_type", "n", "min_value", "max_value", "total_value"]]
     return (out.astype({"n": "int64"})
                .sort_values("event_type").reset_index(drop=True))
+
+
+def q_sketch_p95_per_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type 95th percentile as a MERGEABLE quantile-sketch aggregate
+    (stages/sketches.QuantileSketch): batches emit fixed-size summaries,
+    the driver merges summaries — raw values never shuffle and never
+    gather, which is what q_p95_per_type's exact whole-group buckets
+    cannot promise once one group outgrows a machine. Approximate
+    (bounded rank error, no SQL oracle); pytest pins the estimate's rank
+    against the exact quantile."""
+    from ..stages.sketches import sketch_quantile_per_group
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    out = sketch_quantile_per_group(ev, "event_type", "value", q=0.95)
+    out["q95"] = round_half_away(out["q95"].to_numpy(), 4)
+    return out.astype({"n": "int64"})

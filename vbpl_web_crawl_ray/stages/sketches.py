@@ -104,3 +104,116 @@ def mg_heavy_hitters(ds: rd.Dataset,
     out = (out.sort_values(["n", "item"], ascending=[False, True])
               .reset_index(drop=True))
     return out.rename(columns={"item": item_col, "n": count_col})
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (deterministic Munro-Paterson / MRL collapse)
+# ---------------------------------------------------------------------------
+
+class QuantileSketch:
+    """Deterministic mergeable quantile summary.
+
+    Public algorithm family: Munro & Paterson (1980) / Manku,
+    Rajagopalan & Lindsay (SIGMOD'98) collapsing buffers, in the lazy
+    single-buffer-per-level form: level i holds a sorted array whose
+    items each represent 2^i originals; when a level reaches 2k items it
+    collapses — keep every other element (offset alternates per collapse,
+    deterministically), push the k survivors to level i+1. No RNG, so a
+    fixed stream in a fixed batch order always yields the same summary
+    (the repo's determinism requirement; the classic analysis randomizes
+    the offset, the alternating offset keeps the same per-collapse rank
+    damage bound of 2^i per survivor gap).
+
+    Size is O(k log(N/k)); rank error of quantile() is bounded by
+    ~N * log2(N/k) / (2k) (asserted empirically in tests). merge() makes
+    it a distributed aggregate: per-batch sketches reduce level-wise,
+    the driver holds summaries, never values.
+    """
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.count = 0
+        self.levels: list[np.ndarray] = []      # level i: sorted, weight 2^i
+        self._flip: list[int] = []              # per-level alternating offset
+
+    def add(self, values: np.ndarray) -> "QuantileSketch":
+        v = np.asarray(values, dtype=np.float64)
+        if len(v):
+            self.count += len(v)
+            self._insert(0, np.sort(v))
+        return self
+
+    def _insert(self, lvl: int, sorted_vals: np.ndarray) -> None:
+        while len(self.levels) <= lvl:
+            self.levels.append(np.empty(0))
+            self._flip.append(0)
+        merged = np.empty(len(self.levels[lvl]) + len(sorted_vals))
+        np.concatenate([self.levels[lvl], sorted_vals], out=merged)
+        merged.sort(kind="stable")    # two sorted runs: timsort is linear
+        while len(merged) >= 2 * self.k:
+            take, merged = merged[:2 * self.k], merged[2 * self.k:]
+            off = self._flip[lvl]
+            self._flip[lvl] ^= 1
+            self._insert(lvl + 1, take[off::2])
+        self.levels[lvl] = merged
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        assert other.k == self.k
+        self.count += other.count
+        for lvl, vals in enumerate(other.levels):
+            if len(vals):
+                self._insert(lvl, vals)
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose cumulative weight reaches
+        ceil(q * N) (inverted-CDF estimator over the weighted summary)."""
+        if self.count == 0:
+            return float("nan")
+        vals = np.concatenate([v for v in self.levels if len(v)])
+        wts = np.concatenate(
+            [np.full(len(v), 1 << i, dtype=np.int64)
+             for i, v in enumerate(self.levels) if len(v)])
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(wts[order])
+        target = max(1, int(np.ceil(q * cum[-1])))
+        return float(vals[order][np.searchsorted(cum, target)])
+
+    # ---- transport between workers and the driver ----
+
+    def to_bytes(self) -> bytes:
+        import pickle
+        return pickle.dumps((self.k, self.count,
+                             [v for v in self.levels], self._flip))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "QuantileSketch":
+        import pickle
+        k, count, levels, flip = pickle.loads(blob)
+        sk = cls(k)
+        sk.count, sk.levels, sk._flip = count, list(levels), list(flip)
+        return sk
+
+
+def sketch_quantile_per_group(ds: rd.Dataset, key_col: str, value_col: str,
+                              q: float, k: int = 256) -> pd.DataFrame:
+    """Per-group approximate quantile as a MERGEABLE aggregate: each
+    batch emits one (group, sketch-blob) row per group it saw — bounded
+    size whatever the batch holds — and the driver merges summaries, so
+    raw values never shuffle AND never reach the driver. This is the
+    shape exact per-group quantiles (q_p95_per_type's whole-group
+    buckets) cannot keep when a single group outgrows one machine."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [(g, QuantileSketch(k).add(sub[value_col].to_numpy()).to_bytes())
+                for g, sub in df.groupby(key_col)]
+        return pd.DataFrame(rows, columns=[key_col, "sketch"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for g, sub in parts.groupby(key_col):
+        sk = QuantileSketch.from_bytes(sub["sketch"].iloc[0])
+        for blob in sub["sketch"].iloc[1:]:
+            sk.merge(QuantileSketch.from_bytes(blob))
+        out.append((g, sk.quantile(q), sk.count))
+    return (pd.DataFrame(out, columns=[key_col, f"q{int(q*100)}", "n"])
+            .sort_values(key_col).reset_index(drop=True))
