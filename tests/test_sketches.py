@@ -181,3 +181,73 @@ def test_sketch_quantile_per_group_close_to_exact(ray_session, sf_dir):
         # collapse, so the estimate must sit within a few ranks of exact
         bound = max(2, (np.log2(max(n / 256, 1)) + 2) * n / 512)
         assert abs(rank - 0.95 * n) <= bound
+
+
+# ---- randomized cross-checks for the new scale operators ----
+
+def test_repeated_span_stats_matches_bruteforce(ray_session):
+    from vbpl_web_crawl_ray.stages.dedup import repeated_span_stats
+    n = 4
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(6)]       # tiny vocab -> many repeats
+        docs = pd.DataFrame({
+            "doc_id": np.arange(30, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, size=rng.integers(2, 25)))
+                     for _ in range(30)]})
+        got = repeated_span_stats(rd.from_pandas(docs).repartition(4), n=n)
+        # brute force: global gram occurrence counts, then per-doc
+        # flagged starts + interval-union coverage
+        occ: dict[str, int] = {}
+        per_doc: dict[int, list[int]] = {}
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            toks = t.split(" ")
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                occ[g] = occ.get(g, 0) + 1
+                per_doc.setdefault(did, []).append(i)
+        rows = []
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            toks = t.split(" ")
+            flagged = [i for i in range(len(toks) - n + 1)
+                       if occ[" ".join(toks[i:i + n])] >= 2]
+            if flagged:
+                covered = set()
+                for p in flagged:
+                    covered.update(range(p, p + n))
+                rows.append((did, len(flagged), len(covered)))
+        want = pd.DataFrame(rows, columns=["doc_id", "dup_grams", "dup_tokens"])
+        want = want.astype({"doc_id": "int64", "dup_grams": "int64",
+                            "dup_tokens": "int64"})
+        pd.testing.assert_frame_equal(got, want.reset_index(drop=True)), seed
+
+
+def test_bloom_semi_exact_even_at_high_fp(ray_session):
+    """The bucketed exact join after the Bloom prune must erase the
+    filter's false positives — force a terrible filter and check."""
+    from vbpl_web_crawl_ray.stages.joins import bloom_semi_join
+    from vbpl_web_crawl_ray.stages.shuffle import bucketed_join
+    from vbpl_web_crawl_ray.state.bloom import BloomFilter
+    from vbpl_web_crawl_ray.functions.hashing import hash64
+
+    keys = pd.DataFrame({"k": np.arange(0, 200, 5, dtype=np.int64)})  # 40 keys
+    probe = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                          "v": np.arange(200, dtype=np.int64) * 10})
+    bf = BloomFilter(8, fp_rate=0.5)          # tiny: many false positives
+    bf.add(hash64(keys["k"].astype(str).to_numpy()))
+    surv = bloom_semi_join(rd.from_pandas(probe), "k", bf).to_pandas()
+    assert set(keys["k"]) <= set(surv["k"])   # no false negatives ever
+    exact = bucketed_join(rd.from_pandas(probe), rd.from_pandas(keys),
+                          on="k", how="inner", num_buckets=4).to_pandas()
+    assert set(exact["k"]) == set(keys["k"])  # FPs gone after the join
+
+
+def test_stratified_sample_partitioning_invariant(ray_session, sf_dir):
+    from vbpl_web_crawl_ray.pipelines import curation
+    a = curation.q_stratified_sample(sf_dir, cap=120)
+    b = curation.q_stratified_sample(sf_dir, cap=120)
+    pd.testing.assert_frame_equal(a, b)
+    # expected size per stratum ~ cap (Bernoulli): within 4 sigma
+    sizes = a.groupby("event_type").size()
+    for n in sizes:
+        assert abs(n - 120) <= 4 * np.sqrt(120) + 1
