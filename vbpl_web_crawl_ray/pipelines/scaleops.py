@@ -20,7 +20,7 @@ import ray.data as rd
 from ..functions.numeric import round_half_away
 from ..stages.joins import (bloom_anti_join, bloom_semi_join,
                             build_key_bloom_dist, salted_group_agg)
-from ..stages.shuffle import bucketed_join
+from ..stages.shuffle import bucketed_group_apply
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -44,19 +44,42 @@ def q_bloom_semi_counts(sf_dir: str) -> pd.DataFrame:
                                              ["o_orderkey"]],
                            batch_format="pandas"))
     urgent = urgent.materialize()       # built once, probed twice below
-    bf = build_key_bloom_dist(urgent, "o_orderkey", fp_rate=0.001)
+    # capacity from parquet metadata (upper bound: all orders) instead of
+    # a counting pass — an oversized filter only lowers the FP rate
+    import pyarrow.parquet as pq
+    cap = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    bf = build_key_bloom_dist(urgent, "o_orderkey", capacity=cap,
+                              fp_rate=0.001)
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
     survivors = bloom_semi_join(li, "l_orderkey", bf)
-    exact = bucketed_join(survivors, urgent, on="l_orderkey",
-                          right_on="o_orderkey", how="inner", num_buckets=8)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("l_returnflag", as_index=False).size()
-        return g.rename(columns={"size": "n"})
+    # exact verify as an IN-BUCKET existence count: union the tagged
+    # survivors with the key set, bucket by key hash (same all-to-all
+    # volume as a bucketed join) and count matching fact rows per flag
+    # inside each bucket — joined rows are never materialized, only the
+    # per-bucket count partials leave the shuffle.
+    s = survivors.map_batches(
+        lambda df: pd.DataFrame({"k": df["l_orderkey"].to_numpy(),
+                                 "rf": df["l_returnflag"].astype(str),
+                                 "side": np.zeros(len(df), np.int8)}),
+        batch_format="pandas")
+    u = urgent.map_batches(
+        lambda df: pd.DataFrame({"k": df["o_orderkey"].to_numpy(),
+                                 "rf": pd.Series([""] * len(df), dtype=str),
+                                 "side": np.ones(len(df), np.int8)}),
+        batch_format="pandas")
 
-    out = (exact.map_batches(partial, batch_format="pandas").to_pandas()
-                .groupby("l_returnflag", as_index=False)["n"].sum())
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["side"] == 1, "k"].unique()
+        li_rows = g[g["side"] == 0]
+        hit = li_rows[li_rows["k"].isin(keys)]
+        out = hit.groupby("rf", as_index=False).size()
+        return out.rename(columns={"rf": "l_returnflag", "size": "n"})
+
+    parts = bucketed_group_apply(s.union(u), "k", count_in_bucket,
+                                 num_buckets=8).to_pandas()
+    out = parts.groupby("l_returnflag", as_index=False)["n"].sum()
     return (out.astype({"n": "int64"})
                .sort_values("l_returnflag").reset_index(drop=True))
 

@@ -173,7 +173,6 @@ def _sample_kmeans(embds: rd.Dataset, dim: int, n_cells: int,
         d2 = np.minimum(d2, np.sum((x - cents[i - 1]) ** 2, axis=1))
         p = d2 / d2.sum() if d2.sum() > 0 else None
         cents[i] = x[rng.choice(len(x), p=p)]
-    iters = max(iters, 25)
     for _ in range(iters):
         a = np.argmax(x @ cents.T, axis=1)
         sums = np.zeros_like(cents)
@@ -199,14 +198,17 @@ _IVF_CACHE: dict[tuple, tuple[np.ndarray, str]] = {}
 
 
 def build_ivf_index(sf_dir: str, out_dir: str | None = None,
-                    n_cells: int = 16, iters: int = 10,
+                    n_cells: int = 16, iters: int = 25,
                     seed: int = 5, train: str = "sample") -> tuple[np.ndarray, str]:
     """Distributed IVF build: k-means (``train="sample"``: local Lloyd on
     a bounded modulus sample, one corpus stream total; ``train="full"``:
     broadcast-centroid partial-sum passes over the whole corpus), then
     the assignment pass writes posting lists as a cell-partitioned
     parquet directory. Returns (centroids, posting_dir): a query reads
-    ONLY its probed cells' partitions."""
+    ONLY its probed cells' partitions. The default ``iters=25`` prices
+    Lloyd rounds for the sample path, where they are in-process and
+    nearly free; ``train="full"`` pays a distributed pass per round, so
+    callers choosing it should lower ``iters``."""
     key = (os.path.abspath(sf_dir), n_cells, iters, seed, train)
     if out_dir is None:
         hit = _IVF_CACHE.get(key)
@@ -263,7 +265,7 @@ def ivf_query(cents: np.ndarray, posting_dir: str, q: np.ndarray,
 
 
 def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
-             nprobe: int = 4, n_cells: int = 16, iters: int = 10,
+             nprobe: int = 4, n_cells: int = 16, iters: int = 25,
              seed: int = 5) -> pd.DataFrame:
     """ANN top-k via the distributed IVF index (build + one query)."""
     cents, posting_dir = build_ivf_index(sf_dir, n_cells=n_cells,

@@ -609,4 +609,8 @@ def repeated_span_stats(ds: rd.Dataset, n: int = 8, text_col: str = "text",
 
     out = bucketed_group_apply(flagged, id_col, per_doc,
                                num_buckets=8).to_pandas()
+    if not len(out):       # no duplicated gram anywhere -> typed empty
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "dup_grams": pd.Series(dtype=np.int64),
+                             "dup_tokens": pd.Series(dtype=np.int64)})
     return out.sort_values(id_col).reset_index(drop=True)

@@ -54,8 +54,10 @@ def build_key_bloom_dist(ds: rd.Dataset, key_col: str,
                              "n_new": [part.count]})
 
     total = 0
+    # batch_size=1: the driver holds the proto plus ONE partial at a time
+    # (each partial is a full m-bit array — 16 at once would be 16 filters)
     for b in (ds.map_batches(bits_of, batch_format="pandas")
-                .iter_batches(batch_size=16, batch_format="pandas")):
+                .iter_batches(batch_size=1, batch_format="pandas")):
         for blob, c in zip(b["bits"], b["n_new"]):
             proto.bits |= np.frombuffer(blob, dtype=np.uint64)
             total += int(c)
@@ -63,22 +65,38 @@ def build_key_bloom_dist(ds: rd.Dataset, key_col: str,
     return proto
 
 
+# above this snapshot size the per-batch BloomFilter.restore copy stops
+# being negligible and an actor pool (restore once per actor) wins; below
+# it, stateless tasks fuse with the upstream read and skip pool startup
+_BLOOM_ACTOR_GATE = 64 << 20
+
+
 def bloom_semi_join(ds: rd.Dataset, key_col: str,
                     bloom: BloomFilter) -> rd.Dataset:
     """Keep rows whose key is (probably) in the filter. No false negatives:
     every truly-matching row survives; FP-rate of extra rows is the
     filter's (callers verify downstream when exactness matters)."""
-    ref = ray.put(bloom.snapshot())
+    snap = bloom.snapshot()
+    ref = ray.put(snap)
 
-    class Probe:
-        def __init__(self):
-            self.bf = BloomFilter.restore(ray.get(ref))
+    if len(snap["bits"]) > _BLOOM_ACTOR_GATE:
+        class Probe:
+            def __init__(self):
+                self.bf = BloomFilter.restore(ray.get(ref))
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mask = self.bf.contains(hash64(df[key_col].astype(str).to_numpy()))
-            return df[mask]
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                mask = self.bf.contains(
+                    hash64(df[key_col].astype(str).to_numpy()))
+                return df[mask]
 
-    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 4))
+        return ds.map_batches(Probe, batch_format="pandas",
+                              concurrency=(1, 4))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter.restore(ray.get(ref))
+        return df[bf.contains(hash64(df[key_col].astype(str).to_numpy()))]
+
+    return ds.map_batches(probe, batch_format="pandas")
 
 
 def bloom_anti_join(ds: rd.Dataset, key_col: str, bloom: BloomFilter,
@@ -86,24 +104,38 @@ def bloom_anti_join(ds: rd.Dataset, key_col: str, bloom: BloomFilter,
     """Rows whose key is NOT in the set. The Bloom pass drops the certain
     non-members cheaply; rows the filter flags are re-checked against
     ``exact_keys`` (a set) when provided, restoring exactness."""
-    ref = ray.put(bloom.snapshot())
+    snap = bloom.snapshot()
+    ref = ray.put(snap)
     keys_ref = ray.put(set(map(str, exact_keys)) if exact_keys is not None
                        else None)
 
-    class Probe:
-        def __init__(self):
-            self.bf = BloomFilter.restore(ray.get(ref))
-            self.exact = ray.get(keys_ref)
+    if len(snap["bits"]) > _BLOOM_ACTOR_GATE:
+        class Probe:
+            def __init__(self):
+                self.bf = BloomFilter.restore(ray.get(ref))
+                self.exact = ray.get(keys_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            flagged = self.bf.contains(
-                hash64(df[key_col].astype(str).to_numpy()))
-            if self.exact is None:
-                return df[~flagged]
-            really_in = df[key_col].astype(str).isin(self.exact).to_numpy()
-            return df[~(flagged & really_in)]
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                flagged = self.bf.contains(
+                    hash64(df[key_col].astype(str).to_numpy()))
+                if self.exact is None:
+                    return df[~flagged]
+                really_in = df[key_col].astype(str).isin(self.exact).to_numpy()
+                return df[~(flagged & really_in)]
 
-    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 4))
+        return ds.map_batches(Probe, batch_format="pandas",
+                              concurrency=(1, 4))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter.restore(ray.get(ref))
+        flagged = bf.contains(hash64(df[key_col].astype(str).to_numpy()))
+        exact = ray.get(keys_ref)
+        if exact is None:
+            return df[~flagged]
+        really_in = df[key_col].astype(str).isin(exact).to_numpy()
+        return df[~(flagged & really_in)]
+
+    return ds.map_batches(probe, batch_format="pandas")
 
 
 def salted_group_agg(ds: rd.Dataset, key: str,

@@ -89,7 +89,9 @@ def mg_heavy_hitters(ds: rd.Dataset,
     def exact(df: pd.DataFrame) -> pd.DataFrame:
         vc = extract(df)
         total = int(vc.sum())
-        sub = vc[vc.index.isin(ray.get(cand_ref))]
+        # candidates were stringified in the sketch pass — probe the same
+        # representation so non-string extracts (int keys) still match
+        sub = vc[vc.index.astype(str).isin(ray.get(cand_ref))]
         return pd.DataFrame({
             "item": list(sub.index.astype(str)) + [_TOTAL],
             "n": np.concatenate([sub.to_numpy(np.int64),
