@@ -427,6 +427,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches, driver merges summaries not values (rows-only:
         # bounded-rank-error estimate, pinned vs exact by pytest)
         "sketch_p95_per_type": SO.q_sketch_p95_per_type,
+        # end-to-end curation COMPOSITION: quality gate -> exact dedup ->
+        # md5 sample -> sequence packing, one chained oracle verifies the
+        # stage-to-stage data flow, not just each stage alone
+        "curated_pack": CU.q_curated_pack,
         # crawl-wired date/state fidelity incl. the concetti JSON-API
         # recovery for pages missing their dates (rows-only)
         "crawl_meta_states": _crawl_meta_states,
@@ -1114,6 +1118,36 @@ def oracle_sql() -> dict[str, str]:
                   < lower(lpad(to_hex(CAST(300 AS BIGINT) * 4294967296 // c.n),
                                8, '0'))
             ORDER BY event_id
+        """,
+        "curated_pack": f"""
+            WITH q AS (
+                SELECT * FROM documents
+                WHERE len(string_split(text, ' ')) >= 20
+                  AND len(list_filter(string_split(text, ' '),
+                                      x -> x IN ({stop_list}))) >= 3
+            ), reps AS (
+                SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text
+            ), kept AS (
+                SELECT q.doc_id, q.source, q.text FROM q JOIN reps USING (doc_id)
+            ), sampled AS (
+                SELECT doc_id, text FROM kept
+                WHERE substr(md5('cur:' || source || ':'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '80000000'
+            ), t AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                FROM sampled
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM t)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum // 512 AS BIGINT) AS seq_start,
+                   CAST((cum + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
+                   CAST(cum % 512 AS BIGINT) AS offset_in_seq
+            FROM c
         """,
         "substring_dup_stats": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

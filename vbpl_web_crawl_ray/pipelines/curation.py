@@ -168,7 +168,13 @@ def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
               local cumsum in parallel.
 
     No full-data sort and no driver materialization of doc rows."""
-    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+    return pack_dataset(_docs(sf_dir, ("doc_id", "text")))
+
+
+def pack_dataset(docs: rd.Dataset) -> pd.DataFrame:
+    """The packing core of q_pack_sequences, over ANY (doc_id, text)
+    dataset — composable after upstream curation stages."""
+    ds = docs.map_batches(
         lambda df: pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
             "rb": (df["doc_id"].to_numpy() // PACK_RANGE).astype("int64"),
@@ -287,3 +293,50 @@ def q_stratified_sample(sf_dir: str, cap: int = 300) -> pd.DataFrame:
 
     out = ev.map_batches(keep, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_curated_pack(sf_dir: str, min_tokens: int = 20, min_stop_hits: int = 3,
+                   rate_hex: str = "80000000") -> pd.DataFrame:
+    """End-to-end curation COMPOSITION — the full selection chain a
+    pretraining run executes, as ONE pipeline: quality gate (length +
+    stopword density) -> exact dedup (min-doc_id representative per
+    distinct text) -> deterministic md5 half-rate sample -> GPT-style
+    sequence packing of the survivors. Every stage is the same
+    distributed shape as its standalone query (vectorized batch filter;
+    (content_hash, doc_id) bucketed shuffle; pure-row-function sample;
+    range-partitioned prefix scan), and the dataset flows stage to stage
+    through the object store — the driver first sees per-doc rows in the
+    final packed result. The single SQL oracle chains the identical CTEs,
+    so what is verified is the COMPOSITION, not just each stage alone."""
+    from ..functions.hashing import hash64
+    from ..stages.shuffle import bucketed_group_apply
+    from ..stages.textstats import EN_STOPWORDS
+
+    stop = EN_STOPWORDS
+
+    def admit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].map(lambda t: t.split(" "))
+        n_tok = toks.str.len()
+        hits = toks.map(lambda ts: sum(1 for w in ts if w in stop))
+        out = df[(n_tok >= min_tokens) & (hits >= min_stop_hits)]
+        return pd.DataFrame({
+            "content_hash": hash64(out["text"].to_numpy()).astype(np.int64),
+            "doc_id": out["doc_id"].to_numpy(),
+            "source": out["source"].to_numpy(),
+            "text": out["text"].to_numpy()})
+
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("text")["doc_id"].idxmin()
+        return g.loc[idx, ["doc_id", "source", "text"]]
+
+    reps = bucketed_group_apply(
+        _docs(sf_dir).map_batches(admit, batch_format="pandas"),
+        "content_hash", first_per_text, num_buckets=8)
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ("cur:" + df["source"].astype(str) + ":"
+                + df["doc_id"].astype(str))
+        h = np.array([hashlib.md5(k.encode()).hexdigest()[:8] for k in keys])
+        return df.loc[h < rate_hex, ["doc_id", "text"]]
+
+    return pack_dataset(reps.map_batches(sample, batch_format="pandas"))

@@ -35,10 +35,10 @@ def q_bloom_semi_counts(sf_dir: str) -> pd.DataFrame:
     driver ever holding the keys (fixed-geometry bit-array partials,
     OR-merged); the probe side streams through the broadcast filter and
     drops the ~80% certain non-members with zero shuffle. Only the
-    survivors (true matches + the filter's ~0.1% FPs) enter the exact
-    bucketed semi join against the key set, so the all-to-all moves a
-    fifth of the fact table. The final count is a per-batch partial ->
-    tiny driver merge."""
+    survivors (true matches + the filter's rare FPs) enter the exact
+    in-bucket existence count against the key set, so the all-to-all
+    moves a fifth of the fact table and nothing but count partials comes
+    back out of it."""
     urgent = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
               .map_batches(lambda df: df.loc[df["o_orderpriority"] == "1-URGENT",
                                              ["o_orderkey"]],
