@@ -252,3 +252,14 @@ def test_stratified_sample_partitioning_invariant(ray_session, sf_dir):
     sizes = a.groupby("event_type").size()
     for n in sizes:
         assert abs(n - 120) <= 4 * np.sqrt(120) + 1
+
+
+def test_repeated_span_stats_no_dups_returns_typed_empty(ray_session):
+    from vbpl_web_crawl_ray.stages.dedup import repeated_span_stats
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [" ".join(f"u{i}_{j}" for j in range(12)) for i in range(3)]})
+    out = repeated_span_stats(rd.from_pandas(docs))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "dup_grams", "dup_tokens"]
+    assert all(str(out[c].dtype) == "int64" for c in out.columns)
