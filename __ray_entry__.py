@@ -431,6 +431,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5 sample -> sequence packing, one chained oracle verifies the
         # stage-to-stage data flow, not just each stage alone
         "curated_pack": CU.q_curated_pack,
+        # DENSE_RANK per group: whole-group buckets, vectorized rank,
+        # only rank<=k rows leave the shuffle
+        "dense_rank_top_orders": R2.q_dense_rank_top_orders,
+        # FULL OUTER JOIN membership accounting: tagged-union bucket
+        # shuffle, side-bit OR per key, three count partials per bucket
+        "full_outer_user_counts": SO.q_full_outer_user_counts,
         # crawl-wired date/state fidelity incl. the concetti JSON-API
         # recovery for pages missing their dates (rows-only)
         "crawl_meta_states": _crawl_meta_states,
@@ -468,9 +474,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": R2.q_approx_distinct_users,
         # --- oracle-backed rotation (hash-matched r1+r2; stay in-window) ---
         "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
-        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
-        "ann_multi_topk": lambda sf: ann.multi_query_topk(
-            sf, query_vec_ids=(0, 1, 2, 3), k=5),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
         "embedding_dedup_filter": _embedding_dedup_filter,
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
@@ -492,6 +495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_quality_scores": lambda sf: textstats.model_quality_scores(
             _docs(sf)),
         "token_count": lambda sf: textstats.token_count(_docs(sf)),
+        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
+        "ann_multi_topk": lambda sf: ann.multi_query_topk(
+            sf, query_vec_ids=(0, 1, 2, 3), k=5),
         # curation: sampling / decontamination / packing (training-data
         # selection steps; all deterministic, all but packing shuffle-free)
         "hash_sample": CU.q_hash_sample,
@@ -1118,6 +1124,24 @@ def oracle_sql() -> dict[str, str]:
                   < lower(lpad(to_hex(CAST(300 AS BIGINT) * 4294967296 // c.n),
                                8, '0'))
             ORDER BY event_id
+        """,
+        "dense_rank_top_orders": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+            FROM orders QUALIFY rnk <= 3
+            ORDER BY o_orderpriority, rnk, o_orderkey
+        """,
+        "full_outer_user_counts": """
+            WITH e AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'error')
+            SELECT CASE WHEN e.user_id IS NULL THEN 'customer_only'
+                        WHEN c.c_custkey IS NULL THEN 'error_only'
+                        ELSE 'both' END AS side,
+                   COUNT(*) AS n
+            FROM customer c FULL OUTER JOIN e ON c.c_custkey = e.user_id
+            GROUP BY side ORDER BY side
         """,
         "curated_pack": f"""
             WITH q AS (

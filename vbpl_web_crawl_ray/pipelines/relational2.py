@@ -588,3 +588,28 @@ def q_ntile_quartiles(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["sum_price"] = round_half_away(out["sum_price"].to_numpy(), 4)
     return out.sort_values("quartile").reset_index(drop=True)
+
+
+def q_dense_rank_top_orders(sf_dir: str, k: int = 3):
+    """DENSE_RANK per group without a global sort: each priority's rows
+    co-locate whole in a hash bucket (the p95/median pattern — groups are
+    few and bounded; a group that outgrew a machine would switch to the
+    NTILE histogram-offset trick), rank is one vectorized pandas
+    dense-rank inside the bucket, and only rows with rank <= k leave the
+    shuffle. Prices pass through untouched, so the oracle compare is
+    bit-exact on the raw parquet doubles."""
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def topr(g: pd.DataFrame) -> pd.DataFrame:
+        r = (g.groupby("o_orderpriority")["o_totalprice"]
+              .rank(method="dense", ascending=False).astype(np.int64))
+        sel = g[r <= k].copy()
+        sel["rnk"] = r[r <= k]
+        return sel
+
+    out = bucketed_group_apply(o, "o_orderpriority", topr,
+                               num_buckets=4).to_pandas()
+    return (out.astype({"rnk": "int64"})
+               .sort_values(["o_orderpriority", "rnk", "o_orderkey"])
+               .reset_index(drop=True))

@@ -150,3 +150,35 @@ def q_sketch_p95_per_type(sf_dir: str) -> pd.DataFrame:
     out = sketch_quantile_per_group(ev, "event_type", "value", q=0.95)
     out["q95"] = round_half_away(out["q95"].to_numpy(), 4)
     return out.astype({"n": "int64"})
+
+
+def q_full_outer_user_counts(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN membership accounting in ONE tagged-union bucket
+    shuffle: customer keys (side bit 1) and distinct error-event users
+    (side bit 2) co-locate by key hash; each bucket ORs its keys' side
+    bits and counts 1=customer_only / 2=error_only / 3=both — no joined
+    frame, no null-padded rows, just three count partials per bucket.
+    The outer-join shape every engine special-cases, as a counting
+    aggregate."""
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda df: pd.DataFrame({"k": df["c_custkey"].to_numpy(),
+                                 "side": np.full(len(df), 1, np.int8)}),
+        batch_format="pandas")
+    err = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"k": df.loc[df["event_type"] == "error", "user_id"].unique(),
+             "side": np.int8(2)}),
+        batch_format="pandas")
+
+    def count_sides(g: pd.DataFrame) -> pd.DataFrame:
+        bits = g.drop_duplicates(["k", "side"]).groupby("k")["side"].sum()
+        vc = bits.value_counts()
+        label = {1: "customer_only", 2: "error_only", 3: "both"}
+        return pd.DataFrame({"side": [label[int(v)] for v in vc.index],
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = bucketed_group_apply(cust.union(err), "k", count_sides,
+                                 num_buckets=4).to_pandas()
+    out = parts.groupby("side", as_index=False)["n"].sum()
+    return (out.astype({"n": "int64"})
+               .sort_values("side").reset_index(drop=True))
