@@ -263,3 +263,19 @@ def test_repeated_span_stats_no_dups_returns_typed_empty(ray_session):
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "dup_grams", "dup_tokens"]
     assert all(str(out[c].dtype) == "int64" for c in out.columns)
+
+
+def test_lsh_near_dup_no_self_pairs_on_duplicate_ids(ray_session):
+    """Duplicate-id input (e.g. an upstream bug or re-offered rows) must
+    not surface id_a == id_b pairs — each id participates once per
+    bucket."""
+    from vbpl_web_crawl_ray.stages.ann import lsh_near_dup_pairs
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((20, 16))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    df = pd.DataFrame({
+        "vec_id": np.concatenate([np.arange(20), np.arange(5)]),
+        "emb": [r.tobytes() for r in np.vstack([m, m[:5]])]})
+    out = lsh_near_dup_pairs(rd.from_pandas(df), 0.99,
+                             n_planes=2, n_tables=4)
+    assert (out["id_a"] != out["id_b"]).all()

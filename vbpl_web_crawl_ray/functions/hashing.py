@@ -54,3 +54,16 @@ def mix64(h: np.ndarray) -> np.ndarray:
         h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         h = h ^ (h >> np.uint64(31))
     return h
+
+
+def md5_hex_prefix(keys, width: int = 8) -> np.ndarray:
+    """First ``width`` hex chars of md5 over each string — THE
+    deterministic row-hash contract shared with the DuckDB oracles
+    (``substr(md5(x), 1, w)``). Hex strings of equal length compare
+    lexicographically exactly like their numeric values, so thresholds
+    are plain string compares in both engines. Every sampling/resampling
+    operator routes through this one helper so the contract has a single
+    definition."""
+    import hashlib
+    return np.array([hashlib.md5(k.encode()).hexdigest()[:width]
+                     for k in keys])

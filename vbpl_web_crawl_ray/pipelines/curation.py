@@ -24,13 +24,12 @@ eval-gram set, per-source counts) move through `ray.put` / tiny merges.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
 
+from ..functions.hashing import md5_hex_prefix
 from ..functions.numeric import round_half_away
 
 # Bernoulli keep-threshold: first 8 md5 hex chars < this <=> u < 0.1 for
@@ -59,8 +58,7 @@ def q_hash_sample(sf_dir: str) -> pd.DataFrame:
     one map_batches, no shuffle."""
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         key = df["source"].astype(str) + ":" + df["doc_id"].astype(str)
-        h = [hashlib.md5(k.encode()).hexdigest()[:8] for k in key]
-        mask = np.array(h) < SAMPLE_RATE_HEX
+        mask = md5_hex_prefix(key) < SAMPLE_RATE_HEX
         return df.loc[mask, ["doc_id", "source"]]
 
     out = (_docs(sf_dir, ("doc_id", "source")).map_batches(
@@ -241,14 +239,13 @@ def q_resample_plan(sf_dir: str) -> pd.DataFrame:
 
     def plan(df: pd.DataFrame) -> pd.DataFrame:
         w = ray.get(ref)
-        reps = np.empty(len(df), dtype=np.int64)
-        for i, (did, lang) in enumerate(zip(df["doc_id"], df["lang"])):
-            wt = w[lang]
-            base = int(np.floor(wt))
-            frac = wt - base
-            thr = format(int(np.floor(frac * 4294967296)), "08x")
-            h = hashlib.md5(f"rs:{lang}:{did}".encode()).hexdigest()[:8]
-            reps[i] = base + (1 if h < thr else 0)
+        base = {l: int(np.floor(wt)) for l, wt in w.items()}
+        thr = {l: format(int(np.floor((wt - np.floor(wt)) * 4294967296)),
+                         "08x") for l, wt in w.items()}
+        h = md5_hex_prefix("rs:" + df["lang"].astype(str) + ":"
+                           + df["doc_id"].astype(str))
+        reps = (df["lang"].map(base).to_numpy(np.int64)
+                + (h < df["lang"].map(thr).to_numpy()).astype(np.int64))
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
                              "lang": df["lang"].to_numpy(),
                              "n_repeats": reps})
@@ -287,7 +284,7 @@ def q_stratified_sample(sf_dir: str, cap: int = 300) -> pd.DataFrame:
         th = ray.get(ref)
         keys = ("strat:" + df["event_type"].astype(str) + ":"
                 + df["event_id"].astype(str))
-        h = np.array([hashlib.md5(k.encode()).hexdigest()[:8] for k in keys])
+        h = md5_hex_prefix(keys)
         lim = df["event_type"].map(th).to_numpy()
         return df.loc[h < lim, ["event_id", "event_type"]]
 
@@ -336,7 +333,6 @@ def q_curated_pack(sf_dir: str, min_tokens: int = 20, min_stop_hits: int = 3,
     def sample(df: pd.DataFrame) -> pd.DataFrame:
         keys = ("cur:" + df["source"].astype(str) + ":"
                 + df["doc_id"].astype(str))
-        h = np.array([hashlib.md5(k.encode()).hexdigest()[:8] for k in keys])
-        return df.loc[h < rate_hex, ["doc_id", "text"]]
+        return df.loc[md5_hex_prefix(keys) < rate_hex, ["doc_id", "text"]]
 
     return pack_dataset(reps.map_batches(sample, batch_format="pandas"))

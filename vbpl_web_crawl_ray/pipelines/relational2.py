@@ -619,30 +619,26 @@ def q_exact_k_sample(sf_dir: str, k: int = 100):
     """EXACT-size deterministic sample per group — k rows per
     event_type, not Bernoulli-expected-k (q_stratified_sample's
     contract): keep the k smallest md5 hashes per group. The hash order
-    makes 'k smallest' a MERGEABLE top-k — every batch emits at most k
-    rows per group it saw (the combiner), buckets merge partials and
-    keep k — so the full table never shuffles and no RNG state exists
-    anywhere; the same rows win at any parallelism, on resume, and in
-    the SQL oracle."""
-    import hashlib
+    makes 'k smallest' a MERGEABLE top-k, wired through
+    bucketed_group_apply's combiner hook: every batch ships at most k
+    rows per group it saw, buckets merge partials and keep k — the full
+    table never shuffles and no RNG state exists anywhere; the same rows
+    win at any parallelism, on resume, and in the SQL oracle."""
+    from ..functions.hashing import md5_hex_prefix
 
     ev = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["h", "event_id"])
+                 .groupby("event_type", as_index=False).head(k))
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         keys = ("ek:" + df["event_type"].astype(str) + ":"
                 + df["event_id"].astype(str))
-        df = df.assign(h=[hashlib.md5(x.encode()).hexdigest()[:16]
-                          for x in keys])
-        return (df.sort_values(["h", "event_id"])
-                  .groupby("event_type", as_index=False).head(k))
+        return topk(df.assign(h=md5_hex_prefix(keys, 16)))
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(["h", "event_id"])
-                 .groupby("event_type", as_index=False).head(k))
-
-    out = bucketed_group_apply(
-        ev.map_batches(local_topk, batch_format="pandas"),
-        "event_type", merge_topk, num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "event_type", topk, num_buckets=4,
+                               partial_fn=local_topk).to_pandas()
     return (out[["event_id", "event_type"]]
             .sort_values("event_id").reset_index(drop=True))
 
@@ -651,29 +647,24 @@ def q_funnel_counts(sf_dir: str):
     """Ordered funnel (view -> click AFTER the first view -> purchase
     AFTER that click): per-user sequential pattern matching. Users
     co-locate whole by hash bucket; inside a bucket the three step
-    timestamps resolve vectorized per user (first view; first click
-    strictly later; first purchase strictly later than that); only three
+    timestamps resolve as three vectorized groupby-mins (first view;
+    first click strictly later via a merged filter; first purchase
+    strictly later than that) — no per-user Python loop; only three
     per-bucket counters leave the shuffle."""
     ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
 
     def funnel(g: pd.DataFrame) -> pd.DataFrame:
-        n1 = n2 = n3 = 0
-        for _, sub in g.groupby("user_id"):
-            v = sub.loc[sub["event_type"] == "view", "ts"]
-            if not len(v):
-                continue
-            t1 = v.min()
-            n1 += 1
-            c = sub.loc[(sub["event_type"] == "click") & (sub["ts"] > t1), "ts"]
-            if not len(c):
-                continue
-            t2 = c.min()
-            n2 += 1
-            p = sub.loc[(sub["event_type"] == "purchase") & (sub["ts"] > t2), "ts"]
-            if len(p):
-                n3 += 1
-        return pd.DataFrame({"n_view": [n1], "n_view_click": [n2],
-                             "n_full_funnel": [n3]})
+        t1 = (g.loc[g["event_type"] == "view"]
+               .groupby("user_id")["ts"].min().rename("t1"))
+        c = g.loc[g["event_type"] == "click"].merge(
+            t1, left_on="user_id", right_index=True)
+        t2 = (c.loc[c["ts"] > c["t1"]]
+               .groupby("user_id")["ts"].min().rename("t2"))
+        p = g.loc[g["event_type"] == "purchase"].merge(
+            t2, left_on="user_id", right_index=True)
+        t3 = p.loc[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame({"n_view": [len(t1)], "n_view_click": [len(t2)],
+                             "n_full_funnel": [len(t3)]})
 
     parts = bucketed_group_apply(ev, "user_id", funnel,
                                  num_buckets=4).to_pandas()

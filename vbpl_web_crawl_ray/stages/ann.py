@@ -385,8 +385,9 @@ def lsh_near_dup_pairs(embds: rd.Dataset, threshold: float,
     def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_s = [], [], []
         for _, sub in g.groupby("bucket_key"):
-            n = len(sub)
-            if n < 2:
+            sub = sub.drop_duplicates(id_col)   # each id once per bucket:
+            n = len(sub)                        # duplicate-id input must
+            if n < 2:                           # not create self-pairs
                 continue
             ids = sub[id_col].to_numpy()
             order = np.argsort(ids)

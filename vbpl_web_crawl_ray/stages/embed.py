@@ -81,11 +81,11 @@ def doc_embedding_near_dup(sf_dir: str, threshold: float = 0.95,
     the 0.45 embeddings query are what need few planes).
 
     The driver never holds the corpus or the embedding matrix: the
-    embedded dataset stays distributed, candidates come from the
-    (bucket_key, doc_id) shuffle, and the verify attaches blobs via
-    dedup._attach_pair_payloads (broadcast only under its 64 MB gate) —
-    the same poisoned-to_pandas guard the other dedup paths carry is
-    tested for this pipeline too."""
+    embedded dataset stays distributed, the blobs ride the signature
+    shuffle (O(n x tables x dim)) and every bucket verifies its own
+    pairs with chunked matmuls, emitting only passers — the driver sees
+    the final pair list alone; the same poisoned-to_pandas guard the
+    other dedup paths carry is tested for this pipeline too."""
     from .ann import lsh_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
