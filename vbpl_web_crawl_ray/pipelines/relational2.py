@@ -392,10 +392,19 @@ def q_event_gap(sf_dir: str):
     def lag_per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         prev = g.groupby("user_id")["ts"].shift(1)
-        gap = (g["ts"] - prev).dt.total_seconds()
+        # replicate DuckDB's EPOCH(interval) float path exactly: a
+        # timestamp difference is stored as (days, micros<day) and epoch
+        # is days*86400.0 + micros/1e6 summed in doubles — one total
+        # division (ns/1e9 or us/1e6) lands 1 ulp away on rounding
+        # boundaries and flips the 4th decimal (2 rows at sf0.01)
+        us = ((g["ts"] - prev) / pd.Timedelta(microseconds=1)).to_numpy()
+        days = np.floor_divide(us, 86400e6, where=~np.isnan(us),
+                               out=np.full(len(us), np.nan))
+        rem = us - days * 86400e6
+        gap = days * 86400.0 + rem / 1e6
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy().astype(np.int64),
-            "gap_seconds": round_half_away(gap.to_numpy(), 4)})
+            "gap_seconds": round_half_away(gap, 4)})
 
     return (bucketed_group_apply(ev, "user_id", lag_per_user, num_buckets=8)
             .to_pandas().sort_values("event_id").reset_index(drop=True))
