@@ -298,3 +298,16 @@ def test_new_deterministic_queries_invariant_to_bucketing(ray_session, sf_dir):
     f1 = relational2.q_funnel_counts(sf_dir)
     f2 = relational2.q_funnel_counts(sf_dir)
     pd.testing.assert_frame_equal(f1, f2)
+
+
+def test_mg_heavy_hitters_integer_items(ray_session):
+    """Non-string extract keys must survive the stringified candidate
+    round-trip (regression: int-keyed counts once matched zero
+    candidates and silently returned empty)."""
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([np.full(300, 7), rng.integers(100, 400, 600)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    out = mg_heavy_hitters(
+        ds, lambda b: b["v"].value_counts().astype(np.int64), phi=0.2)
+    assert "7" in set(out["item"])
+    assert int(out.loc[out["item"] == "7", "n_occ"].iloc[0]) == 300
