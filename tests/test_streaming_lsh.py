@@ -128,6 +128,34 @@ def test_dedup_verify_never_materializes_corpus(sf_dir, monkeypatch):
     assert {"id_a", "id_b", "jaccard"} <= set(jac.columns)
 
 
+def test_minhash_banding_matches_brute_force(sf_dir):
+    """The vectorized banding (reshape + mix64 fold, no per-doc Python) must
+    produce exactly the brute-force pair set: docs sharing >=1 identical band
+    slice AND signature agreement >= threshold. This pins the LSH contract
+    independent of the band-hash mix function."""
+    threshold, num_perm, bands = 0.5, 128, 32
+    rows = num_perm // bands
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+    mh = dedup.MinHasher(num_perm=num_perm, n=3)
+    sigs = {d: s for d, s in zip(pdf["doc_id"],
+                                 (mh.signature(t) for t in pdf["text"]))}
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        sa = sigs[a].reshape(bands, rows)
+        for b in ids[i + 1:]:
+            sb = sigs[b].reshape(bands, rows)
+            if not (sa == sb).all(axis=1).any():
+                continue                      # no band collision
+            if float((sigs[a] == sigs[b]).mean()) >= threshold:
+                expected.add((min(a, b), max(a, b)))
+    got = dedup.minhash_lsh_pairs(sf_dir, threshold=threshold,
+                                  num_perm=num_perm, bands=bands)
+    got_set = set(zip(got["id_a"], got["id_b"]))
+    assert got_set == expected
+
+
 def test_dedup_verify_broadcast_matches_shuffle(sf_dir, monkeypatch):
     """The size-gated broadcast verify and the pair-halves shuffle verify
     are two implementations of the same attach — results must agree."""

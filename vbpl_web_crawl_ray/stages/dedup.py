@@ -23,7 +23,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, mix64
 from ..functions.numeric import blob_matrix, round_half_away
 
 # ---------------------------------------------------------------------------
@@ -370,29 +370,51 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
               .materialize())
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_id = [], [], []
-        for did, blob in zip(df["doc_id"], df["sig"]):
-            sig = np.frombuffer(blob, dtype=np.uint64)
-            for b in range(bands):
-                out_band.append(b)
-                out_hash.append(int(hash64([sig[b * rows:(b + 1) * rows].tobytes()])[0]))
-                out_id.append(did)
-        return pd.DataFrame({"band": np.array(out_band, dtype=np.int32),
-                             "band_hash": np.array(out_hash, dtype=np.uint64),
-                             "doc_id": np.array(out_id, dtype=np.int64)})
+        n_docs = len(df)
+        if not n_docs:
+            return pd.DataFrame({"band": pd.Series(dtype=np.int32),
+                                 "band_hash": pd.Series(dtype=np.uint64),
+                                 "doc_id": pd.Series(dtype=np.int64)})
+        # (n_docs * bands, rows) view of the fixed-width signature matrix:
+        # one buffer decode, then a sequential mix64 fold across the band's
+        # `rows` minhash values — order-dependent, fully vectorized, no
+        # per-doc Python. Equal band slices hash equal (the LSH contract);
+        # spurious uint64 collisions only ADD candidates, which the
+        # signature-agreement verify filters.
+        flat = blob_matrix(df["sig"], np.uint64).reshape(n_docs * bands, rows)
+        h = mix64(flat[:, 0])
+        with np.errstate(over="ignore"):
+            for j in range(1, rows):
+                h = mix64(h * np.uint64(0x100000001B3) ^ mix64(flat[:, j]))
+        return pd.DataFrame({
+            "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+            "band_hash": h,
+            "doc_id": np.repeat(df["doc_id"].to_numpy().astype(np.int64),
+                                bands)})
 
     banded = sigs.map_batches(to_bands, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # within one band value, all docs sharing the band hash are candidates
+        # within one band value, all docs sharing the band hash are
+        # candidates. Sort once, find bucket boundaries vectorized, and
+        # emit triu pairs only for the (typically few) multi-doc buckets —
+        # no per-key pandas groupby objects.
+        g = g.drop_duplicates(["band_hash", "doc_id"])
+        bh = g["band_hash"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+        ends = np.r_[starts[1:], len(bh)]
+        multi = (ends - starts) >= 2
         out_a, out_b = [], []
-        for _, sub in g.groupby("band_hash"):
-            ids = np.sort(sub["doc_id"].unique())
-            if len(ids) >= 2:
-                a, b = np.triu_indices(len(ids), k=1)
-                out_a.extend(ids[a]); out_b.extend(ids[b])
-        return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
-                             "id_b": np.array(out_b, dtype=np.int64)})
+        for s, e in zip(starts[multi], ends[multi]):
+            a, b = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s:e][a]); out_b.append(ids[s:e][b])
+        if not out_a:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
     cand = (banded.groupby("band")
                   .map_groups(bucket_pairs, batch_format="pandas")
