@@ -482,46 +482,66 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     sigs = simhash_signatures(ds).materialize()
 
     def to_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized explode: (n_docs, k) shift table -> flat columns.
+        # chunk_val stays exact in int64 for every k >= 2 (chunk_bits <= 32).
         chunk_bits = 64 // k
-        rows = {"chunk": [], "chunk_val": [], "doc_id": [], "simhash": []}
-        for did, sh in zip(df["doc_id"], df["simhash"]):
-            sh = np.uint64(sh)
-            for c in range(k):
-                val = int((sh >> np.uint64(c * chunk_bits))
-                          & np.uint64((1 << chunk_bits) - 1))
-                rows["chunk"].append(c); rows["chunk_val"].append(val)
-                rows["doc_id"].append(did); rows["simhash"].append(int(sh))
-        # explicit dtypes: np.array() of Python ints straddling 2^63 would
-        # silently promote to float64 and corrupt the hashes
+        n = len(df)
+        sh = df["simhash"].to_numpy(dtype=np.uint64)
+        shifts = np.arange(k, dtype=np.uint64) * np.uint64(chunk_bits)
+        mask = np.uint64((1 << chunk_bits) - 1)
+        vals = (sh[:, None] >> shifts[None, :]) & mask
         return pd.DataFrame({
-            "chunk": np.array(rows["chunk"], dtype=np.int32),
-            "chunk_val": np.array(rows["chunk_val"], dtype=np.int64),
-            "doc_id": np.array(rows["doc_id"], dtype=np.int64),
-            "simhash": np.array(rows["simhash"], dtype=np.uint64),
+            "chunk": np.tile(np.arange(k, dtype=np.int32), n),
+            "chunk_val": vals.reshape(-1).astype(np.int64),
+            "doc_id": np.repeat(df["doc_id"].to_numpy().astype(np.int64), k),
+            "simhash": np.repeat(sh, k),
         })
 
     chunked = sigs.map_batches(to_chunks, batch_format="pandas")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
+        # per-(chunk, chunk_val) buckets INSIDE one coarse hash bucket:
+        # lexsort once, scan boundaries, emit triu pairs only for multi-doc
+        # buckets, popcount all candidates in one vectorized pass. No native
+        # per-key groups (shuffle.py's many-tiny-groups pathology) and no
+        # per-key pandas groupby objects either.
+        empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                              "id_b": np.array([], dtype=np.int64),
+                              "hamming": np.array([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        g = g.drop_duplicates(["chunk", "chunk_val", "doc_id"])
+        ch = g["chunk"].to_numpy(dtype=np.int64)
+        cv = g["chunk_val"].to_numpy(dtype=np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
         hs = g["simhash"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        x = hs[a] ^ hs[b]
+        order = np.lexsort((ids, cv, ch))
+        ch, cv, ids, hs = ch[order], cv[order], ids[order], hs[order]
+        new_key = np.r_[True, (ch[1:] != ch[:-1]) | (cv[1:] != cv[:-1])]
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], len(ids)]
+        multi = (ends - starts) >= 2
+        pa, pb, xa, xb = [], [], [], []
+        for s, e in zip(starts[multi], ends[multi]):
+            a, b = np.triu_indices(e - s, k=1)
+            pa.append(ids[s:e][a]); pb.append(ids[s:e][b])
+            xa.append(hs[s:e][a]); xb.append(hs[s:e][b])
+        if not pa:
+            return empty
+        ida, idb = np.concatenate(pa), np.concatenate(pb)
+        x = np.concatenate(xa) ^ np.concatenate(xb)
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep],
+        return pd.DataFrame({"id_a": ida[keep], "id_b": idb[keep],
                              "hamming": ham[keep]})
 
-    return (chunked.groupby(["chunk", "chunk_val"])
-                   .map_groups(verify, batch_format="pandas")
-                   .to_pandas().drop_duplicates(["id_a", "id_b"])
-                   .reset_index(drop=True))
+    from .shuffle import bucketed_group_apply
+    return (bucketed_group_apply(chunked, "chunk_val", verify, num_buckets=8)
+            .to_pandas().drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
