@@ -387,14 +387,96 @@ def _embedding_dedup_filter(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the external driver's CORRECTNESS gate checks
-    only the FIRST 50 entries, so slots 1-50 are reserved for (a)
-    oracle-backed queries that have never had a driver row, (b) queries
-    new this round, (c) the rest of the oracle-backed surface in rotation.
-    Long-stable entries that hash-matched in both r1 and r2 sit past the
-    cap — they stay covered by tests/test_conformance.py, which runs
-    every oracle_sql() twin against DuckDB at sf0.001."""
+    only the FIRST 50 entries, so slots 1-50 rotate each round to cover
+    (a) entries whose implementation changed since their last driver row,
+    (b) queries new this round, (c) the longest-unchecked oracle-backed
+    entries. Entries past the cap stay covered every run by
+    tests/test_conformance.py (sf0.001, all oracle twins) and
+    tests/test_driver_exactness.py (sf0.01, the driver's own bit-exact
+    comparison)."""
     return {
-        # --- never driver-checked, oracle-backed (round-2 additions) ---
+        # === round-4 window ===
+        # (a) implementation changed since last driver row: tfidf/quality
+        # gate constants re-derived in the round-3 corpus rework; the
+        # round-3 LSH in-bucket verify + sample-trained IVF rewrites; the
+        # round-4 vectorized MinHash banding + bucketed simhash verify.
+        "tfidf_topk": CP.q_tfidf_topk,
+        "quality_filter_counts": CP.q_quality_filter_counts,
+        # end-to-end semantic dedup from raw text: actor-pool feature-
+        # hashing embedder -> LSH-bucketed cosine pairs
+        "doc_embedding_near_dup": lambda sf: embed.doc_embedding_near_dup(
+            sf, threshold=0.95),
+        "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=0.45),
+        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, query_vec_id=0, k=10),
+        # dedup family (hash-seeded ones are rows-only by design, pinned
+        # by pytest brute-force parity instead)
+        "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
+        "minhash_dup_clusters": _minhash_dup_clusters,
+        "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
+        # (b) oracle-backed entries whose only driver row is round 2:
+        "bigram_topk": CP.q_bigram_topk,
+        # batched model inference: logistic scorer, weights loaded once
+        # per actor (the model-checkpoint-in-__init__ pattern)
+        "model_quality_scores": lambda sf: textstats.model_quality_scores(
+            _docs(sf)),
+        "ann_multi_topk": lambda sf: ann.multi_query_topk(
+            sf, query_vec_ids=(0, 1, 2, 3), k=5),
+        "embedding_dedup_filter": _embedding_dedup_filter,
+        # curation: sampling / decontamination / packing (training-data
+        # selection steps; all deterministic, all but packing shuffle-free)
+        "hash_sample": CU.q_hash_sample,
+        "dup_ngram_fraction": CU.q_dup_ngram_fraction,
+        "pack_sequences": CU.q_pack_sequences,
+        "mixture_weights": CU.q_mixture_weights,
+        "resample_plan": CU.q_resample_plan,
+        # corpus-level training-data accounting (partial-aggregate rollups)
+        "corpus_stats": CP.q_corpus_stats,
+        "split_counts": CP.q_split_counts,
+        # (c) oracle-backed, last driver row round 2 (green r1+r2):
+        "token_count": lambda sf: textstats.token_count(_docs(sf)),
+        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
+        "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
+        "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
+        "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
+        "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
+        "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
+        # aggregations (SURVEY §2.5) — partial-aggregate combiner pattern
+        "pricing_summary": R.q_pricing_summary,
+        "count_per_source": R.q_count_per_source,
+        "tumbling_window": R.q_tumbling_window,
+        # sort / limit / top-k (§2.6)
+        "filter_sort_limit": R.q_filter_sort_limit,
+        "latest_event_per_user": R.q_latest_event_per_user,
+        "lww_upsert": R.q_lww_upsert,
+        "topk_per_group": R.q_topk_per_group,
+        # joins / lookups (§2.4)
+        "join_revenue_by_priority": R.q_join_revenue_by_priority,
+        "broadcast_dim_join": R.q_broadcast_dim_join,
+        "anti_join": R.q_anti_join,
+        "semi_join": R.q_semi_join,
+        "string_agg_per_nation": R.q_string_agg_per_nation,
+        # extraction / streaming-shaped (§2.2, §2.8)
+        "props_extract": R.q_props_extract,
+        "sessionize": R.q_sessionize,
+        # (d) longest-unchecked rows-only entries (last rows in r1/r2):
+        "phash_dup_clusters": _phash_dup_clusters,
+        "stream_user_state": _stream_user_state,
+        "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
+        # the crawl itself as a gated pipeline (rows-only; deterministic)
+        "crawl_payload": _crawl_payload,
+        # reference-parity parsers over deterministic pseudo-docs (rows-only)
+        "vbpl_fulltext_sections": P.q_fulltext_sections,
+        "anle_pdf_sections": P.q_pdf_sections,
+        # multimodal payload stages (rows-only)
+        "image_features": P.q_image_features,
+        "image_resize": P.q_image_resize,
+        "phash_near_dup": P.q_phash_near_dup,
+        "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
+        # ---------------- past the driver's 50-entry window ----------------
+        # (every entry below has a green round-3 driver row — or a round-3
+        # rows-only row — with an unchanged implementation, and the
+        # oracle-backed ones are re-verified per-run by both conformance
+        # gates)
         "corr_per_group": R2.q_corr_per_group,
         "range_join_counts": R2.q_range_join_counts,
         "event_gap": R2.q_event_gap,
@@ -403,7 +485,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_per_group": R2.q_mode_per_group,
         "ntile_quartiles": R2.q_ntile_quartiles,
         "value_histogram": R2.q_value_histogram,
-        # --- round-3 additions (oracle-backed where SQL-expressible) ---
         # 3-valued document state from dates (reference vbpl.py:875-892)
         "meta_effect_state": DM.q_meta_effect_state,
         # exact phi-heavy-hitters via mergeable Misra-Gries sketch +
@@ -447,7 +528,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_meta_states": _crawl_meta_states,
         # 1-doc -> N-binary-files re-association, filename-keyed (rows-only)
         "anle_file_sections": _anle_file_sections,
-        # --- never driver-checked, rows-only crawl/multimodal entries ---
         # crawl + external fuzzy fulltext recovery + sector enrich (M10/J6)
         "enriched_meta": _enriched_meta,
         # three-flavor crawl meta (M2+M4+M3 extractor configs, U2 registry)
@@ -464,7 +544,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl_payload(sf), "caption", "image_id"),
         "video_frame_sample": _video_frame_sample,
         "audio_features": P.q_audio_features,
-        # --- oracle-backed, driver-checked only in round 1 ---
         "union_distinct": R2.q_union_distinct,
         "intersect_distinct": R2.q_intersect_distinct,
         "except_distinct": R2.q_except_distinct,
@@ -477,89 +556,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": R2.q_sliding_window,
         "asof_join": R2.q_asof_join,
         "approx_distinct_users": R2.q_approx_distinct_users,
-        # --- oracle-backed rotation (hash-matched r1+r2; stay in-window) ---
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, threshold=0.45),
         "exact_dedup_docs": lambda sf: dedup.exact_dedup(_docs(sf), "text", "doc_id"),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
-        # modified since their last driver check (round-2 close-out:
-        # vectorized decontaminate filter, half-away ROUND in rollup/cube)
-        # -> re-verify in-window this round
         "decontaminate": CU.q_decontaminate,
         "rollup_revenue": CP.q_rollup_revenue,
         "cube_revenue": CP.q_cube_revenue,
-        # ---------------- past the driver's 50-entry window ----------------
-        "bigram_topk": CP.q_bigram_topk,
-        # (every oracle-backed entry below hash-matched the driver in at
-        # least one prior round unchanged and is re-verified per-run by
-        # test_conformance.py)
-        # batched model inference: logistic scorer, weights loaded once
-        # per actor (the model-checkpoint-in-__init__ pattern)
-        "model_quality_scores": lambda sf: textstats.model_quality_scores(
-            _docs(sf)),
-        "token_count": lambda sf: textstats.token_count(_docs(sf)),
-        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
-        "ann_multi_topk": lambda sf: ann.multi_query_topk(
-            sf, query_vec_ids=(0, 1, 2, 3), k=5),
-        "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
-        "embedding_dedup_filter": _embedding_dedup_filter,
-        # curation: sampling / decontamination / packing (training-data
-        # selection steps; all deterministic, all but packing shuffle-free)
-        "hash_sample": CU.q_hash_sample,
-        "dup_ngram_fraction": CU.q_dup_ngram_fraction,
-        "pack_sequences": CU.q_pack_sequences,
-        "mixture_weights": CU.q_mixture_weights,
-        "resample_plan": CU.q_resample_plan,
-        # corpus-level training-data accounting (partial-aggregate rollups)
-        "corpus_stats": CP.q_corpus_stats,
-        "split_counts": CP.q_split_counts,
-        "quality_filter_counts": CP.q_quality_filter_counts,
-        "tfidf_topk": CP.q_tfidf_topk,
-        "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
-        "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
-        "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
-        "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
-        "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
-        # aggregations (SURVEY §2.5) — partial-aggregate combiner pattern
-        "pricing_summary": R.q_pricing_summary,
-        "count_per_source": R.q_count_per_source,
-        "tumbling_window": R.q_tumbling_window,
-        # sort / limit / top-k (§2.6)
-        "filter_sort_limit": R.q_filter_sort_limit,
-        "latest_event_per_user": R.q_latest_event_per_user,
-        "lww_upsert": R.q_lww_upsert,
-        "topk_per_group": R.q_topk_per_group,
-        # joins / lookups (§2.4)
-        "join_revenue_by_priority": R.q_join_revenue_by_priority,
-        "broadcast_dim_join": R.q_broadcast_dim_join,
-        "anti_join": R.q_anti_join,
-        "semi_join": R.q_semi_join,
-        "string_agg_per_nation": R.q_string_agg_per_nation,
-        # extraction / streaming-shaped (§2.2, §2.8)
-        "props_extract": R.q_props_extract,
-        "sessionize": R.q_sessionize,
-        # dedup family (§2.7 + training-data additions; hash-seeded ones
-        # are rows-only by design, pinned by pytest parity instead)
-        "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
-        "minhash_dup_clusters": _minhash_dup_clusters,
-        "phash_dup_clusters": _phash_dup_clusters,
-        "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
-        # end-to-end semantic dedup from raw text: actor-pool feature-
-        # hashing embedder -> LSH-bucketed cosine pairs
-        "doc_embedding_near_dup": lambda sf: embed.doc_embedding_near_dup(
-            sf, threshold=0.95),
-        "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=0.45),
-        "stream_user_state": _stream_user_state,
-        "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
-        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, query_vec_id=0, k=10),
-        # the crawl itself as a gated pipeline (rows-only; deterministic)
-        "crawl_payload": _crawl_payload,
-        # reference-parity parsers over deterministic pseudo-docs (rows-only)
-        "vbpl_fulltext_sections": P.q_fulltext_sections,
-        "anle_pdf_sections": P.q_pdf_sections,
-        # multimodal payload stages (rows-only)
-        "image_features": P.q_image_features,
-        "image_resize": P.q_image_resize,
-        "phash_near_dup": P.q_phash_near_dup,
     }
 
 
