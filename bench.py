@@ -297,8 +297,10 @@ def main_scaling() -> dict:
 def _emit(result: dict) -> None:
     """The external driver parses the LAST stdout line out of a ~2000-char
     tail window; round 2's 84-query JSON line overflowed it and BENCH_r02
-    recorded ``"parsed": null``. Emit the full detail on an earlier line
-    AND to BENCH_FULL.json, then a final line guaranteed to fit."""
+    recorded ``"parsed": null``, and round 3's captured tail still held a
+    mid-JSON truncation of the long detail line printed before the summary.
+    Fix: the long per-query detail goes to BENCH_FULL.json ONLY; stdout
+    gets exactly one JSON line, guaranteed to fit the tail window."""
     full = json.dumps(result)
     try:
         with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
@@ -308,7 +310,6 @@ def _emit(result: dict) -> None:
     if len(full) <= 1800:
         print(full)
         return
-    print(full)  # full detail (may fall outside the driver's tail window)
     compact = dict(result)
     qs = compact.pop("queries", None)
     if qs:
