@@ -11,8 +11,11 @@ properties the engine actually needs:
   40 dB per-row invariant)
 
 The Ray-side plumbing — binary columns, batch decode inside map_batches,
-PSNR validation, perceptual hashing — is real and tested; swapping in
-Pillow/libjpeg changes only the two functions marked FAKE.
+PSNR validation, perceptual hashing — is real and tested. ``decode_image``
+magic-dispatches: the sim containers always decode hermetically, and real
+PNG/JPEG bytes route to Pillow when it is importable (tried once at
+module load), so the same pipelines run unmodified in a container that
+has the real library.
 """
 
 from __future__ import annotations
@@ -21,8 +24,17 @@ import zlib
 
 import numpy as np
 
+try:  # optional: real decoders when Pillow exists in the environment
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # hermetic container path
+    _PILImage = None
+
+HAVE_PIL = _PILImage is not None
+
 MAGIC_PNG = b"FPNG"
 MAGIC_JPG = b"FJPG"
+REAL_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+REAL_JPG_MAGIC = b"\xff\xd8\xff"
 _JPEG_Q = 4  # quantization step; max abs error = Q/2 = 2 -> PSNR ~46 dB
 
 
@@ -56,12 +68,22 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """FAKE decode — inverse of encode_image; returns uint8 (h, w)."""
+    """Magic-dispatched decode, returns grayscale uint8 (h, w). The sim
+    containers always decode hermetically; real PNG/JPEG bytes route to
+    Pillow when it is importable (luminance-converted), else an honest
+    NotImplementedError — the plumbing above this seam is identical."""
     magic, header, payload = data[:4], data[4:12], data[12:]
-    if magic not in (MAGIC_PNG, MAGIC_JPG):
-        raise NotImplementedError("unknown image magic; real codecs are stubbed")
-    w, h = np.frombuffer(header, dtype=np.uint32)
-    return np.frombuffer(zlib.decompress(payload), dtype=np.uint8).reshape(h, w)
+    if magic in (MAGIC_PNG, MAGIC_JPG):
+        w, h = np.frombuffer(header, dtype=np.uint32)
+        return np.frombuffer(zlib.decompress(payload), dtype=np.uint8).reshape(h, w)
+    if data.startswith(REAL_PNG_MAGIC) or data.startswith(REAL_JPG_MAGIC):
+        if _PILImage is not None:
+            import io
+            with _PILImage.open(io.BytesIO(data)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8)
+        raise NotImplementedError(
+            "real PNG/JPEG decoding needs Pillow, absent from this container")
+    raise NotImplementedError("unknown image magic; real codecs are stubbed")
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -1,17 +1,28 @@
 """Pluggable binary-document codecs — the decode seam where the reference
 plugs pdfplumber / Aspose.Words (app/service/anle.py:205-215, get_pdf.py).
 
-This container ships no PDF libraries, so the REAL codec is an honest
-``NotImplementedError`` stub documenting its contract, and the
-deterministic SIMPDF codec exercises the full plumbing around the seam
-(bytes -> text -> watermark strip -> section parse) with real code. A
-production deployment registers its codec in ``PDF_CODECS`` (or passes a
-callable straight to ParseStage) without touching any pipeline code.
+Dispatch is by magic bytes: real ``%PDF`` containers go to pdfplumber
+when it is importable (it is not baked into this container — the import
+is attempted once at module load), the deterministic SIMPDF/SIMDOC
+containers always take the hermetic sim path, so the full plumbing
+(bytes -> text -> watermark strip -> section parse) is exercised with
+real code in every environment. A production deployment can also
+register its codec in ``PDF_CODECS`` (or pass a callable straight to
+ParseStage) without touching any pipeline code.
 """
 
 from __future__ import annotations
 
+try:  # optional: real PDF text extraction when the library exists
+    import pdfplumber as _pdfplumber  # type: ignore
+except ImportError:  # hermetic container path
+    _pdfplumber = None
+
+HAVE_PDFPLUMBER = _pdfplumber is not None
+
 SIMPDF_MAGIC = b"%SIMPDF%"
+PDF_MAGIC = b"%PDF"           # real PDF container
+OLE_MAGIC = b"\xd0\xcf\x11\xe0"  # legacy .doc (OLE2) container
 
 
 def decode_simpdf(data: bytes) -> str:
@@ -22,9 +33,15 @@ def decode_simpdf(data: bytes) -> str:
 
 
 def decode_pdf_binary(data: bytes) -> str:
-    """Real-PDF text extraction stub. Contract: full page text with one
-    line per text row, page breaks as blank lines — what pdfplumber's
-    ``page.extract_text()`` yields (reference anle.py:205-215)."""
+    """Real-PDF text extraction. Contract: full page text with one line
+    per text row, page breaks as blank lines — what pdfplumber's
+    ``page.extract_text()`` yields (reference anle.py:205-215). Uses
+    pdfplumber when importable; otherwise an honest stub."""
+    if _pdfplumber is not None:
+        import io
+        with _pdfplumber.open(io.BytesIO(data)) as pdf:
+            return "\n\n".join((page.extract_text() or "")
+                               for page in pdf.pages)
     raise NotImplementedError(
         "real PDF decoding needs pdfplumber/Aspose, absent from this "
         "container; register a codec in PDF_CODECS or pass one to "
@@ -50,9 +67,18 @@ def transcode_simdoc(data: bytes) -> bytes:
 def decode_document(data: bytes) -> str:
     """Magic-dispatched decode: non-PDF containers are transcoded to PDF
     first, then text-extracted — the reference's ``process_anle`` flow
-    (anle.py:198-215)."""
+    (anle.py:198-215). Real ``%PDF`` bytes route to pdfplumber when
+    available; SIMDOC/SIMPDF always take the hermetic sim path; legacy
+    OLE2 ``.doc`` needs a DOC->PDF transcoder (Aspose in the reference),
+    which has no open-source in-process equivalent here."""
     if data.startswith(SIMDOC_MAGIC):
         data = transcode_simdoc(data)
+    if data.startswith(PDF_MAGIC):
+        return decode_pdf_binary(data)
+    if data.startswith(OLE_MAGIC):
+        raise NotImplementedError(
+            "legacy .doc transcode needs Aspose.Words (reference "
+            "anle.py:205-210); register a transcoder in PDF_CODECS")
     return decode_simpdf(data)
 
 
