@@ -130,6 +130,52 @@ def _crawl_meta_flavors(sf_dir: str):
     return (t.to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def _crawl_meta_versioned(sf_dir: str):
+    """Versioned-schema read over a MIXED-LAYOUT meta store (the Alembic
+    analogue, reference alembic/versions/ x12): the cached crawl's meta is
+    re-laid-out as three schema eras (initial 7-column, round-2 15-column,
+    current 16-column), then read back as ONE dataset in the current
+    surface with typed-null fill — returns per-doc rows plus which columns
+    arrived null (rows-only: the store rewrite is not SQL-expressible)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from vbpl_web_crawl_ray.sources.schema_evolution import (
+        META_V1, META_V2, read_meta_versioned)
+    from vbpl_web_crawl_ray.stages.parse import META_SCHEMA
+
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4))
+    key = ("mixed_meta", out)
+    if key not in _CRAWL_CACHE:
+        import tempfile
+        mixed = tempfile.mkdtemp(prefix="vbpl_meta_mixed_")
+        t = pa.concat_tables(
+            pq.read_table(f).select([fld.name for fld in META_SCHEMA])
+            for f in sorted(glob.glob(f"{out}/meta/round=*/*.parquet")))
+        t = t.take(pa.compute.sort_indices(t, [("doc_id", "ascending")]))
+        cut1, cut2 = t.num_rows // 3, 2 * (t.num_rows // 3)
+        eras = {1: (t.slice(0, cut1), META_V1),
+                2: (t.slice(cut1, cut2 - cut1), META_V2),
+                3: (t.slice(cut2), META_SCHEMA)}
+        for rnd, (slc, schema) in eras.items():
+            d = f"{mixed}/meta/round={rnd}"
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(slc.select([fld.name for fld in schema]),
+                           f"{d}/part-era{rnd}.parquet")
+        _CRAWL_CACHE[key] = mixed
+    df = (read_meta_versioned(_CRAWL_CACHE[key])
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # null-indicator flags make the typed-null fill itself part of the
+    # checked row hash (v1-era rows have has_sub_title=0, etc.)
+    df["has_sub_title"] = df["sub_title"].notna().astype("int64")
+    df["has_state"] = df["state"].notna().astype("int64")
+    return df[["doc_id", "serial_number", "doc_type", "title",
+               "sub_title", "state", "has_sub_title", "has_state"]]
+
+
 def _crawl_sections(sf_dir: str):
     """Full-hierarchy section rows straight from the CRAWL sink (not
     pseudo-docs): all 12 columns of the reference's vbpl_toan_van model
@@ -458,6 +504,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction / streaming-shaped (§2.2, §2.8)
         "props_extract": R.q_props_extract,
         "sessionize": R.q_sessionize,
+        # NEW round 4: versioned-schema reader over a mixed-layout meta
+        # store (the Alembic analogue; rows-only — store rewrite isn't SQL)
+        "crawl_meta_versioned": _crawl_meta_versioned,
         # (d) longest-unchecked rows-only entries (last rows in r1/r2):
         "phash_dup_clusters": _phash_dup_clusters,
         "stream_user_state": _stream_user_state,

@@ -18,7 +18,15 @@ import ray.data as rd
 
 def _read_all(out_dir: str, sub: str):
     files = sorted(glob.glob(f"{out_dir}/{sub}/round=*/*.parquet"))
-    return pq.read_table(files) if files else None
+    if not files:
+        return None
+    if sub == "meta":
+        # a long-lived store may hold rounds written under older layouts
+        # (the reference's alembic chain) — evolve to the current surface
+        from ..sources.schema_evolution import (META_SCHEMA,
+                                                read_versioned_table)
+        return read_versioned_table(files, META_SCHEMA)
+    return pq.read_table(files)
 
 
 def fetch_doc_by_id(out_dir: str, doc_id: int) -> dict | None:
@@ -54,8 +62,8 @@ def fetch_doc_by_id(out_dir: str, doc_id: int) -> dict | None:
 def preview_latest(out_dir: str, limit: int = 10) -> rd.Dataset:
     """O1: newest documents by issuance_date — filter -> sort desc ->
     limit over the crawled metadata table."""
-    files = sorted(glob.glob(f"{out_dir}/meta/round=*/*.parquet"))
-    ds = rd.read_parquet(files)
+    from ..sources.schema_evolution import read_meta_versioned
+    ds = read_meta_versioned(out_dir)
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["issuance_date"])),
         batch_format="pyarrow")

@@ -69,5 +69,13 @@ def run_stream(ds: rd.Dataset, num_buckets: int = 4, alpha: float = 0.1,
             pending = []
     ray.get(pending)
     outs = ray.get([a.snapshot.remote() for a in actors])
+    # an idle bucket snapshots an empty all-object frame whose dtypes
+    # would fight the typed ones inside concat — exclude them
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64),
+                             "total": pd.Series(dtype=np.float64),
+                             "ema": pd.Series(dtype=np.float64)})
     return (pd.concat(outs, ignore_index=True)
             .sort_values("user_id").reset_index(drop=True))
