@@ -234,7 +234,7 @@ def _cpu_calibration(lo: int = 8, hi: int = 32) -> dict:
             "membw": _pool_speedup(_calibration_membw, 40, lo, hi)}
 
 
-def main_scaling() -> dict:
+def main_scaling(lo: int = 8, hi: int = 32) -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env["GRAFT_CRAWL_BEST_OF"] = "1"   # scaling interleaves its own
@@ -243,7 +243,6 @@ def main_scaling() -> dict:
             env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
     # interleaved best-of-2: the host's effective capacity drifts (noisy
     # neighbors), so take the least-interference sample per level
     runs = {lo: [], hi: []}
@@ -276,13 +275,13 @@ def main_scaling() -> dict:
 
     digests = {d["crawl"]["digest"] for rs in runs.values() for d in rs}
     return {
-        "metric": "crawl scaling efficiency (num_cpus 8 vs 32, same input)",
+        "metric": f"crawl scaling efficiency (num_cpus {lo} vs {hi}, same input)",
         # identical crawl-log + payload digests across every run at both
         # CPU counts — output is a pure function of the link graph
         "deterministic_across_levels": len(digests) == 1,
-        "sec_8": t_lo, "sec_32": t_hi,
-        "urls_per_sec_8": r_lo["crawl"]["urls_per_sec"],
-        "urls_per_sec_32": r_hi["crawl"]["urls_per_sec"],
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"urls_per_sec_{lo}": r_lo["crawl"]["urls_per_sec"],
+        f"urls_per_sec_{hi}": r_hi["crawl"]["urls_per_sec"],
         "speedup": round(speedup, 2),
         "scaling_efficiency": round(eff, 3),
         "hw_ceiling_speedup": ceiling,
@@ -322,6 +321,13 @@ def _emit(result: dict) -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        _emit(main_scaling())
+        # --levels LO,HI picks the two parallelism levels (default 8,32);
+        # 4,16 keeps BOTH levels below this VM's memory-bus saturation
+        # point (the membw probe flatlines above ~8 procs), isolating the
+        # engine's scaling from the host ceiling
+        lo, hi = 8, 32
+        if "--levels" in sys.argv:
+            lo, hi = map(int, sys.argv[sys.argv.index("--levels") + 1].split(","))
+        _emit(main_scaling(lo, hi))
     else:
         _emit(main_bench(crawl_only="--crawl-only" in sys.argv))

@@ -24,8 +24,14 @@ class FetchStage:
     """
 
     def __init__(self, cfg: SimWebConfig, max_retries: int = 3,
-                 real_time_t0: float | None = None):
-        self.web = SimWeb(cfg)       # per-actor client, built once
+                 real_time_t0: float | None = None,
+                 client_factory=None):
+        # per-actor client, built ONCE (the reference builds an aiohttp
+        # session per request — vbpl.py:60). client_factory swaps in a
+        # live transport (sources/httpclient.HttpTransport) with the same
+        # get(url, attempt) -> (status, content_type, body) contract;
+        # default is the hermetic SimWeb.
+        self.web = client_factory() if client_factory else SimWeb(cfg)
         self.max_retries = max_retries
         # real_time_t0: wall-clock origin of the crawl. When set, each URL
         # is fetched no earlier than t0 + its virtual fetch_time — the
