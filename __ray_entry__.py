@@ -56,6 +56,12 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _docs_chars(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+
+
 _CRAWL_CACHE: dict = {}
 
 
@@ -504,8 +510,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction / streaming-shaped (§2.2, §2.8)
         "props_extract": R.q_props_extract,
         "sessionize": R.q_sessionize,
-        # NEW round 4: versioned-schema reader over a mixed-layout meta
-        # store (the Alembic analogue; rows-only — store rewrite isn't SQL)
+        # (e) NEW round 4 (all oracle-backed except crawl_meta_versioned):
+        # per-group linear regression from the corr raw-moment partials
+        "regr_per_group": R2.q_regr_per_group,
+        # per-group median absolute deviation (whole-group buckets)
+        "mad_per_group": R2.q_mad_per_group,
+        # month-over-month revenue change: LAG over the tiny monthly rollup
+        "month_over_month": R2.q_month_over_month,
+        # keep-BEST-member exact dedup (max score, tie->min id per family)
+        "keep_best_dedup": lambda sf: dedup.keep_best_dedup(
+            _docs_chars(sf), "text", "doc_id", "n_chars", prefix_len=40),
+        # deterministic weight-proportional priority sample (A-ES shaped,
+        # hash-as-uniform-draw; mergeable per-batch top-k, no shuffle)
+        "weighted_sample": CU.q_weighted_sample,
+        # versioned-schema reader over a mixed-layout meta store (the
+        # Alembic analogue; rows-only — the store rewrite isn't SQL)
         "crawl_meta_versioned": _crawl_meta_versioned,
         # (d) longest-unchecked rows-only entries (last rows in r1/r2):
         "phash_dup_clusters": _phash_dup_clusters,
@@ -513,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
         # the crawl itself as a gated pipeline (rows-only; deterministic)
         "crawl_payload": _crawl_payload,
+        # ---------------- past the driver's 50-entry window ----------------
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,
@@ -521,7 +541,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": P.q_image_resize,
         "phash_near_dup": P.q_phash_near_dup,
         "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
-        # ---------------- past the driver's 50-entry window ----------------
         # (every entry below has a green round-3 driver row — or a round-3
         # rows-only row — with an unchanged implementation, and the
         # oracle-backed ones are re-verified per-run by both conformance
@@ -1013,6 +1032,64 @@ def oracle_sql() -> dict[str, str]:
                        AS corr_qty_price,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # identical closed forms over the same SUM() aggregates as the
+        # engine's raw-moment partials -> the float ops line up
+        "regr_per_group": """
+            WITH a AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+                       SUM(l_quantity * l_quantity) AS sxx,
+                       SUM(l_extendedprice * l_extendedprice) AS syy,
+                       SUM(l_quantity * l_extendedprice) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 4)
+                       AS slope,
+                   ROUND(sy / n - (sxy - sx * sy / n)
+                                  / (sxx - sx * sx / n) * sx / n, 4)
+                       AS intercept,
+                   ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                         / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4)
+                       AS r2,
+                   n
+            FROM a
+        """,
+        "mad_per_group": """
+            SELECT event_type,
+                   ROUND(mad(value), 4) AS mad_value,
+                   ROUND(median(value), 4) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "month_over_month": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS month,
+                       SUM(o_totalprice) AS revenue
+                FROM orders GROUP BY 1)
+            SELECT month, ROUND(revenue, 4) AS revenue,
+                   ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                         / LAG(revenue) OVER (ORDER BY month) * 100.0, 4)
+                       AS pct_change
+            FROM m
+        """,
+        "keep_best_dedup": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY substr(text, 1, 40)
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) WHERE rn = 1
+        """,
+        "weighted_sample": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       CAST(('0x' || substr(
+                           md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) / CAST(n_chars AS DOUBLE) AS priority
+                FROM documents)
+            SELECT doc_id, n_chars, ROUND(priority, 6) AS priority
+            FROM t ORDER BY priority, doc_id LIMIT 200
         """,
         "median_per_group": """
             SELECT o_orderpriority,

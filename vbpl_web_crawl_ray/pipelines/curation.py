@@ -336,3 +336,31 @@ def q_curated_pack(sf_dir: str, min_tokens: int = 20, min_stop_hits: int = 3,
         return df.loc[md5_hex_prefix(keys) < rate_hex, ["doc_id", "text"]]
 
     return pack_dataset(reps.map_batches(sample, batch_format="pandas"))
+
+
+def q_weighted_sample(sf_dir: str, k: int = 200) -> pd.DataFrame:
+    """Deterministic weight-proportional priority sample: priority =
+    md5_32(doc key) / weight, keep the k smallest — heavier docs draw
+    proportionally smaller priorities, so the sample tilts toward them
+    while staying a pure function of the row (no RNG, no seed
+    coordination; the A-ES idea with the hash as the uniform draw).
+
+    Mergeable top-k: every batch emits only ITS k best candidates, the
+    tiny (parallelism x k) pool resolves on the driver — no shuffle, no
+    global sort. The 32-bit hash and int64 weight divide exactly the
+    same in both engines' doubles, so the oracle is bit-exact."""
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array([int(x, 16) for x in
+                      md5_hex_prefix("ws:" + df["doc_id"].astype(str))],
+                     dtype=np.int64)
+        pr = h / df["n_chars"].to_numpy().astype(np.float64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "n_chars": df["n_chars"].to_numpy(),
+                            "priority": pr})
+        return out.sort_values(["priority", "doc_id"]).head(k)
+
+    pool = (_docs(sf_dir, ("doc_id", "n_chars"))
+            .map_batches(local_topk, batch_format="pandas").to_pandas())
+    out = pool.sort_values(["priority", "doc_id"]).head(k)
+    out["priority"] = round_half_away(out["priority"].to_numpy(), 6)
+    return out.reset_index(drop=True)

@@ -681,3 +681,88 @@ def q_funnel_counts(sf_dir: str):
     return pd.DataFrame({"n_view": [int(out["n_view"])],
                          "n_view_click": [int(out["n_view_click"])],
                          "n_full_funnel": [int(out["n_full_funnel"])]})
+
+
+def q_regr_per_group(sf_dir: str):
+    """Per-group simple linear regression (extendedprice ~ quantity) from
+    the SAME mergeable raw-moment partials as q_corr_per_group — slope,
+    intercept and R^2 all close over {n, sx, sy, sxx, syy, sxy}, so one
+    six-float-per-(batch,group) partial pass feeds all three statistics.
+    At 100 TB nothing but those six floats per group crosses the wire."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].astype(float)
+        y = df["l_extendedprice"].astype(float)
+        return (df.assign(x=x, y=y, xx=x * x, yy=y * y, xy=x * y)
+                  .groupby("l_returnflag", as_index=False)
+                  .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                       sxx=("xx", "sum"), syy=("yy", "sum"),
+                       sxy=("xy", "sum")))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("l_returnflag", as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), syy=("syy", "sum"), sxy=("sxy", "sum"))
+        # the oracle SQL states the IDENTICAL closed forms over SUM()s so
+        # both engines perform the same float ops on the same aggregates
+        sxy_c = a["sxy"] - a["sx"] * a["sy"] / a["n"]
+        sxx_c = a["sxx"] - a["sx"] ** 2 / a["n"]
+        syy_c = a["syy"] - a["sy"] ** 2 / a["n"]
+        slope = sxy_c / sxx_c
+        intercept = a["sy"] / a["n"] - slope * a["sx"] / a["n"]
+        r2 = (sxy_c * sxy_c) / (sxx_c * syy_c)
+        return pd.DataFrame({
+            "l_returnflag": a["l_returnflag"],
+            "slope": round_half_away(slope.to_numpy(), 4),
+            "intercept": round_half_away(intercept.to_numpy(), 4),
+            "r2": round_half_away(r2.to_numpy(), 4),
+            "n": a["n"].astype("int64")})
+
+    return bucketed_group_apply(ds, "l_returnflag", final,
+                                num_buckets=4, partial_fn=partial)
+
+
+def q_mad_per_group(sf_dir: str):
+    """Per-group median absolute deviation: order statistics are not
+    mergeable, so (like q_median_per_group) groups co-locate whole via
+    the bucketed shuffle and both medians resolve in-bucket vectorized.
+    Only (event_type, value) pairs move; the result is 5 rows."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        med = g.groupby("event_type")["value"].median()
+        dev = (g["value"] - g["event_type"].map(med)).abs()
+        mad = dev.groupby(g["event_type"]).median()
+        return pd.DataFrame({
+            "event_type": mad.index.to_numpy(),
+            "mad_value": round_half_away(mad.to_numpy(), 4),
+            "median_value": round_half_away(
+                med.loc[mad.index].to_numpy(), 4)})
+
+    return bucketed_group_apply(ds, "event_type", final, num_buckets=4)
+
+
+def q_month_over_month(sf_dir: str):
+    """Month-over-month revenue change: the monthly rollup comes from
+    mergeable partials (months are few — the LAG runs on the driver over
+    the tiny aggregate, never over fact rows)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        return (df.assign(month=month)
+                  .groupby("month", as_index=False)
+                  .agg(revenue=("o_totalprice", "sum")))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby("month", as_index=False)
+                .agg(revenue=("revenue", "sum"))
+                .sort_values("month").reset_index(drop=True))
+    prev = out["revenue"].shift(1)
+    pct = (out["revenue"] - prev) / prev * 100.0
+    return pd.DataFrame({
+        "month": out["month"],
+        "revenue": round_half_away(out["revenue"].to_numpy(), 4),
+        "pct_change": round_half_away(pct.to_numpy(), 4)})

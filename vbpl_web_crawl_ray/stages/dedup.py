@@ -656,3 +656,36 @@ def repeated_span_stats(ds: rd.Dataset, n: int = 8, text_col: str = "text",
                              "dup_grams": pd.Series(dtype=np.int64),
                              "dup_tokens": pd.Series(dtype=np.int64)})
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def keep_best_dedup(ds: rd.Dataset, key_col: str, id_col: str,
+                    score_col: str, prefix_len: int = 40) -> rd.Dataset:
+    """Exact dedup that keeps the BEST member of each duplicate family,
+    not the first: per distinct key prefix (near-dup families share
+    their opening span), keep the row with max ``score_col``, ties to
+    the minimum id — the curation policy of retaining the longest /
+    highest-quality duplicate instead of an arbitrary one.
+
+    Same shuffle shape as exact_dedup: a 64-bit prefix hash partitions,
+    the full prefix re-keys within the bucket (collision guard), and the
+    winner resolves as one vectorized sort+drop_duplicates per bucket.
+    Only (hash, id, score, prefix) tuples move — never document bodies."""
+    from .shuffle import bucketed_group_apply
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        prefix = df[key_col].astype(str).str.slice(0, prefix_len)
+        return pd.DataFrame({
+            "key_hash": hash64(prefix.to_numpy()).astype(np.int64),
+            "key_prefix": prefix.to_numpy(),
+            id_col: df[id_col].to_numpy(),
+            score_col: df[score_col].to_numpy()})
+
+    def best_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values([score_col, id_col],
+                             ascending=[False, True], kind="mergesort")
+                .drop_duplicates("key_prefix"))
+        return out[[id_col, score_col]]
+
+    return bucketed_group_apply(
+        ds.map_batches(add_key, batch_format="pandas"),
+        "key_hash", best_per_key, num_buckets=8)
