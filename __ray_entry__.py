@@ -526,13 +526,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # versioned-schema reader over a mixed-layout meta store (the
         # Alembic analogue; rows-only — the store rewrite isn't SQL)
         "crawl_meta_versioned": _crawl_meta_versioned,
+        # image-side curation gate: blur/contrast/entropy + pass flag
+        # (rows-only: synthetic payload)
+        "image_quality_stats": P.q_image_quality,
         # (d) longest-unchecked rows-only entries (last rows in r1/r2):
         "phash_dup_clusters": _phash_dup_clusters,
         "stream_user_state": _stream_user_state,
-        "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
         # the crawl itself as a gated pipeline (rows-only; deterministic)
         "crawl_payload": _crawl_payload,
         # ---------------- past the driver's 50-entry window ----------------
+        "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,

@@ -40,3 +40,27 @@ def test_phash_stable_and_near_dup_robust():
     assert bin(h1 ^ h2).count("1") <= 2
     other = imaging.phash64(imaging.gen_pixels("imgW", 96, 96))
     assert bin(h1 ^ other).count("1") > 2
+
+
+def test_image_quality_signals():
+    """Blur/contrast/entropy quality signals: a flat image fails every
+    gate (zero Laplacian variance, zero contrast, zero entropy); the
+    synthetic wave+noise pixels pass; values are deterministic."""
+    import pandas as pd
+    from vbpl_web_crawl_ray.stages.multimodal import ImageQuality
+
+    flat = np.full((32, 32), 128, dtype=np.uint8)
+    busy = imaging.gen_pixels("imgbusy", 32, 32)
+    df = pd.DataFrame({
+        "image_id": ["flat", "busy"],
+        "bytes": [imaging.encode_image(flat, "png"),
+                  imaging.encode_image(busy, "png")]})
+    q = ImageQuality()
+    out = q(df).set_index("image_id")
+    assert out.loc["flat", ["blur_score", "contrast", "entropy"]].sum() == 0
+    assert out.loc["flat", "passed"] == 0
+    assert out.loc["busy", "blur_score"] > 10
+    assert out.loc["busy", "entropy"] > 2
+    assert out.loc["busy", "passed"] == 1
+    out2 = ImageQuality()(df).set_index("image_id")
+    assert out.equals(out2)

@@ -184,3 +184,9 @@ def audio_table(sf_dir: str, rate: int = 16000, dur_s: float = 0.5) -> rd.Datase
 
 def q_audio_features(sf_dir: str) -> rd.Dataset:
     return mm.audio_features(audio_table(sf_dir))
+
+
+def q_image_quality(sf_dir: str) -> rd.Dataset:
+    """Image-side curation gate: blur/contrast/entropy signals + pass flag
+    per payload image (rows-only: the synthetic payload is not SQL)."""
+    return mm.image_quality(payload_table(sf_dir))

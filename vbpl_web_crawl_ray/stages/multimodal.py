@@ -283,3 +283,53 @@ def phash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 2,
     return (bucketed_group_apply(chunked, "chunk_val", verify, num_buckets=8)
             .to_pandas().drop_duplicates(["id_a", "id_b"])
             .reset_index(drop=True))
+
+
+class ImageQuality:
+    """Per-image quality signals for curation gating: Laplacian-variance
+    blur score (low = blurry), RMS contrast, and 256-bin Shannon entropy
+    (low = flat/synthetic fill) — the image-side analogue of the text
+    quality filters. Thresholds are constructor state (once per actor);
+    per-image DSP is pure numpy over the decoded grayscale plane."""
+
+    def __init__(self, min_blur: float = 10.0, min_contrast: float = 5.0,
+                 min_entropy: float = 2.0):
+        self.min_blur = min_blur
+        self.min_contrast = min_contrast
+        self.min_entropy = min_entropy
+
+    @staticmethod
+    def _signals(px: np.ndarray) -> tuple[float, float, float]:
+        f = px.astype(np.float64)
+        # 4-neighbour Laplacian via shifted-slice sums (no scipy): interior
+        # response only, variance over it is the classic blur metric
+        lap = (f[1:-1, 2:] + f[1:-1, :-2] + f[2:, 1:-1] + f[:-2, 1:-1]
+               - 4.0 * f[1:-1, 1:-1])
+        blur = float(lap.var()) if lap.size else 0.0
+        contrast = float(f.std())
+        hist = np.bincount(px.reshape(-1), minlength=256)
+        p = hist[hist > 0] / px.size
+        entropy = float(-(p * np.log2(p)).sum())
+        return blur, contrast, entropy
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        blurs, contrasts, entropies = [], [], []
+        for data in df["bytes"]:
+            b, c, e = self._signals(decode_image(data))
+            blurs.append(b); contrasts.append(c); entropies.append(e)
+        blurs = np.round(blurs, 4)
+        contrasts = np.round(contrasts, 4)
+        entropies = np.round(entropies, 4)
+        passed = ((blurs >= self.min_blur) & (contrasts >= self.min_contrast)
+                  & (entropies >= self.min_entropy))
+        return pd.DataFrame({"image_id": df["image_id"].to_numpy(),
+                             "blur_score": blurs,
+                             "contrast": contrasts,
+                             "entropy": entropies,
+                             "passed": passed.astype(np.int64)})
+
+
+def image_quality(ds: rd.Dataset, concurrency=(1, 8), **thresholds) -> rd.Dataset:
+    return ds.map_batches(ImageQuality, batch_format="pandas",
+                          batch_size=MULTIMODAL_BATCH, concurrency=concurrency,
+                          fn_constructor_kwargs=thresholds)
