@@ -327,7 +327,14 @@ if __name__ == "__main__":
         # engine's scaling from the host ceiling
         lo, hi = 8, 32
         if "--levels" in sys.argv:
-            lo, hi = map(int, sys.argv[sys.argv.index("--levels") + 1].split(","))
+            try:
+                lo, hi = map(int, sys.argv[sys.argv.index("--levels") + 1]
+                             .split(","))
+                if not 0 < lo < hi:
+                    raise ValueError
+            except (IndexError, ValueError):
+                sys.exit("usage: bench.py --scaling [--levels LO,HI] "
+                         "(two ints, 0 < LO < HI)")
         _emit(main_scaling(lo, hi))
     else:
         _emit(main_bench(crawl_only="--crawl-only" in sys.argv))

@@ -80,10 +80,14 @@ def test_fetch_stage_actor_pool_over_live_http(base_url, ray_session):
         {"url": u, "host": "127.0.0.1", "depth": 0,
          "discovery_order": i, "fetch_time": 0.0}
         for i, u in enumerate(urls)])
+    # backoff_base=0 keeps the test fast; the default for live factories
+    # is exponential (asserted below)
+    assert FetchStage(cfg=None, client_factory=HttpTransport).backoff_base == 2.0
     out = ds.map_batches(
         FetchStage,
         fn_constructor_kwargs=dict(cfg=None, max_retries=3,
-                                   client_factory=HttpTransport),
+                                   client_factory=HttpTransport,
+                                   backoff_base=0),
         batch_size=4, concurrency=1,
         batch_format="pyarrow").to_pandas().set_index("url")
     assert out.loc[f"{base_url}/ok", "status"] == 200

@@ -179,3 +179,12 @@ def test_stream_incremental_across_feeds(sf_dir):
     got = ray.get(a.snapshot.remote()).set_index("user_id").sort_index()
     want = pdf.groupby("user_id")["value"].size().sort_index()
     assert got["n"].to_numpy().tolist() == want.to_numpy().tolist()
+
+
+def test_minhash_banding_non_multiple_num_perm(sf_dir):
+    """num_perm that is not an exact band multiple must not crash (the old
+    slice banding ignored the leftover permutations; the vectorized reshape
+    truncates to bands*rows first — regression for the reshape ValueError)."""
+    got = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5,
+                                  num_perm=100, bands=32)
+    assert {"id_a", "id_b", "est_jaccard"} <= set(got.columns)

@@ -54,11 +54,22 @@ class HttpTransport:
                 return r.status_code, "", (r.headers.get("Location")
                                            or "").encode()
             ctype = (r.headers.get("Content-Type") or "").split(";")[0].strip()
-            body = r.raw.read(self.max_body_bytes + 1, decode_content=True)
-            if len(body) > self.max_body_bytes:
-                return 599, ctype, b""   # oversized: refuse, don't OOM
-            return r.status_code, ctype, body
-        except self._rq.RequestException:
+            # chunked read with the cap enforced on DECODED bytes as they
+            # arrive: bounds memory against decompression bombs on every
+            # urllib3 version (a single read(amt, decode_content=True) is
+            # only amt-of-decoded-bytes on urllib3 2.x)
+            chunks, total = [], 0
+            for chunk in r.iter_content(chunk_size=1 << 20):
+                total += len(chunk)
+                if total > self.max_body_bytes:
+                    return 599, ctype, b""   # oversized: refuse, don't OOM
+                chunks.append(chunk)
+            return r.status_code, ctype, b"".join(chunks)
+        except Exception:
+            # mid-body failures raise urllib3/http.client types that are
+            # NOT requests.RequestException subclasses (ProtocolError,
+            # ReadTimeoutError, IncompleteRead) — the 599 contract covers
+            # every transport-level failure, so catch broadly here
             return 599, "", b""
         finally:
             r.close()

@@ -381,7 +381,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
         # per-doc Python. Equal band slices hash equal (the LSH contract);
         # spurious uint64 collisions only ADD candidates, which the
         # signature-agreement verify filters.
-        flat = blob_matrix(df["sig"], np.uint64).reshape(n_docs * bands, rows)
+        # truncate to bands*rows columns first: when num_perm is not an
+        # exact band multiple the leftover permutations are ignored,
+        # matching the old slice-based banding (sig[b*rows:(b+1)*rows])
+        flat = blob_matrix(df["sig"], np.uint64)[:, :bands * rows] \
+            .reshape(n_docs * bands, rows)
         h = mix64(flat[:, 0])
         with np.errstate(over="ignore"):
             for j in range(1, rows):

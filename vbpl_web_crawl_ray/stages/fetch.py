@@ -25,7 +25,7 @@ class FetchStage:
 
     def __init__(self, cfg: SimWebConfig, max_retries: int = 3,
                  real_time_t0: float | None = None,
-                 client_factory=None):
+                 client_factory=None, backoff_base: float | None = None):
         # per-actor client, built ONCE (the reference builds an aiohttp
         # session per request — vbpl.py:60). client_factory swaps in a
         # live transport (sources/httpclient.HttpTransport) with the same
@@ -33,6 +33,11 @@ class FetchStage:
         # default is the hermetic SimWeb.
         self.web = client_factory() if client_factory else SimWeb(cfg)
         self.max_retries = max_retries
+        # retry backoff (reference anle.py:38-57: sleep(2**retry)). Real
+        # wall-clock sleeps for live transports only; the hermetic sim
+        # keeps backoff virtual (deterministic, no test slowdown).
+        self.backoff_base = (backoff_base if backoff_base is not None
+                             else (2.0 if client_factory else 0.0))
         # real_time_t0: wall-clock origin of the crawl. When set, each URL
         # is fetched no earlier than t0 + its virtual fetch_time — the
         # frontier's politeness schedule enforced in wall time (the
@@ -44,8 +49,9 @@ class FetchStage:
         status, ctype, body = self.web.get(url, attempt=0)
         while status >= 500 and retries < self.max_retries:
             retries += 1
-            # backoff 2**retry is virtual here (hermetic sim); a real client
-            # would asyncio.sleep(2 ** retries)
+            if self.backoff_base:
+                import time
+                time.sleep(min(self.backoff_base ** retries, 30.0))
             status, ctype, body = self.web.get(url, attempt=retries)
         return status, ctype, body, retries
 
