@@ -123,3 +123,43 @@ def test_store_html_blob_table(tmp_path):
     eng2.seed(SimWeb(cfg).seed_urls())
     eng2.run(max_rounds=8)
     assert not glob.glob(f"{out2}/html/round=*/part-*.parquet")
+
+
+def test_point_lookup_prunes_by_footer_stats(crawl_out, tmp_path):
+    """Zone-map pruning: the point lookup must open only files whose
+    parquet footer [min,max] can contain the key. Build a store with two
+    disjoint-key-range payload files; looking up a key from file A must
+    never read file B's data pages, and results must equal the unpruned
+    read."""
+    import pandas as pd
+    from unittest import mock
+    from vbpl_web_crawl_ray.pipelines import lookup as lk
+
+    out = str(tmp_path / "zstore")
+    for rnd, ids in ((1, range(0, 50)), (2, range(1000, 1050))):
+        d = f"{out}/payload/round={rnd}"
+        import os
+        os.makedirs(d)
+        pd.DataFrame({
+            "image_id": [f"img{i:08d}" for i in ids],
+            "caption": [f"cap {i}" for i in ids],
+        }).to_parquet(f"{d}/part-0.parquet", index=False)
+
+    files = lk._files(out, "payload")
+    assert len(files) == 2
+    pruned = lk.prune_files_by_stats(files, "image_id", ["img00001010"])
+    assert pruned == [f for f in files if "round=2" in f]
+    # keys outside every range prune everything
+    assert lk.prune_files_by_stats(files, "image_id", ["img09999999"]) == []
+
+    # end-to-end: lookup reads ONLY the matching file's data
+    opened = []
+    real_read = lk.pq.read_table
+    with mock.patch.object(lk.pq, "read_table",
+                           side_effect=lambda fs, **kw:
+                           (opened.extend(fs if isinstance(fs, list) else [fs])
+                            or real_read(fs, **kw))):
+        row = lk.fetch_doc_by_id(out, 1010)
+    assert row is not None and row["caption"] == "cap 1010"
+    assert all("round=2" in f for f in opened), opened
+    assert lk.fetch_doc_by_id(out, 777) is None  # in-gap key: no read at all

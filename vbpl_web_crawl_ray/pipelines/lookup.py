@@ -16,8 +16,12 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
+def _files(out_dir: str, sub: str) -> list[str]:
+    return sorted(glob.glob(f"{out_dir}/{sub}/round=*/*.parquet"))
+
+
 def _read_all(out_dir: str, sub: str):
-    files = sorted(glob.glob(f"{out_dir}/{sub}/round=*/*.parquet"))
+    files = _files(out_dir, sub)
     if not files:
         return None
     if sub == "meta":
@@ -29,33 +33,76 @@ def _read_all(out_dir: str, sub: str):
     return pq.read_table(files)
 
 
+def prune_files_by_stats(files: list[str], col: str, keys) -> list[str]:
+    """Zone-map pruning: keep only files whose parquet row-group
+    [min, max] statistics for ``col`` can contain one of ``keys``.
+    Footer-only reads — a point lookup over a 100-TB store opens data
+    pages for the handful of files whose key range matches, not every
+    file. String stats bound equality correctly (lexicographic min/max);
+    a file with absent statistics is conservatively kept."""
+    keys = sorted(set(keys))
+    keep = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if col not in names:
+            keep.append(f)            # unknown layout: keep (safe)
+            continue
+        ci = names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                keep.append(f)        # no stats: keep (safe)
+                break
+            if any(st.min <= k <= st.max for k in keys):
+                keep.append(f)
+                break
+    return keep
+
+
 def fetch_doc_by_id(out_dir: str, doc_id: int) -> dict | None:
     """Point lookup: payload row + metadata + outgoing edges with the
-    related documents' titles resolved (two-join shape of J2)."""
+    related documents' titles resolved (two-join shape of J2).
+
+    Two-phase zone-map prune: payload/edges files narrow by the target
+    key's footer stats first; the edge DSTs then bound which meta files
+    must open for title resolution — the whole lookup touches O(matching
+    files), never the store."""
     image_id = f"img{doc_id:08d}"
-    payload = _read_all(out_dir, "payload")
-    meta = _read_all(out_dir, "meta")
-    edges = _read_all(out_dir, "edges")
-    if payload is None:
+    pay_files = prune_files_by_stats(_files(out_dir, "payload"),
+                                     "image_id", [image_id])
+    if not pay_files:      # no store, or every file's key range excludes it
         return None
+    payload = pq.read_table(pay_files)
     hit = payload.filter(pc.equal(payload["image_id"], image_id))
     if hit.num_rows == 0:
         return None
     row = hit.to_pylist()[0]
-    if meta is not None:
+
+    edge_files = prune_files_by_stats(_files(out_dir, "edges"),
+                                      "src", [str(doc_id)])
+    related_raw = []
+    if edge_files:
+        edges = pq.read_table(edge_files)
+        out_e = edges.filter(pc.equal(edges["src"], str(doc_id)))
+        related_raw = out_e.to_pylist()
+
+    meta_keys = {str(doc_id)} | {e["dst"] for e in related_raw}
+    meta_files = prune_files_by_stats(_files(out_dir, "meta"),
+                                      "doc_id", meta_keys)
+    if meta_files:
+        from ..sources.schema_evolution import (META_SCHEMA,
+                                                read_versioned_table)
+        meta = read_versioned_table(meta_files, META_SCHEMA)
         m = meta.filter(pc.equal(meta["doc_id"], str(doc_id)))
         row["meta"] = m.to_pylist()[0] if m.num_rows else None
         title_by_id = dict(zip(meta["doc_id"].to_pylist(),
                                meta["title"].to_pylist()))
     else:
         row["meta"], title_by_id = None, {}
-    related = []
-    if edges is not None:
-        out_e = edges.filter(pc.equal(edges["src"], str(doc_id)))
-        for e in out_e.to_pylist():
-            related.append({"doc_id": e["dst"], "label": e["label"],
-                            "title": title_by_id.get(e["dst"])})
-    row["related"] = related
+    row["related"] = [{"doc_id": e["dst"], "label": e["label"],
+                       "title": title_by_id.get(e["dst"])}
+                      for e in related_raw]
     return row
 
 
