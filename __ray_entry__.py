@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from vbpl_web_crawl_ray.pipelines import corpus as CP  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import docmeta as DM  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import curation as CU  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import incremental as INC  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
@@ -529,13 +530,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image-side curation gate: blur/contrast/entropy + pass flag
         # (rows-only: synthetic payload)
         "image_quality_stats": P.q_image_quality,
+        # incremental aggregate maintenance: per-increment moment partials
+        # folded into a store; merged read == one-shot SQL (oracle-backed)
+        "incremental_stats": INC.q_incremental_stats,
         # (d) longest-unchecked rows-only entries (last rows in r1/r2):
-        "phash_dup_clusters": _phash_dup_clusters,
         "stream_user_state": _stream_user_state,
         # the crawl itself as a gated pipeline (rows-only; deterministic)
         "crawl_payload": _crawl_payload,
         # ---------------- past the driver's 50-entry window ----------------
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
+        "phash_dup_clusters": _phash_dup_clusters,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,
         "anle_pdf_sections": P.q_pdf_sections,
@@ -1056,6 +1060,23 @@ def oracle_sql() -> dict[str, str]:
                          / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4)
                        AS r2,
                    n
+            FROM a
+        """,
+        # the merged increment store must equal a one-shot aggregate over
+        # the whole table — identical closed forms over the same SUM()s
+        "incremental_stats": """
+            WITH a AS (
+                SELECT source, lang, COUNT(*) AS n,
+                       SUM(CAST(n_chars AS DOUBLE)) AS s,
+                       SUM(CAST(n_chars AS DOUBLE)
+                           * CAST(n_chars AS DOUBLE)) AS ss,
+                       MIN(n_chars) AS mn, MAX(n_chars) AS mx
+                FROM documents GROUP BY source, lang)
+            SELECT source, lang, n AS n_docs,
+                   ROUND(s, 4) AS sum_chars,
+                   ROUND(s / n, 4) AS mean_chars,
+                   ROUND(sqrt((ss - s * s / n) / n), 4) AS std_chars,
+                   mn AS min_chars, mx AS max_chars
             FROM a
         """,
         "mad_per_group": """
