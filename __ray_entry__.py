@@ -107,6 +107,29 @@ def _crawl_payload(sf_dir: str):
     return rd.read_parquet(f"{out}/payload").drop_columns(["round"])
 
 
+def _stream_tumbling_watermark(sf_dir: str):
+    """Event-time tumbling windows with WATERMARK finalization (windows
+    emit exactly once when the watermark passes; open-window state is
+    bounded): the stream fed in event-time order drops nothing, so the
+    finalized output must equal the batch GROUP BY — the oracle. Window
+    math is integer microseconds end to end."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.functions.numeric import round_half_away
+    from vbpl_web_crawl_ray.stages.streaming import run_watermark_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+    out, metrics = run_watermark_windows(ds, key_col="event_type",
+                                         window_size_s=1800.0,
+                                         allowed_lateness_s=0.0)
+    assert metrics["dropped_late"] == 0   # ordered feed: nothing late
+    out = out.rename(columns={"key": "event_type"})
+    out["win_start"] = out["win_start"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 4)
+    return out
+
+
 def _stream_user_state(sf_dir: str):
     """Actor-held incremental per-user state (count/sum/EMA) over the
     ts-ordered events log (rows-only: EMA is not SQL-expressible)."""
@@ -533,11 +556,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental aggregate maintenance: per-increment moment partials
         # folded into a store; merged read == one-shot SQL (oracle-backed)
         "incremental_stats": INC.q_incremental_stats,
+        # event-time tumbling windows with watermark finalization: ordered
+        # feed == batch GROUP BY (oracle); late-drop semantics pytest-pinned
+        "stream_tumbling_watermark": _stream_tumbling_watermark,
         # (d) longest-unchecked rows-only entries (last rows in r1/r2):
         "stream_user_state": _stream_user_state,
-        # the crawl itself as a gated pipeline (rows-only; deterministic)
-        "crawl_payload": _crawl_payload,
         # ---------------- past the driver's 50-entry window ----------------
+        # the crawl itself as a gated pipeline (rows-only; deterministic —
+        # and exercised in-window via crawl_meta_versioned's full crawl)
+        "crawl_payload": _crawl_payload,
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
         "phash_dup_clusters": _phash_dup_clusters,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
@@ -1078,6 +1105,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt((ss - s * s / n) / n), 4) AS std_chars,
                    mn AS min_chars, mx AS max_chars
             FROM a
+        """,
+        "stream_tumbling_watermark": """
+            SELECT event_type,
+                   (epoch_us(ts) // 1800000000) * 1800 AS win_start,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY event_type, win_start
         """,
         "mad_per_group": """
             SELECT event_type,

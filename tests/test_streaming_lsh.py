@@ -188,3 +188,64 @@ def test_minhash_banding_non_multiple_num_perm(sf_dir):
     got = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5,
                                   num_perm=100, bands=32)
     assert {"id_a", "id_b", "est_jaccard"} <= set(got.columns)
+
+
+def test_watermark_windows_ordered_equals_batch(sf_dir):
+    """Fed in event-time order, the watermark windows drop nothing and
+    equal the batch GROUP BY computed straight off the parquet."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.stages.streaming import run_watermark_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+    out, metrics = run_watermark_windows(ds, key_col="event_type",
+                                         window_size_s=1800.0)
+    assert metrics["dropped_late"] == 0
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "ts", "value"])
+    win = (pdf["ts"].astype("datetime64[us]").astype("int64")
+           // 1_800_000_000) * 1800
+    want = (pdf.assign(win_start=win)
+               .groupby(["event_type", "win_start"], as_index=False)
+               .agg(n=("value", "size"), sum_value=("value", "sum"))
+               .sort_values(["event_type", "win_start"])
+               .reset_index(drop=True))
+    got = out.rename(columns={"key": "event_type"})
+    assert got["n"].to_list() == want["n"].to_list()
+    assert got["win_start"].to_list() == want["win_start"].to_list()
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"],
+                               rtol=0, atol=1e-9)
+
+
+def test_watermark_late_events_dropped_and_counted():
+    """Out-of-order arrival behind the watermark: the finalized window
+    emits once with only its on-time rows; the straggler is counted as
+    dropped, never double-emitted. Within allowed lateness it is merged."""
+    import ray
+    from vbpl_web_crawl_ray.stages.streaming import WatermarkWindow
+
+    def mk(ts_s, key="a", value=1.0):
+        return pd.DataFrame({
+            "key": [key],
+            "ts": pd.to_datetime([ts_s], unit="s").astype("datetime64[us]"),
+            "value": [value]})
+
+    # lateness 0: window [0,10) finalizes once watermark reaches 10
+    a = WatermarkWindow.remote(window_size_s=10.0, allowed_lateness_s=0.0)
+    ray.get(a.feed.remote(mk(1)))
+    ray.get(a.feed.remote(mk(12)))       # watermark=12 -> [0,10) finalized
+    ray.get(a.feed.remote(mk(5)))        # straggler: dropped
+    out = ray.get(a.flush.remote())
+    m = ray.get(a.metrics.remote())
+    assert m["dropped_late"] == 1
+    assert out[out["win_start"] == 0]["n"].item() == 1  # emitted ONCE, n=1
+
+    # lateness 5: the same straggler at wm=12 is still inside the horizon
+    b = WatermarkWindow.remote(window_size_s=10.0, allowed_lateness_s=5.0)
+    ray.get(b.feed.remote(mk(1)))
+    ray.get(b.feed.remote(mk(12)))       # frontier = 12-5 = 7 < 10: open
+    ray.get(b.feed.remote(mk(5)))        # merges into [0,10)
+    out = ray.get(b.flush.remote())
+    m = ray.get(b.metrics.remote())
+    assert m["dropped_late"] == 0
+    assert out[out["win_start"] == 0]["n"].item() == 2

@@ -79,3 +79,114 @@ def run_stream(ds: rd.Dataset, num_buckets: int = 4, alpha: float = 0.1,
                              "ema": pd.Series(dtype=np.float64)})
     return (pd.concat(outs, ignore_index=True)
             .sort_values("user_id").reset_index(drop=True))
+
+
+@ray.remote(num_cpus=0)
+class WatermarkWindow:
+    """Event-time tumbling windows with watermark finalization: a window
+    [k*size, (k+1)*size) FINALIZES once the watermark (max event time
+    seen minus allowed lateness) passes its end — its aggregate emits
+    exactly once and the state drops, so open-window memory is bounded by
+    lateness/size windows per key, not by stream length. Events arriving
+    behind the watermark for an already-finalized window are DROPPED and
+    counted (the late-data contract every event-time system needs).
+
+    Aggregation state is additive (n, sum) — arrival order inside a
+    window does not matter, only the watermark's monotonic advance."""
+
+    def __init__(self, window_size_s: float = 1800.0,
+                 allowed_lateness_s: float = 0.0):
+        # ALL event-time arithmetic in int64 microseconds: float epoch
+        # seconds put boundary events one ulp across a window edge (the
+        # event_gap EPOCH lesson) — integers cannot
+        self.size = int(round(window_size_s * 1e6))
+        self.late = int(round(allowed_lateness_s * 1e6))
+        self.open: dict = {}        # (key, win_start_us) -> [n, sum]
+        self.done: list = []        # finalized rows
+        self.watermark = None       # int64 us, None until first event
+        self.dropped = 0
+
+    def feed(self, batch: pd.DataFrame) -> int:
+        ts = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        win = (ts // self.size) * self.size
+        keys = batch["key"].to_numpy()
+        vals = batch["value"].to_numpy()
+        frontier = (self.watermark - self.late
+                    if self.watermark is not None else None)
+        for k, w, v in zip(keys, win, vals):
+            if frontier is not None and w + self.size <= frontier:
+                self.dropped += 1       # window already finalized
+                continue
+            st = self.open.setdefault((k, int(w)), [0, 0.0])
+            st[0] += 1
+            st[1] += v
+        if len(ts):
+            wm = int(ts.max())
+            self.watermark = (wm if self.watermark is None
+                              else max(self.watermark, wm))
+        self._finalize()
+        return len(batch)
+
+    def _finalize(self) -> None:
+        if self.watermark is None:
+            return
+        frontier = self.watermark - self.late
+        closed = [kw for kw in self.open if kw[1] + self.size <= frontier]
+        for k, w in sorted(closed):
+            n, s = self.open.pop((k, w))
+            self.done.append((k, w // 1_000_000, n, s))
+
+    def flush(self) -> pd.DataFrame:
+        """End of stream: emit every still-open window too (the stream is
+        finite here; an infinite stream would keep them open). win_start
+        is integer epoch SECONDS (windows are whole-second sized)."""
+        for k, w in sorted(self.open):
+            n, s = self.open[(k, w)]
+            self.done.append((k, w // 1_000_000, n, s))
+        self.open.clear()
+        return pd.DataFrame(self.done,
+                            columns=["key", "win_start", "n", "sum_value"])
+
+    def metrics(self) -> dict:
+        return {"dropped_late": self.dropped,
+                "open_windows": len(self.open),
+                "watermark": self.watermark}
+
+
+def run_watermark_windows(ds: rd.Dataset, key_col: str,
+                          window_size_s: float = 1800.0,
+                          allowed_lateness_s: float = 0.0,
+                          num_buckets: int = 4,
+                          feed_batch_rows: int = 2048,
+                          arrival_order=("ts", "event_id")):
+    """Feed an events Dataset through watermark-window actors in arrival
+    order (default: event time — a fully ordered stream drops nothing and
+    the result equals the batch GROUP BY). Keys hash to buckets; per-actor
+    arrival order holds because actor tasks from one submitter execute in
+    submission order. Returns (windows DataFrame, metrics dict)."""
+    actors = [WatermarkWindow.remote(window_size_s, allowed_lateness_s)
+              for _ in range(num_buckets)]
+    pending: list = []
+    for batch in (ds.sort(list(arrival_order))
+                    .iter_batches(batch_format="pandas",
+                                  batch_size=feed_batch_rows)):
+        batch = batch.rename(columns={key_col: "key"})
+        b = bucket_of(batch["key"].astype(str).to_numpy(), num_buckets)
+        for bid in np.unique(b):
+            pending.append(actors[bid].feed.remote(batch[b == bid]))
+        if len(pending) >= 64:
+            ray.get(pending)
+            pending = []
+    ray.get(pending)
+    outs = [o for o in ray.get([a.flush.remote() for a in actors]) if len(o)]
+    mets = ray.get([a.metrics.remote() for a in actors])
+    metrics = {"dropped_late": sum(m["dropped_late"] for m in mets)}
+    if not outs:
+        return (pd.DataFrame({"key": pd.Series(dtype=object),
+                              "win_start": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64),
+                              "sum_value": pd.Series(dtype=np.float64)}),
+                metrics)
+    out = (pd.concat(outs, ignore_index=True)
+             .sort_values(["key", "win_start"]).reset_index(drop=True))
+    return out, metrics
