@@ -22,6 +22,7 @@ from vbpl_web_crawl_ray.pipelines import curation as CU  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import incremental as INC  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import analytics as AN  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
@@ -516,15 +517,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
         "md5_fingerprint": lambda sf: textstats.md5_fingerprint(_docs(sf)),
-        # aggregations (SURVEY §2.5) — partial-aggregate combiner pattern
-        "pricing_summary": R.q_pricing_summary,
-        "count_per_source": R.q_count_per_source,
-        "tumbling_window": R.q_tumbling_window,
-        # sort / limit / top-k (§2.6)
-        "filter_sort_limit": R.q_filter_sort_limit,
-        "latest_event_per_user": R.q_latest_event_per_user,
-        "lww_upsert": R.q_lww_upsert,
-        "topk_per_group": R.q_topk_per_group,
+        # (f) NEW this session (all oracle-backed, never driver-checked —
+        # they displace seven r1+r2-green unchanged entries past the cap):
+        # Markov transition counts: whole-user buckets, ONE vectorized
+        # sort+shift resolves every user's sequence; count partials out
+        "event_transitions": AN.q_event_transitions,
+        # market-basket co-occurrence: broadcast part dim, per-batch
+        # membership dedup, in-bucket RAGGED vectorized self-pair explosion
+        "brand_pair_counts": AN.q_brand_pair_counts,
+        # per-user Shannon entropy: closed form over exact counts, libm
+        # float parity with DuckDB LN (np.log differs in the last ulp)
+        "user_entropy": AN.q_user_entropy,
+        # geometric mean per group from (sum-of-logs, count) partials
+        "geomean_per_group": AN.q_geomean_per_group,
+        # PERCENT_RANK / CUME_DIST without a global sort (rank closes over
+        # exact integers inside whole-priority buckets)
+        "percent_rank_orders": AN.q_percent_rank_orders,
+        # 2-D Pareto frontier: local skylines are a monotone filter, only
+        # O(frontier) candidates reach the driver's final merge
+        "skyline_parts": AN.q_skyline_parts,
+        # exact GLOBAL median/p90 by 3-pass histogram selection — the one
+        # quantile shape whole-group buckets cannot co-locate
+        "exact_global_quantiles": SO.q_exact_global_quantiles,
         # joins / lookups (§2.4)
         "join_revenue_by_priority": R.q_join_revenue_by_priority,
         "broadcast_dim_join": R.q_broadcast_dim_join,
@@ -575,6 +589,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": P.q_image_resize,
         "phash_near_dup": P.q_phash_near_dup,
         "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
+        # rotated out this session (green r1+r2, unchanged since; still
+        # re-verified every run by both conformance gates):
+        "pricing_summary": R.q_pricing_summary,
+        "count_per_source": R.q_count_per_source,
+        "tumbling_window": R.q_tumbling_window,
+        "filter_sort_limit": R.q_filter_sort_limit,
+        "latest_event_per_user": R.q_latest_event_per_user,
+        "lww_upsert": R.q_lww_upsert,
+        "topk_per_group": R.q_topk_per_group,
         # (every entry below has a green round-3 driver row — or a round-3
         # rows-only row — with an unchanged implementation, and the
         # oracle-backed ones are re-verified per-run by both conformance
@@ -1069,6 +1092,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical closed forms over the same SUM() aggregates as the
         # engine's raw-moment partials -> the float ops line up
+        "event_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events)
+            SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+            ORDER BY prev_type, next_type
+        """,
+        "brand_pair_counts": """
+            WITH d AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+                       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+            SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*)::BIGINT AS n
+            FROM d a JOIN d b ON a.okey = b.okey AND a.brand < b.brand
+            GROUP BY brand_a, brand_b
+            ORDER BY brand_a, brand_b
+        """,
+        "user_entropy": """
+            -- fixed 5-type vocabulary pivoted to named columns so the
+            -- entropy terms add in a STATED order (bit-exact float parity
+            -- with the engine's libm evaluation of the same expression)
+            WITH c AS (SELECT user_id,
+                SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END)::DOUBLE AS c1,
+                SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END)::DOUBLE AS c2,
+                SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::DOUBLE AS c3,
+                SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END)::DOUBLE AS c4,
+                SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END)::DOUBLE AS c5
+              FROM events GROUP BY user_id)
+            SELECT user_id, (c1+c2+c3+c4+c5)::BIGINT AS n_events,
+              ROUND(LN(c1+c2+c3+c4+c5)
+                - ((CASE WHEN c1>0 THEN c1*LN(c1) ELSE 0 END)
+                 + (CASE WHEN c2>0 THEN c2*LN(c2) ELSE 0 END)
+                 + (CASE WHEN c3>0 THEN c3*LN(c3) ELSE 0 END)
+                 + (CASE WHEN c4>0 THEN c4*LN(c4) ELSE 0 END)
+                 + (CASE WHEN c5>0 THEN c5*LN(c5) ELSE 0 END))
+                / (c1+c2+c3+c4+c5), 4) AS entropy
+            FROM c ORDER BY user_id
+        """,
+        "geomean_per_group": """
+            SELECT o_orderpriority,
+                   ROUND(EXP(SUM(LN(o_totalprice)) / COUNT(*)), 4) AS geomean_price,
+                   COUNT(*)::BIGINT AS n_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "percent_rank_orders": """
+            SELECT o_orderkey,
+                   PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice) AS pct_rank,
+                   CUME_DIST()  OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice) AS cume_d
+            FROM orders ORDER BY o_orderkey
+        """,
+        "skyline_parts": """
+            SELECT p_partkey, p_size, p_retailprice FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_size <= a.p_size
+                AND b.p_retailprice <= a.p_retailprice
+                AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
+            ORDER BY p_partkey
+        """,
+        "exact_global_quantiles": """
+            SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+            FROM lineitem
+        """,
         "regr_per_group": """
             WITH a AS (
                 SELECT l_returnflag, COUNT(*) AS n,

@@ -1,0 +1,153 @@
+"""Unit tests for the analytics operators' novel mechanics — the parts a
+DuckDB twin can't isolate: the ragged vectorized pair explosion, the
+monotone local-skyline merge, selection-pass edge cases, and sequence
+tie-breaking. (End-to-end SQL parity runs in test_conformance /
+test_driver_exactness via the oracle twins.)"""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vbpl_web_crawl_ray.pipelines import analytics as A
+
+
+def _brute_pairs(d: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, g in d.drop_duplicates(["okey", "brand"]).groupby("okey"):
+        for a, b in itertools.combinations(sorted(g["brand"]), 2):
+            rows.append((a, b))
+    out = (pd.DataFrame(rows, columns=["brand_a", "brand_b"])
+             .groupby(["brand_a", "brand_b"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+    return out.sort_values(["brand_a", "brand_b"]).reset_index(drop=True)
+
+
+def test_ragged_pair_explosion_matches_itertools():
+    rng = np.random.default_rng(11)
+    d = pd.DataFrame({
+        "okey": rng.integers(0, 60, 500),
+        "brand": [f"B{b}" for b in rng.integers(0, 9, 500)]})
+    # the in-bucket kernel, restated inline on one "bucket" (all rows)
+    dd = (d.drop_duplicates(["okey", "brand"])
+            .sort_values(["okey", "brand"], kind="mergesort"))
+    m = dd.groupby("okey", sort=False)["brand"].transform("size").to_numpy()
+    pos = dd.groupby("okey", sort=False).cumcount().to_numpy()
+    cnt = m - pos - 1
+    a_idx = np.repeat(np.arange(len(dd)), cnt)
+    starts = np.cumsum(cnt) - cnt
+    b_idx = (np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
+             + np.repeat(np.arange(len(dd)) + 1, cnt))
+    brands = dd["brand"].to_numpy()
+    got = (pd.DataFrame({"brand_a": brands[a_idx], "brand_b": brands[b_idx]})
+             .groupby(["brand_a", "brand_b"], as_index=False).size()
+             .rename(columns={"size": "n"})
+             .sort_values(["brand_a", "brand_b"]).reset_index(drop=True))
+    want = _brute_pairs(d)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def _brute_skyline(df: pd.DataFrame) -> pd.DataFrame:
+    keep = []
+    pts = df[["p_size", "p_retailprice"]].to_numpy()
+    for i, (s, p) in enumerate(pts):
+        # a point never strictly dominates itself, so no j != i guard needed
+        dominated = any(s2 <= s and p2 <= p and (s2 < s or p2 < p)
+                        for s2, p2 in pts)
+        if not dominated:
+            keep.append(i)
+    return (df.iloc[keep].sort_values("p_partkey").reset_index(drop=True))
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_local_skyline_merge_matches_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "p_partkey": np.arange(300),
+        "p_size": rng.integers(1, 12, 300).astype(np.int32),
+        "p_retailprice": np.round(rng.uniform(10, 99, 300), 2)})
+    # plant exact duplicates on the frontier: neither dominates the other,
+    # both must survive (the strict-clause subtlety)
+    df.loc[0, ["p_size", "p_retailprice"]] = [1, 10.0]
+    df.loc[1, ["p_size", "p_retailprice"]] = [1, 10.0]
+
+    # split into blocks, reduce each with the local kernel, merge once —
+    # exactly the distributed plan
+    def run(blocks):
+        cands = pd.concat([_kernel(b) for b in blocks], ignore_index=True)
+        return (_kernel(cands).sort_values("p_partkey")
+                .reset_index(drop=True))
+
+    def _kernel(d: pd.DataFrame) -> pd.DataFrame:
+        dd = d.sort_values(["p_size", "p_retailprice"], kind="mergesort")
+        gmin = dd.groupby("p_size")["p_retailprice"].transform("min")
+        dd = dd[dd["p_retailprice"] == gmin]
+        u = dd.drop_duplicates("p_size")
+        prefix = u["p_retailprice"].cummin().shift(1)
+        alive = u.loc[prefix.isna() | (u["p_retailprice"] < prefix),
+                      "p_size"]
+        return dd[dd["p_size"].isin(alive)]
+
+    want = _brute_skyline(df)
+    one = run([df])
+    many = run([df.iloc[i::5] for i in range(5)])
+    pd.testing.assert_frame_equal(
+        one.reset_index(drop=True), want.reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        many.sort_values("p_partkey").reset_index(drop=True), want)
+    assert (want[["p_size", "p_retailprice"]].values == [1, 10.0]).all(
+        axis=1).sum() == 2, "duplicate frontier points must both survive"
+
+
+def test_skyline_query_end_to_end(ray_session, sf_dir):
+    got = A.q_skyline_parts(sf_dir)
+    full = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_size", "p_retailprice"])
+    want = _brute_skyline(full)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[want.columns].astype(want.dtypes.to_dict()),
+        want)
+
+
+def test_exact_global_quantiles_degenerate_constant(ray_session, tmp_path):
+    # all-equal column: hi == lo short-circuit must not divide by zero
+    pd.DataFrame({"l_extendedprice": np.full(100, 42.5)}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    from vbpl_web_crawl_ray.pipelines.scaleops import q_exact_global_quantiles
+    out = q_exact_global_quantiles(str(tmp_path))
+    assert out["median_price"].iloc[0] == 42.5
+    assert out["p90_price"].iloc[0] == 42.5
+
+
+def test_exact_global_quantiles_matches_numpy(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    v = np.round(rng.uniform(1.0, 1000.0, 4321), 2)
+    pd.DataFrame({"l_extendedprice": v}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    from vbpl_web_crawl_ray.pipelines.scaleops import q_exact_global_quantiles
+    out = q_exact_global_quantiles(str(tmp_path))
+    s = np.sort(v)
+    for col, q in [("median_price", 0.5), ("p90_price", 0.9)]:
+        rn = q * (len(s) - 1)
+        f, c = int(np.floor(rn)), int(np.ceil(rn))
+        want = s[f] if f == c else s[f] + (rn - f) * (s[c] - s[f])
+        assert abs(out[col].iloc[0] - round(want, 4)) < 5e-5
+
+
+def test_event_transitions_tiebreak_is_event_id(ray_session, tmp_path):
+    # two events at the SAME timestamp: order must resolve by event_id
+    ts = pd.Timestamp("2024-01-01")
+    pd.DataFrame({
+        "event_id": [2, 1, 3],
+        "user_id": [7, 7, 7],
+        "event_type": ["click", "view", "purchase"],
+        "ts": [ts, ts, ts + pd.Timedelta(seconds=1)],
+    }).to_parquet(tmp_path / "events.parquet")
+    out = A.q_event_transitions(str(tmp_path))
+    want = pd.DataFrame({"prev_type": ["click", "view"],
+                         "next_type": ["purchase", "click"],
+                         "n": np.array([1, 1], dtype=np.int64)})
+    pd.testing.assert_frame_equal(
+        out.sort_values(["prev_type", "next_type"]).reset_index(drop=True),
+        want)

@@ -1,0 +1,251 @@
+"""Sequence / co-occurrence / order-statistic analytics, each shaped for
+the 100-TB path and each with a DuckDB oracle twin.
+
+New scale patterns exercised here (beyond the partial-aggregate and
+whole-group-bucket shapes in relational*.py):
+
+- ragged vectorized SELF-JOIN pair explosion inside key buckets
+  (q_brand_pair_counts) — the market-basket co-occurrence query whose
+  naive form is an O(n^2) self-join; here the explosion happens only
+  within an order's handful of rows and only count partials leave;
+- per-entity SEQUENTIAL pattern over event time (q_event_transitions) —
+  the Markov-transition matrix, resolved by one vectorized shift inside
+  whole-user buckets;
+- information-theoretic aggregates with libm float parity
+  (q_user_entropy, q_geomean_per_group): DuckDB's LN/EXP are libm calls
+  (``math.log``/``math.exp`` match them BITWISE; ``np.log``/``np.exp``
+  differ in the last ulp on ~25% of inputs — measured), so the closed
+  forms evaluate through libm and state the oracle SQL with the exact
+  same operand order;
+- window-function ranks without a global sort (q_percent_rank_orders):
+  PERCENT_RANK/CUME_DIST close over (rank, group size), both exact
+  integers, so the division is bit-identical in either engine;
+- monotone-filter + tiny-merge (q_skyline_parts): the 2-D Pareto
+  frontier; each block's local skyline is a superset of its contribution
+  to the global one, so blocks reduce independently and only O(frontier)
+  candidate rows ever reach the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+from ..stages.shuffle import bucketed_group_apply
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# libm-parity elementwise log/exp (see module docstring); only ever
+# applied to per-batch single columns or tiny final frames (plain
+# functions, not module-level frompyfunc ufuncs — those don't pickle
+# into Ray tasks)
+def _ln(arr) -> np.ndarray:
+    a = np.asarray(arr, dtype=np.float64)
+    return np.fromiter((math.log(v) for v in a.ravel()),
+                       dtype=np.float64, count=a.size).reshape(a.shape)
+
+
+def _exp(arr) -> np.ndarray:
+    a = np.asarray(arr, dtype=np.float64)
+    return np.fromiter((math.exp(v) for v in a.ravel()),
+                       dtype=np.float64, count=a.size).reshape(a.shape)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts over per-user event sequences: for every
+    user's events ordered by (ts, event_id), count (prev_type ->
+    next_type) adjacencies. Users co-locate whole in hash buckets; inside
+    a bucket ONE vectorized sort + shift resolves every user's sequence
+    at once (a row pairs with its predecessor iff the user_id matches
+    after the shift), and only the <= |types|^2 count partials leave each
+    bucket. The 100-TB cost is one all-to-all of (user, type, ts) triples."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift(1))
+        d = pd.DataFrame({"prev_type": g["event_type"].shift(1)[same].to_numpy(),
+                          "next_type": g.loc[same, "event_type"].to_numpy()})
+        return (d.groupby(["prev_type", "next_type"], as_index=False)
+                 .size().rename(columns={"size": "n"}))
+
+    parts = bucketed_group_apply(ev, "user_id", trans,
+                                 num_buckets=4).to_pandas()
+    out = (parts.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+                .astype({"n": "int64"})
+                .sort_values(["prev_type", "next_type"])
+                .reset_index(drop=True))
+    return out
+
+
+def q_brand_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of part
+    brands, in how many orders do both appear? The naive form is a
+    fact-table SELF-JOIN on l_orderkey — quadratic in order size and an
+    extra all-to-all. Here: the brand dim rides in once via ray.put (the
+    J3 broadcast-lookup pattern), each batch pre-dedups (order, brand) so
+    the shuffle moves distinct memberships only, orders co-locate whole
+    in hash buckets, and the pair explosion is a RAGGED VECTORIZED
+    arange (no per-order Python loop) bounded by the largest single
+    order — never by the table. Only <=C(|brands|,2) count partials
+    leave each bucket."""
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    class ToBrand:
+        def __init__(self):
+            self.lookup = ray.get(ref)  # fetched once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return (pd.DataFrame({"okey": df["l_orderkey"].to_numpy(),
+                                  "brand": df["l_partkey"].map(self.lookup)})
+                    .drop_duplicates())
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+          .map_batches(ToBrand, batch_format="pandas", concurrency=(1, 4)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["okey", "brand"])
+              .sort_values(["okey", "brand"], kind="mergesort"))
+        m = d.groupby("okey", sort=False)["brand"].transform("size").to_numpy()
+        pos = d.groupby("okey", sort=False).cumcount().to_numpy()
+        cnt = m - pos - 1                       # pairs this row leads
+        a_idx = np.repeat(np.arange(len(d)), cnt)
+        starts = np.cumsum(cnt) - cnt           # ragged-arange trick
+        b_idx = (np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
+                 + np.repeat(np.arange(len(d)) + 1, cnt))
+        brands = d["brand"].to_numpy()
+        p = pd.DataFrame({"brand_a": brands[a_idx], "brand_b": brands[b_idx]})
+        return (p.groupby(["brand_a", "brand_b"], as_index=False)
+                 .size().rename(columns={"size": "n"}))
+
+    parts_ = bucketed_group_apply(li, "okey", pairs, num_buckets=8,
+                                  partial_fn=lambda df: df.drop_duplicates())
+    out = (parts_.to_pandas()
+                 .groupby(["brand_a", "brand_b"], as_index=False)["n"].sum()
+                 .astype({"n": "int64"})
+                 .sort_values(["brand_a", "brand_b"])
+                 .reset_index(drop=True))
+    return out
+
+
+def q_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of each user's event-type mix, from mergeable
+    per-(user, type) count partials — H = ln(n) - sum(c*ln(c))/n closes
+    over exact integer counts, so nothing float crosses the wire. The
+    event-type vocabulary is FIXED (5 values), so the oracle SQL pivots
+    the counts into five named columns and adds the five entropy terms in
+    a stated order; this side evaluates the identical expression through
+    libm (math.log == DuckDB LN bitwise) for a bit-exact compare."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["user_id", "event_type"], as_index=False)
+                  .size().rename(columns={"size": "n"}))
+
+    def ent(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"])["n"].sum()
+              .unstack(fill_value=0)
+              .reindex(columns=EVENT_TYPES, fill_value=0)
+              .astype(np.float64))
+        cols = [c[t].to_numpy() for t in EVENT_TYPES]
+        n = cols[0] + cols[1] + cols[2] + cols[3] + cols[4]
+        terms = [np.where(v > 0, v * _ln(np.where(v > 0, v, 1.0)).astype(np.float64), 0.0)
+                 for v in cols]
+        t = terms[0] + terms[1] + terms[2] + terms[3] + terms[4]
+        h = _ln(n).astype(np.float64) - t / n
+        return pd.DataFrame({"user_id": c.index.to_numpy(),
+                             "n_events": n.astype(np.int64),
+                             "entropy": round_half_away(h, 4)})
+
+    out = bucketed_group_apply(ev, "user_id", ent, num_buckets=4,
+                               partial_fn=partial).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_geomean_per_group(sf_dir: str) -> pd.DataFrame:
+    """Geometric mean order price per priority: exp(sum(ln x)/n) from
+    mergeable (sum-of-logs, count) partials — the multiplicative mean a
+    plain SUM cannot give, at the same two-float-per-group wire cost.
+    Logs evaluate through libm per batch (bitwise DuckDB LN parity);
+    only the final 5-row exp runs on the driver."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lx = _ln(df["o_totalprice"].to_numpy()).astype(np.float64)
+        return (df.assign(lx=lx)
+                  .groupby("o_orderpriority", as_index=False)
+                  .agg(s=("lx", "sum"), n=("lx", "size")))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    a = parts.groupby("o_orderpriority", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    g = _exp((a["s"] / a["n"]).to_numpy()).astype(np.float64)
+    return (pd.DataFrame({"o_orderpriority": a["o_orderpriority"],
+                          "geomean_price": round_half_away(g, 4),
+                          "n_orders": a["n"].astype("int64")})
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_percent_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK and CUME_DIST of every order's price within its
+    priority — window ranks without a global sort: priorities are few
+    and bounded, so each co-locates whole in a hash bucket (the
+    dense-rank/median pattern) and both statistics close over (min-rank,
+    max-rank, group size), all exact integers — the single division is
+    bit-identical in either engine, no rounding needed."""
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("o_orderpriority")["o_totalprice"]
+        r_min = grp.rank(method="min").to_numpy()
+        r_max = grp.rank(method="max").to_numpy()
+        n = grp.transform("size").to_numpy().astype(np.float64)
+        pct = np.where(n > 1, (r_min - 1.0) / (n - 1.0), 0.0)
+        return pd.DataFrame({"o_orderkey": g["o_orderkey"].to_numpy(),
+                             "pct_rank": pct,
+                             "cume_d": r_max / n})
+
+    out = bucketed_group_apply(o, "o_orderpriority", ranks,
+                               num_buckets=4).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_skyline_parts(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier) of parts minimizing (p_size,
+    p_retailprice): a part survives iff no other part is <= on both axes
+    and < on at least one. Local skylines are a MONOTONE filter — a
+    block's skyline is a superset of its rows' contribution to the
+    global skyline — so every block reduces independently (one vectorized
+    sort + per-size min + prefix cummin, no pairwise loop) and only
+    O(frontier) candidates reach the driver, where the same kernel runs
+    once more over their union. Random 2-D data keeps frontiers ~O(log
+    block); the all-pairs NOT EXISTS the oracle runs would be quadratic."""
+    pt = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["p_size", "p_retailprice"], kind="mergesort")
+        # same-size: only min-price rows (ties all survive: no strict edge)
+        gmin = d.groupby("p_size")["p_retailprice"].transform("min")
+        d = d[d["p_retailprice"] == gmin]
+        # smaller-size: dominated iff prefix min price <= own price
+        u = d.drop_duplicates("p_size")
+        prefix = u["p_retailprice"].cummin().shift(1)
+        alive = u.loc[prefix.isna() | (u["p_retailprice"] < prefix), "p_size"]
+        return d[d["p_size"].isin(alive)]
+
+    cand = (pt.map_batches(local_skyline, batch_format="pandas")
+              .to_pandas())                      # O(frontier) rows
+    out = local_skyline(cand)
+    return out.sort_values("p_partkey").reset_index(drop=True)

@@ -182,3 +182,84 @@ def q_full_outer_user_counts(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("side", as_index=False)["n"].sum()
     return (out.astype({"n": "int64"})
                .sort_values("side").reset_index(drop=True))
+
+
+def q_exact_global_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT global median + p90 of l_extendedprice WITHOUT a global
+    sort — the distributed-selection pattern for the one group-by shape
+    the whole-group-bucket tricks (q_median_per_group, q_p95_per_type)
+    cannot handle: a single global group that fits no machine.
+
+    Three streaming passes, O(bins) driver memory, zero shuffle:
+      1. (count, min, max) partials;
+      2. a fixed 65,536-bin histogram of the value range — each batch
+         emits only its NONZERO bins, the driver sums them and locates
+         which bin holds each needed order statistic by cumulative count;
+      3. fetch ONLY the values in those target bins (for well-spread
+         doubles that's ~n/65k rows; a pathological bin would recurse
+         with a sub-histogram over that bin's range — population asserts
+         guard the assumption rather than silently gathering).
+    The interpolation then replicates DuckDB's quantile_cont float ops
+    exactly (rn = q*(n-1); v_lo + (rn-floor(rn))*(v_hi-v_lo)), so the
+    compare is bit-exact on raw parquet doubles."""
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", [col])
+    qs = {"median_price": 0.5, "p90_price": 0.9}
+
+    agg = ds.map_batches(
+        lambda df: pd.DataFrame({"n": [len(df)],
+                                 "lo": [df[col].min()],
+                                 "hi": [df[col].max()]}),
+        batch_format="pandas").to_pandas()
+    n = int(agg["n"].sum())
+    lo, hi = float(agg["lo"].min()), float(agg["hi"].max())
+    if hi <= lo:                                  # all-equal degenerate
+        return pd.DataFrame([{k: round_half_away(lo, 4) for k in qs}])
+
+    B = 65536
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / (hi - lo) * B).astype(np.int64), 0, B - 1)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = np.bincount(bin_of(df[col].to_numpy()), minlength=B)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"bin": nz, "c": cnt[nz]})
+
+    h = (ds.map_batches(hist_partial, batch_format="pandas")
+           .to_pandas().groupby("bin")["c"].sum())
+    full = np.zeros(B, np.int64)
+    full[h.index.to_numpy()] = h.to_numpy()
+    cum = np.cumsum(full)                         # rows in bins <= i
+
+    ranks = {}                                    # 0-indexed order stats
+    for name, q in qs.items():
+        rn = q * (n - 1)
+        ranks[name] = (rn, int(np.floor(rn)), int(np.ceil(rn)))
+    needed = sorted({k for _, f, c in ranks.values() for k in (f, c)})
+    target_bins = np.unique([int(np.searchsorted(cum, k + 1))
+                             for k in needed])
+    assert full[target_bins].sum() <= max(100_000, 16 * n // B + 64), \
+        "pathological bin population: recurse with a sub-histogram"
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        b = bin_of(v)
+        m = np.isin(b, target_bins)
+        return pd.DataFrame({"v": v[m], "b": b[m]})
+
+    got = ds.map_batches(fetch, batch_format="pandas").to_pandas()
+
+    val_at = {}
+    for k in needed:
+        bi = int(np.searchsorted(cum, k + 1))
+        before = int(cum[bi - 1]) if bi > 0 else 0
+        inbin = np.sort(got.loc[got["b"] == bi, "v"].to_numpy())
+        val_at[k] = float(inbin[k - before])
+
+    out = {}
+    for name, (rn, f, c) in ranks.items():
+        x = val_at[f] if c == f else \
+            val_at[f] + (rn - f) * (val_at[c] - val_at[f])
+        out[name] = round_half_away(x, 4)
+    return pd.DataFrame([out])
