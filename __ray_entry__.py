@@ -539,8 +539,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact GLOBAL median/p90 by 3-pass histogram selection — the one
         # quantile shape whole-group buckets cannot co-locate
         "exact_global_quantiles": SO.q_exact_global_quantiles,
+        # image-axis: SDXL-style aspect bucketing; the oracle re-derives
+        # the synth's dims arithmetically, cross-checking the REAL image
+        # metadata path (synth -> encode -> payload table) end to end
+        "aspect_bucket_counts": P.q_aspect_bucket_counts,
         # joins / lookups (§2.4)
-        "join_revenue_by_priority": R.q_join_revenue_by_priority,
         "broadcast_dim_join": R.q_broadcast_dim_join,
         "anti_join": R.q_anti_join,
         "semi_join": R.q_semi_join,
@@ -587,11 +590,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal payload stages (rows-only)
         "image_features": P.q_image_features,
         "image_resize": P.q_image_resize,
+        # ViT-style 16x16 patchification (one reshape per image, a row per
+        # patch) and dominant-intensity palettes (rows-only: pixel math)
+        "image_patches": P.q_image_patches,
+        "dominant_levels": P.q_dominant_levels,
         "phash_near_dup": P.q_phash_near_dup,
         "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
         # rotated out this session (green r1+r2, unchanged since; still
         # re-verified every run by both conformance gates):
         "pricing_summary": R.q_pricing_summary,
+        "join_revenue_by_priority": R.q_join_revenue_by_priority,
         "count_per_source": R.q_count_per_source,
         "tumbling_window": R.q_tumbling_window,
         "filter_sort_limit": R.q_filter_sort_limit,
@@ -1159,6 +1167,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
                    ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
             FROM lineitem
+        """,
+        "aspect_bucket_counts": """
+            -- the payload dims are a pure function of doc_id (the synth
+            -- spec in pipelines/payloads.payload_table); re-deriving them
+            -- here makes the twin cross-check the engine's REAL image
+            -- metadata path (synth -> encode -> payload table)
+            WITH dims AS (SELECT 48 + doc_id % 33 AS w,
+                                 48 + (doc_id * 7) % 33 AS h
+                          FROM documents)
+            SELECT CASE WHEN w*4 >= h*5 THEN 'wide'
+                        WHEN h*4 >= w*5 THEN 'tall'
+                        ELSE 'square' END AS bucket,
+                   COUNT(*)::BIGINT AS n_images,
+                   SUM(w*h)::BIGINT AS total_pixels
+            FROM dims GROUP BY bucket ORDER BY bucket
         """,
         "regr_per_group": """
             WITH a AS (

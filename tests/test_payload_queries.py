@@ -50,3 +50,60 @@ def test_image_features_sane(sf_dir):
     t = P.payload_table(sf_dir).to_pandas()[["image_id", "phash"]]
     m = f.merge(t, on="image_id", suffixes=("_f", "_t"))
     assert (m["phash_f"] == m["phash_t"]).all()
+
+
+def test_image_patches_grid_and_known_signal(sf_dir):
+    import pandas as pd
+    from vbpl_web_crawl_ray.sources.imaging import encode_image
+    from vbpl_web_crawl_ray.stages.multimodal import ImagePatches
+
+    # constant 40x56 image, 16px patches -> 2x3 grid, mean=c, std=0
+    px = np.full((40, 56), 77, np.uint8)
+    df = pd.DataFrame({"image_id": ["x"],
+                       "bytes": [encode_image(px, "png")]})
+    out = ImagePatches(patch=16)(df)
+    assert len(out) == 2 * 3
+    assert set(zip(out["py"], out["px"])) == {(y, x)
+                                              for y in range(2)
+                                              for x in range(3)}
+    assert (out["patch_mean"] == 77.0).all()
+    assert (out["patch_std"] == 0.0).all()
+    # smaller than one patch -> zero rows, typed empty
+    tiny = pd.DataFrame({"image_id": ["t"],
+                         "bytes": [encode_image(px[:8, :8], "png")]})
+    empty = ImagePatches(patch=16)(tiny)
+    assert len(empty) == 0 and list(empty.columns) == list(out.columns)
+
+
+def test_image_patches_query_deterministic(sf_dir):
+    a = P.q_image_patches(sf_dir).to_pandas().sort_values(
+        ["image_id", "py", "px"]).reset_index(drop=True)
+    b = P.q_image_patches(sf_dir).to_pandas().sort_values(
+        ["image_id", "py", "px"]).reset_index(drop=True)
+    assert a.equals(b)
+    # grid count per image == (h//16)*(w//16) from the payload metadata
+    t = P.payload_table(sf_dir).to_pandas()
+    want = ((t["h"] // 16) * (t["w"] // 16)).sum()
+    assert len(a) == want
+
+
+def test_dominant_levels_constant_and_tie_break(sf_dir):
+    import pandas as pd
+    from vbpl_web_crawl_ray.sources.imaging import encode_image
+    from vbpl_web_crawl_ray.stages.multimodal import DominantLevels
+
+    px = np.full((20, 20), 0x5A, np.uint8)          # level 5 everywhere
+    out = DominantLevels()(pd.DataFrame(
+        {"image_id": ["c"], "bytes": [encode_image(px, "png")]}))
+    r = out.iloc[0]
+    assert (r["lvl_1"], r["share_1"]) == (5, 1.0)
+    # remaining slots: zero-count ties resolve toward the LOWER level
+    assert (r["lvl_2"], r["lvl_3"]) == (0, 1)
+    assert r["share_2"] == r["share_3"] == 0.0
+
+
+def test_aspect_buckets_cover_all_images(sf_dir):
+    out = P.q_aspect_bucket_counts(sf_dir)
+    t = P.payload_table(sf_dir).to_pandas()
+    assert out["n_images"].sum() == len(t)
+    assert out["total_pixels"].sum() == int((t["w"] * t["h"]).sum())

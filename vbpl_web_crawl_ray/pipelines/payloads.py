@@ -190,3 +190,44 @@ def q_image_quality(sf_dir: str) -> rd.Dataset:
     """Image-side curation gate: blur/contrast/entropy signals + pass flag
     per payload image (rows-only: the synthetic payload is not SQL)."""
     return mm.image_quality(payload_table(sf_dir))
+
+
+def q_image_patches(sf_dir: str) -> rd.Dataset:
+    """ViT-style patchification over the payload table: one row per 16x16
+    patch with grid coords + mean/std (rows-only: pixel math is not SQL).
+    Downstream curation can gate/sample patches like documents."""
+    return mm.image_patches(payload_table(sf_dir), patch=16)
+
+
+def q_dominant_levels(sf_dir: str) -> rd.Dataset:
+    """Top-3 dominant 16-level intensities per payload image — the
+    dominant-color-palette stage, grayscale analogue (rows-only)."""
+    return mm.dominant_levels(payload_table(sf_dir))
+
+
+def q_aspect_bucket_counts(sf_dir: str) -> pd.DataFrame:
+    """Aspect-ratio bucketing of the payload images (the SDXL-style
+    bucket-by-shape step training loaders run before batching): integer
+    arithmetic only (wide: w*4 >= h*5; tall: h*4 >= w*5; else square), so
+    the compare is exact. ORACLE-BACKED through the synth spec: the
+    payload dims are a pure function of doc_id (w = 48 + id % 33,
+    h = 48 + 7*id % 33 — payload_table above), so the SQL twin re-derives
+    them arithmetically from `documents` while THIS side reads the real
+    (w, h) metadata that rode through image encode — the twin therefore
+    cross-checks the actual image-plumbing path end to end."""
+    imgs = payload_table(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        bucket = np.where(w * 4 >= h * 5, "wide",
+                          np.where(h * 4 >= w * 5, "tall", "square"))
+        return (pd.DataFrame({"bucket": bucket, "px": w * h})
+                  .groupby("bucket", as_index=False)
+                  .agg(n_images=("px", "size"), total_pixels=("px", "sum")))
+
+    parts = imgs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("bucket", as_index=False).agg(
+        n_images=("n_images", "sum"), total_pixels=("total_pixels", "sum"))
+    return (out.astype({"n_images": "int64", "total_pixels": "int64"})
+               .sort_values("bucket").reset_index(drop=True))

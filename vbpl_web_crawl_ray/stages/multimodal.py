@@ -333,3 +333,80 @@ def image_quality(ds: rd.Dataset, concurrency=(1, 8), **thresholds) -> rd.Datase
     return ds.map_batches(ImageQuality, batch_format="pandas",
                           batch_size=MULTIMODAL_BATCH, concurrency=concurrency,
                           fn_constructor_kwargs=thresholds)
+
+
+class ImagePatches:
+    """Patchify each image into a non-overlapping PxP grid — the ViT-style
+    training-data patchification stage. Per image the grid resolves in ONE
+    reshape: crop to patch multiples, view as (gy, P, gx, P), reduce over
+    the two intra-patch axes; no per-patch loop. Emits one row per patch
+    (grid coords + mean/std), so downstream curation can gate or sample
+    patches exactly like documents."""
+
+    def __init__(self, patch: int = 16):
+        self.p = patch
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        p = self.p
+        ids, pys, pxs, means, stds = [], [], [], [], []
+        for iid, data in zip(df["image_id"], df["bytes"]):
+            px = decode_image(data).astype(np.float64)
+            gy, gx = px.shape[0] // p, px.shape[1] // p
+            if gy == 0 or gx == 0:
+                continue                      # smaller than one patch
+            grid = px[:gy * p, :gx * p].reshape(gy, p, gx, p)
+            m = grid.mean(axis=(1, 3))
+            s = grid.std(axis=(1, 3))
+            ids.append(np.repeat(iid, gy * gx))
+            pys.append(np.repeat(np.arange(gy, dtype=np.int32), gx))
+            pxs.append(np.tile(np.arange(gx, dtype=np.int32), gy))
+            means.append(m.ravel())
+            stds.append(s.ravel())
+        if not ids:
+            return pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "py": pd.Series([], dtype=np.int32),
+                                 "px": pd.Series([], dtype=np.int32),
+                                 "patch_mean": pd.Series([], dtype=np.float64),
+                                 "patch_std": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "image_id": np.concatenate(ids),
+            "py": np.concatenate(pys),
+            "px": np.concatenate(pxs),
+            "patch_mean": np.round(np.concatenate(means), 4),
+            "patch_std": np.round(np.concatenate(stds), 4)})
+
+
+def image_patches(ds: rd.Dataset, patch: int = 16,
+                  concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(ImagePatches, batch_format="pandas",
+                          batch_size=MULTIMODAL_BATCH, concurrency=concurrency,
+                          fn_constructor_kwargs={"patch": patch})
+
+
+class DominantLevels:
+    """Top-3 dominant intensity levels per image after 16-level
+    quantization (the grayscale analogue of a dominant-color palette):
+    one bincount over the quantized pixels, ties broken toward the lower
+    level so the result is deterministic."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for iid, data in zip(df["image_id"], df["bytes"]):
+            px = decode_image(data)
+            cnt = np.bincount((px.ravel() >> 4), minlength=16)
+            # stable argsort on (-count, level): lower level wins ties
+            order = np.lexsort((np.arange(16), -cnt))[:3]
+            share = cnt[order] / px.size
+            rows.append((iid,
+                         int(order[0]), round(float(share[0]), 4),
+                         int(order[1]), round(float(share[1]), 4),
+                         int(order[2]), round(float(share[2]), 4)))
+        return pd.DataFrame(rows, columns=[
+            "image_id", "lvl_1", "share_1", "lvl_2", "share_2",
+            "lvl_3", "share_3"])
+
+
+def dominant_levels(ds: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(DominantLevels, batch_format="pandas",
+                          batch_size=MULTIMODAL_BATCH,
+                          concurrency=concurrency)
