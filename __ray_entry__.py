@@ -543,10 +543,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the synth's dims arithmetically, cross-checking the REAL image
         # metadata path (synth -> encode -> payload table) end to end
         "aspect_bucket_counts": P.q_aspect_bucket_counts,
+        # gaps-and-islands in exact int64 microseconds (segmented cummax
+        # in-bucket; BIGINT compare — no float time math anywhere)
+        "interval_union_per_user": AN.q_interval_union_per_user,
+        # cumulative COUNT(DISTINCT) decomposed: mergeable first-seen
+        # argmin partials + a tiny driver-side daily cumsum
+        "cumulative_new_users": AN.q_cumulative_new_users,
         # joins / lookups (§2.4)
-        "broadcast_dim_join": R.q_broadcast_dim_join,
         "anti_join": R.q_anti_join,
-        "semi_join": R.q_semi_join,
         "string_agg_per_nation": R.q_string_agg_per_nation,
         # extraction / streaming-shaped (§2.2, §2.8)
         "props_extract": R.q_props_extract,
@@ -594,12 +598,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # patch) and dominant-intensity palettes (rows-only: pixel math)
         "image_patches": P.q_image_patches,
         "dominant_levels": P.q_dominant_levels,
+        # axis-B flagship composition: quality gate -> phash exact dedup
+        # -> aspect bucket -> deterministic per-bucket sample -> pack
+        # manifest with running pixel offsets (rows-only: pixel math)
+        "curated_image_pack": P.q_curated_image_pack,
         "phash_near_dup": P.q_phash_near_dup,
         "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
         # rotated out this session (green r1+r2, unchanged since; still
         # re-verified every run by both conformance gates):
         "pricing_summary": R.q_pricing_summary,
         "join_revenue_by_priority": R.q_join_revenue_by_priority,
+        "broadcast_dim_join": R.q_broadcast_dim_join,
+        "semi_join": R.q_semi_join,
         "count_per_source": R.q_count_per_source,
         "tumbling_window": R.q_tumbling_window,
         "filter_sort_limit": R.q_filter_sort_limit,
@@ -1182,6 +1192,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_images,
                    SUM(w*h)::BIGINT AS total_pixels
             FROM dims GROUP BY bucket ORDER BY bucket
+        """,
+        "interval_union_per_user": """
+            -- covered time stays in BIGINT microseconds end to end
+            WITH iv AS (SELECT user_id, ts AS s,
+                               ts + INTERVAL 300 SECOND AS e FROM events),
+            w AS (SELECT user_id, s, e,
+                    MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_e
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                    SUM(CASE WHEN prev_e IS NULL OR s > prev_e
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS island
+                  FROM w),
+            isl AS (SELECT user_id, island, EPOCH_US(MAX(e) - MIN(s)) AS cov
+                    FROM g GROUP BY user_id, island)
+            SELECT user_id, COUNT(*)::BIGINT AS n_islands,
+                   SUM(cov)::BIGINT AS covered_us
+            FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "cumulative_new_users": """
+            WITH f AS (SELECT user_id, MIN(ts) AS first_ts
+                       FROM events GROUP BY user_id),
+            d AS (SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+                         COUNT(*)::BIGINT AS n_new
+                  FROM f GROUP BY day)
+            SELECT day, n_new,
+                   SUM(n_new) OVER (ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+            FROM d ORDER BY day
         """,
         "regr_per_group": """
             WITH a AS (

@@ -107,3 +107,25 @@ def test_aspect_buckets_cover_all_images(sf_dir):
     t = P.payload_table(sf_dir).to_pandas()
     assert out["n_images"].sum() == len(t)
     assert out["total_pixels"].sum() == int((t["w"] * t["h"]).sum())
+
+
+def test_curated_image_pack_contract(sf_dir):
+    a = P.q_curated_image_pack(sf_dir)
+    b = P.q_curated_image_pack(sf_dir)
+    assert a.equals(b), "hash-decided composition must be deterministic"
+    # offsets are an exact prefix sum per bucket
+    for bk, g in a.groupby("bucket"):
+        off = g["offset_px"].to_numpy()
+        assert off[0] == 0
+        assert (off[1:] == (g["offset_px"] + g["n_px"]).to_numpy()[:-1]).all()
+    # every packed image passed the gate and is its phash family's min id
+    t = P.payload_table(sf_dir).to_pandas()
+    from vbpl_web_crawl_ray.stages.multimodal import ImageQuality
+    q = ImageQuality()(t)
+    passed = set(q.loc[q["passed"] == 1, "image_id"])
+    assert set(a["image_id"]) <= passed
+    fam = (t[t["image_id"].isin(passed)]
+           .groupby("phash")["image_id"].min())
+    assert set(a["image_id"]) <= set(fam)
+    # per-bucket cap respected
+    assert (a.groupby("bucket").size() <= 50).all()

@@ -249,3 +249,61 @@ def q_skyline_parts(sf_dir: str) -> pd.DataFrame:
               .to_pandas())                      # O(frontier) rows
     out = local_skyline(cand)
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_interval_union_per_user(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands with EXACT integer time math: give every event a
+    [ts, ts+300s) activity interval, merge overlaps per user, report
+    island count and total covered time. All arithmetic stays in int64
+    MICROSECONDS end to end (the event_gap lesson: a float seconds
+    division differs from SQL in the last ulp; integers cannot), so the
+    oracle compares BIGINTs. Users co-locate whole by hash bucket; inside
+    a bucket the island assignment is one segmented cummax + shift + 
+    cumsum (all cython groupby kernels, no per-user Python)."""
+    span_us = 300 * 1_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(s=g["ts"].astype("int64"))
+        g = g.sort_values(["user_id", "s"], kind="mergesort")
+        g["e"] = g["s"] + span_us
+        seg = (g["user_id"] != g["user_id"].shift(1)).cumsum()
+        prev_e = g.groupby(seg)["e"].cummax().groupby(seg).shift(1)
+        new_isl = prev_e.isna() | (g["s"] > prev_e)
+        isl = new_isl.cumsum()                  # global ids: per-(user,isl)
+        per = g.groupby(["user_id", isl]).agg(lo=("s", "min"),
+                                              hi=("e", "max"))
+        cov = per["hi"] - per["lo"]
+        out = cov.groupby(level=0).agg(["size", "sum"])
+        return pd.DataFrame({"user_id": out.index.to_numpy(),
+                             "n_islands": out["size"].to_numpy(np.int64),
+                             "covered_us": out["sum"].to_numpy(np.int64)})
+
+    out = bucketed_group_apply(ev, "user_id", islands,
+                               num_buckets=4).to_pandas()
+    return (out.astype({"n_islands": "int64", "covered_us": "int64"})
+               .sort_values("user_id").reset_index(drop=True))
+
+
+def q_cumulative_new_users(sf_dir: str) -> pd.DataFrame:
+    """Daily new-user curve: first-seen timestamp per user is a MERGEABLE
+    argmin partial (each batch ships at most one row per user it saw),
+    the per-day counts and the running cumulative then run over the tiny
+    (users -> days) frame on the driver — the cumulative COUNT(DISTINCT)
+    no engine can window directly, decomposed into two cheap passes."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(first_ts=("ts", "min"))
+
+    parts = ev.map_batches(first_seen, batch_format="pandas").to_pandas()
+    f = parts.groupby("user_id", as_index=False).agg(
+        first_ts=("first_ts", "min"))
+    day = f["first_ts"].dt.floor("D")
+    d = (pd.DataFrame({"day": day})
+           .groupby("day", as_index=False).size()
+           .rename(columns={"size": "n_new"})
+           .sort_values("day").reset_index(drop=True))
+    d["n_new"] = d["n_new"].astype("int64")
+    d["cum_users"] = d["n_new"].cumsum().astype("int64")
+    return d

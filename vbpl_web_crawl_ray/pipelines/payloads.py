@@ -231,3 +231,85 @@ def q_aspect_bucket_counts(sf_dir: str) -> pd.DataFrame:
         n_images=("n_images", "sum"), total_pixels=("total_pixels", "sum"))
     return (out.astype({"n_images": "int64", "total_pixels": "int64"})
                .sort_values("bucket").reset_index(drop=True))
+
+
+def q_curated_image_pack(sf_dir: str, per_bucket: int = 50) -> pd.DataFrame:
+    """Image-side curation END TO END — the axis-B counterpart of
+    curation.q_curated_pack's text pipeline, one flowing composition:
+
+      quality gate (ImageQuality actor pool: blur/contrast/entropy)
+        -> exact phash dedup (keep min image_id per phash — the
+           (hash, id)-only shuffle shape of dedup.exact_dedup)
+        -> aspect-ratio bucket (integer arithmetic)
+        -> deterministic per-bucket sample (k smallest md5 hashes — the
+           mergeable exact-k contract, no RNG)
+        -> pack manifest: per bucket, sampled images orderd by hash with
+           a running pixel offset (the byte-planning step a training
+           loader needs to pre-allocate shards).
+
+    The dataset flows through the object store between stages; the only
+    driver materialization is the final <= 3*per_bucket manifest.
+    Rows-only (pixel math is not SQL); repeat-run determinism is pinned
+    by pytest like the other hash-decided operators."""
+    from ..functions.hashing import md5_hex_prefix
+    from ..stages.shuffle import bucketed_group_apply
+
+    base = payload_table(sf_dir)
+    gated = mm.image_quality(base)          # image_id, signals, passed
+    keep = gated.map_batches(
+        lambda df: df.loc[df["passed"] == 1, ["image_id"]],
+        batch_format="pandas")
+
+    # ride (image_id, phash, w, h) through; gate via in-bucket semi join
+    # on image_id so blobs never shuffle
+    meta = base.map_batches(
+        lambda df: (df[["image_id", "phash", "w", "h"]]
+                    .astype({"w": "int64", "h": "int64"})
+                    .assign(side=np.int8(0))),
+        batch_format="pandas")
+    tag = keep.map_batches(
+        lambda df: pd.DataFrame({"image_id": df["image_id"].to_numpy(),
+                                 "phash": np.int64(0),
+                                 "w": np.int64(0), "h": np.int64(0),
+                                 "side": np.int8(1)}),
+        batch_format="pandas")
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        ok = set(g.loc[g["side"] == 1, "image_id"])
+        rows = g[(g["side"] == 0) & g["image_id"].isin(ok)]
+        return rows[["image_id", "phash", "w", "h"]]
+
+    passed = bucketed_group_apply(meta.union(tag), "image_id", semi,
+                                  num_buckets=4)
+
+    def dedup_min_id(g: pd.DataFrame) -> pd.DataFrame:
+        # keep min image_id per phash (exact: phash is the content key)
+        idx = g.groupby("phash")["image_id"].idxmin()
+        return g.loc[idx, ["image_id", "phash", "w", "h"]]
+
+    uniq = bucketed_group_apply(passed, "phash", dedup_min_id, num_buckets=4)
+
+    def bucket_and_hash(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        df = df.assign(
+            bucket=np.where(w * 4 >= h * 5, "wide",
+                            np.where(h * 4 >= w * 5, "tall", "square")),
+            hx=md5_hex_prefix("cip:" + df["image_id"].astype(str), 16),
+            n_px=w * h)
+        # per-batch combiner: at most per_bucket rows per bucket survive
+        return (df.sort_values(["bucket", "hx"])
+                  .groupby("bucket", as_index=False).head(per_bucket))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["bucket", "hx"])
+              .groupby("bucket", as_index=False).head(per_bucket))
+        g = g.sort_values(["bucket", "hx"]).reset_index(drop=True)
+        g["offset_px"] = (g.groupby("bucket")["n_px"].cumsum()
+                          - g["n_px"])
+        return g[["bucket", "image_id", "w", "h", "n_px", "offset_px"]]
+
+    out = bucketed_group_apply(uniq, "bucket", pack, num_buckets=2,
+                               partial_fn=bucket_and_hash).to_pandas()
+    return (out.astype({"n_px": "int64", "offset_px": "int64"})
+               .sort_values(["bucket", "offset_px"]).reset_index(drop=True))
