@@ -549,11 +549,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cumulative COUNT(DISTINCT) decomposed: mergeable first-seen
         # argmin partials + a tiny driver-side daily cumsum
         "cumulative_new_users": AN.q_cumulative_new_users,
+        # nine exact equi-depth decile boundaries from ONE selection
+        # histogram (multi-rank amortization of exact_global_quantiles)
+        "decile_boundaries": SO.q_decile_boundaries,
+        # mutual information event_type x ISO dow: closes over the exact
+        # 5x7 contingency counts; 35 libm terms on the driver
+        "mutual_information": AN.q_mutual_information,
         # joins / lookups (§2.4)
         "anti_join": R.q_anti_join,
-        "string_agg_per_nation": R.q_string_agg_per_nation,
         # extraction / streaming-shaped (§2.2, §2.8)
-        "props_extract": R.q_props_extract,
         "sessionize": R.q_sessionize,
         # (e) NEW round 4 (all oracle-backed except crawl_meta_versioned):
         # per-group linear regression from the corr raw-moment partials
@@ -610,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": R.q_join_revenue_by_priority,
         "broadcast_dim_join": R.q_broadcast_dim_join,
         "semi_join": R.q_semi_join,
+        "string_agg_per_nation": R.q_string_agg_per_nation,
+        "props_extract": R.q_props_extract,
         "count_per_source": R.q_count_per_source,
         "tumbling_window": R.q_tumbling_window,
         "filter_sort_limit": R.q_filter_sort_limit,
@@ -1192,6 +1198,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_images,
                    SUM(w*h)::BIGINT AS total_pixels
             FROM dims GROUP BY bucket ORDER BY bucket
+        """,
+        "decile_boundaries": """
+            SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.1), 4) AS d1,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.2), 4) AS d2,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.3), 4) AS d3,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.4), 4) AS d4,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS d5,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.6), 4) AS d6,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.7), 4) AS d7,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.8), 4) AS d8,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS d9
+            FROM lineitem
+        """,
+        "mutual_information": """
+            -- MI closes over the exact (type, isodow) contingency counts;
+            -- each term states the engine's exact float expression
+            WITH c AS (SELECT event_type AS t, ISODOW(ts) AS d,
+                              COUNT(*)::DOUBLE AS c
+                       FROM events GROUP BY t, d),
+            tot AS (SELECT SUM(c) AS n FROM c),
+            j AS (SELECT c.c, r.rc, k.kc, tot.n
+                  FROM c
+                  JOIN (SELECT t AS tt, SUM(c) AS rc FROM c GROUP BY 1) r
+                    ON c.t = r.tt
+                  JOIN (SELECT d AS dd, SUM(c) AS kc FROM c GROUP BY 1) k
+                    ON c.d = k.dd
+                  CROSS JOIN tot)
+            SELECT ROUND(SUM((c / n) * LN((c * n) / (rc * kc))), 6)
+                       AS mutual_information,
+                   SUM(c)::BIGINT AS n_events
+            FROM j
         """,
         "interval_union_per_user": """
             -- covered time stays in BIGINT microseconds end to end

@@ -293,7 +293,7 @@ def main_scaling(lo: int = 8, hi: int = 32) -> dict:
     }
 
 
-def _emit(result: dict) -> None:
+def _emit(result: dict, detail_file: str = "BENCH_FULL.json") -> None:
     """The external driver parses the LAST stdout line out of a ~2000-char
     tail window; round 2's 84-query JSON line overflowed it and BENCH_r02
     recorded ``"parsed": null``, and round 3's captured tail still held a
@@ -302,7 +302,7 @@ def _emit(result: dict) -> None:
     gets exactly one JSON line, guaranteed to fit the tail window."""
     full = json.dumps(result)
     try:
-        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        with open(os.path.join(REPO, detail_file), "w") as f:
             f.write(full + "\n")
     except OSError:
         pass
@@ -315,7 +315,7 @@ def _emit(result: dict) -> None:
         compact["queries"] = {
             "_n": len(qs), "_total_sec": round(sum(qs.values()), 2),
             "_max_sec": round(max(qs.values()), 2),
-            "_detail": "BENCH_FULL.json"}
+            "_detail": detail_file}
     print(json.dumps(compact))
 
 
@@ -335,6 +335,8 @@ if __name__ == "__main__":
             except (IndexError, ValueError):
                 sys.exit("usage: bench.py --scaling [--levels LO,HI] "
                          "(two ints, 0 < LO < HI)")
-        _emit(main_scaling(lo, hi))
+        # scaling detail goes to its own file so a --scaling run never
+        # clobbers the per-query map the plain bench wrote
+        _emit(main_scaling(lo, hi), detail_file="BENCH_SCALING.json")
     else:
         _emit(main_bench(crawl_only="--crawl-only" in sys.argv))

@@ -151,3 +151,39 @@ def test_event_transitions_tiebreak_is_event_id(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.sort_values(["prev_type", "next_type"]).reset_index(drop=True),
         want)
+
+
+def test_mutual_information_known_cases(ray_session, tmp_path):
+    ts_mon = pd.Timestamp("2024-01-01 10:00")   # Monday  -> isodow 1
+    ts_tue = pd.Timestamp("2024-01-02 10:00")   # Tuesday -> isodow 2
+    # perfectly dependent: type determines the day -> MI = ln(2)
+    pd.DataFrame({"event_type": ["view"] * 50 + ["click"] * 50,
+                  "ts": [ts_mon] * 50 + [ts_tue] * 50}).to_parquet(
+        tmp_path / "events.parquet")
+    out = A.q_mutual_information(str(tmp_path))
+    assert abs(out["mutual_information"].iloc[0] - round(np.log(2), 6)) < 1e-6
+    assert out["n_events"].iloc[0] == 100
+    # independent: uniform over (type, day) -> MI = 0
+    pd.DataFrame({"event_type": ["view", "click"] * 50,
+                  "ts": ([ts_mon] * 50 + [ts_tue] * 50)}).to_parquet(
+        tmp_path / "events.parquet")
+    out = A.q_mutual_information(str(tmp_path))
+    assert out["mutual_information"].iloc[0] == 0.0
+
+
+def test_decile_boundaries_match_numpy(ray_session, tmp_path):
+    rng = np.random.default_rng(5)
+    v = np.round(rng.uniform(1.0, 500.0, 2999), 2)
+    pd.DataFrame({"l_extendedprice": v}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    from vbpl_web_crawl_ray.pipelines.scaleops import q_decile_boundaries
+    out = q_decile_boundaries(str(tmp_path))
+    s = np.sort(v)
+    for i in range(1, 10):
+        rn = (i / 10) * (len(s) - 1)
+        f, c = int(np.floor(rn)), int(np.ceil(rn))
+        want = s[f] if f == c else s[f] + (rn - f) * (s[c] - s[f])
+        assert abs(out[f"d{i}"].iloc[0] - round(want, 4)) < 5e-5
+    # boundaries are nondecreasing
+    row = out.iloc[0].to_numpy()
+    assert (np.diff(row) >= 0).all()

@@ -307,3 +307,31 @@ def q_cumulative_new_users(sf_dir: str) -> pd.DataFrame:
     d["n_new"] = d["n_new"].astype("int64")
     d["cum_users"] = d["n_new"].cumsum().astype("int64")
     return d
+
+
+def q_mutual_information(sf_dir: str) -> pd.DataFrame:
+    """Mutual information between event_type and ISO day-of-week — the
+    feature-relevance screen run before training on a categorical: MI
+    closes over the (type, dow) CONTINGENCY COUNTS, all exact integers
+    from mergeable partials, so the only float work is 35 terms of
+    (c/N)*ln(cN/(r*k)) on the driver, evaluated through libm with the
+    oracle stating the identical expression. Nothing but the 5x7 count
+    grid ever leaves the cluster."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].dt.dayofweek.to_numpy() + 1      # == SQL ISODOW
+        return (pd.DataFrame({"t": df["event_type"].to_numpy(), "d": d})
+                .groupby(["t", "d"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby(["t", "d"], as_index=False)["c"].sum()
+    cc = c["c"].to_numpy(np.float64)
+    n = cc.sum()                                      # integer-exact
+    r = c.groupby("t")["c"].transform("sum").to_numpy(np.float64)
+    k = c.groupby("d")["c"].transform("sum").to_numpy(np.float64)
+    terms = (cc / n) * _ln((cc * n) / (r * k))
+    return pd.DataFrame({
+        "mutual_information": [round_half_away(float(terms.sum()), 6)],
+        "n_events": [np.int64(n)]})

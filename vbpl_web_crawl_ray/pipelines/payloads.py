@@ -255,32 +255,26 @@ def q_curated_image_pack(sf_dir: str, per_bucket: int = 50) -> pd.DataFrame:
     from ..stages.shuffle import bucketed_group_apply
 
     base = payload_table(sf_dir)
-    gated = mm.image_quality(base)          # image_id, signals, passed
-    keep = gated.map_batches(
-        lambda df: df.loc[df["passed"] == 1, ["image_id"]],
-        batch_format="pandas")
 
-    # ride (image_id, phash, w, h) through; gate via in-bucket semi join
-    # on image_id so blobs never shuffle
-    meta = base.map_batches(
-        lambda df: (df[["image_id", "phash", "w", "h"]]
-                    .astype({"w": "int64", "h": "int64"})
-                    .assign(side=np.int8(0))),
-        batch_format="pandas")
-    tag = keep.map_batches(
-        lambda df: pd.DataFrame({"image_id": df["image_id"].to_numpy(),
-                                 "phash": np.int64(0),
-                                 "w": np.int64(0), "h": np.int64(0),
-                                 "side": np.int8(1)}),
-        batch_format="pandas")
+    # the gate runs INLINE: ImageQuality's output frame is row-aligned
+    # with its input batch, so the metadata rides through by assignment
+    # and the blobs drop right here — no join, no shuffle, one decode
+    class GateAndStrip:
+        def __init__(self):
+            self.quality = mm.ImageQuality()
 
-    def semi(g: pd.DataFrame) -> pd.DataFrame:
-        ok = set(g.loc[g["side"] == 1, "image_id"])
-        rows = g[(g["side"] == 0) & g["image_id"].isin(ok)]
-        return rows[["image_id", "phash", "w", "h"]]
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            q = self.quality(df)
+            keep = (q["passed"] == 1).to_numpy()
+            return pd.DataFrame({
+                "image_id": df["image_id"].to_numpy()[keep],
+                "phash": df["phash"].to_numpy(np.int64)[keep],
+                "w": df["w"].to_numpy(np.int64)[keep],
+                "h": df["h"].to_numpy(np.int64)[keep]})
 
-    passed = bucketed_group_apply(meta.union(tag), "image_id", semi,
-                                  num_buckets=4)
+    passed = base.map_batches(GateAndStrip, batch_format="pandas",
+                              batch_size=mm.MULTIMODAL_BATCH,
+                              concurrency=(1, 8))
 
     def dedup_min_id(g: pd.DataFrame) -> pd.DataFrame:
         # keep min image_id per phash (exact: phash is the content key)

@@ -184,11 +184,13 @@ def q_full_outer_user_counts(sf_dir: str) -> pd.DataFrame:
                .sort_values("side").reset_index(drop=True))
 
 
-def q_exact_global_quantiles(sf_dir: str) -> pd.DataFrame:
-    """EXACT global median + p90 of l_extendedprice WITHOUT a global
-    sort — the distributed-selection pattern for the one group-by shape
-    the whole-group-bucket tricks (q_median_per_group, q_p95_per_type)
-    cannot handle: a single global group that fits no machine.
+def exact_quantiles_selection(ds: rd.Dataset, col: str,
+                              qs: dict[str, float]) -> pd.DataFrame:
+    """EXACT global quantiles WITHOUT a global sort — the
+    distributed-selection pattern for the one group-by shape the
+    whole-group-bucket tricks (q_median_per_group, q_p95_per_type)
+    cannot handle: a single global group that fits no machine. Any
+    number of quantiles resolves from the SAME histogram.
 
     Three streaming passes, O(bins) driver memory, zero shuffle:
       1. (count, min, max) partials;
@@ -196,16 +198,12 @@ def q_exact_global_quantiles(sf_dir: str) -> pd.DataFrame:
          emits only its NONZERO bins, the driver sums them and locates
          which bin holds each needed order statistic by cumulative count;
       3. fetch ONLY the values in those target bins (for well-spread
-         doubles that's ~n/65k rows; a pathological bin would recurse
-         with a sub-histogram over that bin's range — population asserts
-         guard the assumption rather than silently gathering).
+         doubles that's ~n/65k rows per rank; a pathological bin would
+         recurse with a sub-histogram over that bin's range — population
+         asserts guard the assumption rather than silently gathering).
     The interpolation then replicates DuckDB's quantile_cont float ops
     exactly (rn = q*(n-1); v_lo + (rn-floor(rn))*(v_hi-v_lo)), so the
     compare is bit-exact on raw parquet doubles."""
-    col = "l_extendedprice"
-    ds = _read(sf_dir, "lineitem", [col])
-    qs = {"median_price": 0.5, "p90_price": 0.9}
-
     agg = ds.map_batches(
         lambda df: pd.DataFrame({"n": [len(df)],
                                  "lo": [df[col].min()],
@@ -263,3 +261,22 @@ def q_exact_global_quantiles(sf_dir: str) -> pd.DataFrame:
             val_at[f] + (rn - f) * (val_at[c] - val_at[f])
         out[name] = round_half_away(x, 4)
     return pd.DataFrame([out])
+
+
+def q_exact_global_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact global median + p90 of l_extendedprice via the selection
+    helper above (see exact_quantiles_selection for the 3-pass shape)."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return exact_quantiles_selection(ds, "l_extendedprice",
+                                     {"median_price": 0.5, "p90_price": 0.9})
+
+
+def q_decile_boundaries(sf_dir: str) -> pd.DataFrame:
+    """All nine equi-depth decile boundaries of l_extendedprice from ONE
+    histogram: the selection pattern amortizes — pass 2 locates every
+    order statistic in the same 65k-bin cumulative, pass 3 fetches the
+    union of target bins once. Nine exact global quantiles for the wire
+    cost of one."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = {f"d{i}": i / 10 for i in range(1, 10)}
+    return exact_quantiles_selection(ds, "l_extendedprice", qs)
