@@ -555,10 +555,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mutual information event_type x ISO dow: closes over the exact
         # 5x7 contingency counts; 35 libm terms on the driver
         "mutual_information": AN.q_mutual_information,
+        # per-dimension embedding normalization stats: (n,64) stack per
+        # batch -> five mergeable numbers per dim; float32->float64 cast
+        # BEFORE arithmetic matches the oracle ::DOUBLE exactly
+        "embedding_dim_stats": AN.q_embedding_dim_stats,
         # joins / lookups (§2.4)
         "anti_join": R.q_anti_join,
         # extraction / streaming-shaped (§2.2, §2.8)
-        "sessionize": R.q_sessionize,
         # (e) NEW round 4 (all oracle-backed except crawl_meta_versioned):
         # per-group linear regression from the corr raw-moment partials
         "regr_per_group": R2.q_regr_per_group,
@@ -616,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": R.q_semi_join,
         "string_agg_per_nation": R.q_string_agg_per_nation,
         "props_extract": R.q_props_extract,
+        "sessionize": R.q_sessionize,
         "count_per_source": R.q_count_per_source,
         "tumbling_window": R.q_tumbling_window,
         "filter_sort_limit": R.q_filter_sort_limit,
@@ -1198,6 +1202,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_images,
                    SUM(w*h)::BIGINT AS total_pixels
             FROM dims GROUP BY bucket ORDER BY bucket
+        """,
+        "embedding_dim_stats": """
+            WITH u AS (SELECT UNNEST(embedding)::DOUBLE AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings),
+            a AS (SELECT dim, COUNT(*)::BIGINT AS n, SUM(v) AS s,
+                         SUM(v*v) AS ss, MIN(v) AS mn, MAX(v) AS mx
+                  FROM u GROUP BY dim)
+            SELECT dim::BIGINT AS dim, n,
+                   ROUND(s/n, 4) AS mean_v,
+                   ROUND(SQRT(ss/n - (s/n)*(s/n)), 4) AS std_v,
+                   ROUND(mn, 4) AS min_v, ROUND(mx, 4) AS max_v
+            FROM a ORDER BY dim
         """,
         "decile_boundaries": """
             SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.1), 4) AS d1,

@@ -335,3 +335,40 @@ def q_mutual_information(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "mutual_information": [round_half_away(float(terms.sum()), 6)],
         "n_events": [np.int64(n)]})
+
+
+def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension normalization statistics over the embedding column —
+    the feature-scaling pass a trainer runs before standardizing inputs.
+    Each batch stacks its list<float> rows into one (n, 64) matrix and
+    emits 64 rows of (n, sum, sum-of-squares, min, max) partials — five
+    numbers per dimension per batch, fully mergeable, so the 100-TB wire
+    cost is O(batches x dims). Values cast float32->float64 BEFORE any
+    arithmetic (exactly the oracle's ::DOUBLE), mean/std close over the
+    merged sums with the SQL's stated operand order."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+            "n": np.int64(m.shape[0]),
+            "s": m.sum(axis=0),
+            "ss": (m * m).sum(axis=0),
+            "mn": m.min(axis=0),
+            "mx": m.max(axis=0)})
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    a = parts.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"))
+    mean = a["s"] / a["n"]
+    std = np.sqrt(a["ss"] / a["n"] - mean * mean)
+    return pd.DataFrame({
+        "dim": a["dim"].astype("int64"),
+        "n": a["n"].astype("int64"),
+        "mean_v": round_half_away(mean.to_numpy(), 4),
+        "std_v": round_half_away(std.to_numpy(), 4),
+        "min_v": round_half_away(a["mn"].to_numpy(), 4),
+        "max_v": round_half_away(a["mx"].to_numpy(), 4)}).sort_values(
+        "dim").reset_index(drop=True)
