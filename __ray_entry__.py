@@ -108,6 +108,29 @@ def _crawl_payload(sf_dir: str):
     return rd.read_parquet(f"{out}/payload").drop_columns(["round"])
 
 
+def _stream_session_windows(sf_dir: str):
+    """Event-time SESSION windows (merging windows) with watermark
+    finalization: fed in event-time order nothing drops, so the finalized
+    sessions must equal the batch gaps-and-islands GROUP BY — the oracle.
+    Session bounds are raw-timestamp pass-throughs (no float time math);
+    the bridge-merge and late-drop semantics are pinned by pytest."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.functions.numeric import round_half_away
+    from vbpl_web_crawl_ray.stages.streaming import run_session_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out, metrics = run_session_windows(ds, key_col="user_id",
+                                       gap_s=1800.0,
+                                       allowed_lateness_s=0.0)
+    assert metrics["dropped_late"] == 0   # ordered feed: nothing late
+    out = out.rename(columns={"key": "user_id"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 4)
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
 def _stream_tumbling_watermark(sf_dir: str):
     """Event-time tumbling windows with WATERMARK finalization (windows
     emit exactly once when the watermark passes; open-window state is
@@ -559,8 +582,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch -> five mergeable numbers per dim; float32->float64 cast
         # BEFORE arithmetic matches the oracle ::DOUBLE exactly
         "embedding_dim_stats": AN.q_embedding_dim_stats,
+        # per-(type, minute) OHLC bars: first/last close over the
+        # (ts, event_id) lexicographic key so partials merge; every
+        # output is a raw-value pass-through (no float arithmetic)
+        "ohlc_bars": AN.q_ohlc_bars,
         # joins / lookups (§2.4)
-        "anti_join": R.q_anti_join,
         # extraction / streaming-shaped (§2.2, §2.8)
         # (e) NEW round 4 (all oracle-backed except crawl_meta_versioned):
         # per-group linear regression from the corr raw-moment partials
@@ -587,9 +613,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-time tumbling windows with watermark finalization: ordered
         # feed == batch GROUP BY (oracle); late-drop semantics pytest-pinned
         "stream_tumbling_watermark": _stream_tumbling_watermark,
-        # (d) longest-unchecked rows-only entries (last rows in r1/r2):
-        "stream_user_state": _stream_user_state,
+        # event-time SESSION windows (merging windows) finalized by the
+        # watermark; ordered feed == batch gaps-and-islands (oracle)
+        "stream_session_windows": _stream_session_windows,
         # ---------------- past the driver's 50-entry window ----------------
+        # rows-only actor-state stream (displaced by the oracle-backed
+        # session windows above; still pinned by batch-equivalence tests)
+        "stream_user_state": _stream_user_state,
         # the crawl itself as a gated pipeline (rows-only; deterministic —
         # and exercised in-window via crawl_meta_versioned's full crawl)
         "crawl_payload": _crawl_payload,
@@ -616,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": R.q_pricing_summary,
         "join_revenue_by_priority": R.q_join_revenue_by_priority,
         "broadcast_dim_join": R.q_broadcast_dim_join,
+        "anti_join": R.q_anti_join,
         "semi_join": R.q_semi_join,
         "string_agg_per_nation": R.q_string_agg_per_nation,
         "props_extract": R.q_props_extract,
@@ -1202,6 +1233,44 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_images,
                    SUM(w*h)::BIGINT AS total_pixels
             FROM dims GROUP BY bucket ORDER BY bucket
+        """,
+        "stream_session_windows": """
+            -- batch gaps-and-islands twin of the streaming session actor
+            WITH o AS (SELECT user_id, ts, value,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM events),
+            g AS (SELECT user_id, ts, value,
+                    SUM(CASE WHEN pts IS NULL
+                              OR ts > pts + INTERVAL 1800 SECOND
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM g GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "ohlc_bars": """
+            WITH b AS (SELECT event_type,
+                              CAST(date_trunc('minute', ts) AS TIMESTAMP)
+                                  AS minute,
+                              ts, event_id, value FROM events),
+            w AS (SELECT event_type, minute, value,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, minute
+                                       ORDER BY ts, event_id) AS rn_a,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, minute
+                                       ORDER BY ts DESC, event_id DESC) AS rn_z
+                  FROM b)
+            SELECT event_type, minute,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+                   MAX(value) AS high_v,
+                   MIN(value) AS low_v,
+                   MAX(CASE WHEN rn_z = 1 THEN value END) AS close_v,
+                   COUNT(*)::BIGINT AS n
+            FROM w GROUP BY event_type, minute
+            ORDER BY event_type, minute
         """,
         "embedding_dim_stats": """
             WITH u AS (SELECT UNNEST(embedding)::DOUBLE AS v,

@@ -249,3 +249,78 @@ def test_watermark_late_events_dropped_and_counted():
     m = ray.get(b.metrics.remote())
     assert m["dropped_late"] == 0
     assert out[out["win_start"] == 0]["n"].item() == 2
+
+
+def test_session_windows_bridge_merge_and_late_drop():
+    """The merging-window semantics: a late-but-allowed event landing
+    between two open sessions BRIDGES them into one; an event behind the
+    lateness horizon is dropped and counted, never resurrects a
+    finalized session."""
+    import ray
+    from vbpl_web_crawl_ray.stages.streaming import SessionWindow
+
+    def mk(ts_s, key=1, value=1.0):
+        return pd.DataFrame({
+            "key": [key],
+            "ts": pd.to_datetime([ts_s], unit="s").astype("datetime64[us]"),
+            "value": [value]})
+
+    # gap 10, lateness 30: events at 0 and 15 open TWO sessions; the
+    # late event at 8 (inside lateness, wm=15 -> frontier=-15) touches
+    # both (8 <= 0+10 and 8 >= 15-10) and merges them into one
+    a = SessionWindow.remote(gap_s=10.0, allowed_lateness_s=30.0)
+    ray.get(a.feed.remote(mk(0)))
+    ray.get(a.feed.remote(mk(15)))
+    m = ray.get(a.metrics.remote())
+    assert m["open_sessions"] == 2
+    ray.get(a.feed.remote(mk(8)))        # the bridge
+    out = ray.get(a.flush.remote())
+    assert len(out) == 1
+    assert out["n"].item() == 3
+    assert (out["start_us"].item(), out["end_us"].item()) == (0, 15_000_000)
+    assert ray.get(a.metrics.remote())["dropped_late"] == 0
+
+    # lateness 0: the session ending at 5 finalizes once wm-0 passes
+    # 5+gap; the straggler at 3 is behind the horizon -> dropped
+    b = SessionWindow.remote(gap_s=10.0, allowed_lateness_s=0.0)
+    ray.get(b.feed.remote(mk(5)))
+    ray.get(b.feed.remote(mk(40)))       # frontier=40 > 15: finalized
+    ray.get(b.feed.remote(mk(3)))        # dropped, nothing resurrected
+    out = ray.get(b.flush.remote())
+    m = ray.get(b.metrics.remote())
+    assert m["dropped_late"] == 1
+    assert len(out) == 2                 # [5,5] and [40,40], each once
+    assert out["n"].tolist() == [1, 1]
+
+
+def test_session_windows_ordered_equals_batch(sf_dir):
+    """Ordered feed == batch gaps-and-islands: same sessions, counts and
+    bounds as a pandas reference over the same events."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.stages.streaming import run_session_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    got, metrics = run_session_windows(ds, key_col="user_id", gap_s=1800.0)
+    assert metrics["dropped_late"] == 0
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(seconds=1800)
+    new = (ev["user_id"].ne(ev["user_id"].shift(1))
+           | (ev["ts"] > ev.groupby("user_id")["ts"].shift(1) + gap))
+    sid = new.cumsum()
+    want = (ev.groupby(["user_id", sid])
+              .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                   n=("ts", "size"), sum_value=("value", "sum"))
+              .reset_index(level=0).reset_index(drop=True)
+              .sort_values(["user_id", "session_start"])
+              .reset_index(drop=True))
+    got = got.rename(columns={"key": "user_id"})
+    got["user_id"] = got["user_id"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_start", "session_end", "n"]],
+        want[["user_id", "session_start", "session_end", "n"]],
+        check_dtype=False)
+    assert np.allclose(got["sum_value"], want["sum_value"])

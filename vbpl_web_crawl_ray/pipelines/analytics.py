@@ -372,3 +372,49 @@ def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
         "min_v": round_half_away(a["mn"].to_numpy(), 4),
         "max_v": round_half_away(a["mx"].to_numpy(), 4)}).sort_values(
         "dim").reset_index(drop=True)
+
+
+def q_ohlc_bars(sf_dir: str) -> pd.DataFrame:
+    """Per-(event_type, minute) OHLC bars — the time-series downsampling
+    pass (open = value at first (ts, event_id), close = at last, high/low
+    = extremes, n = count). Every output is a PASS-THROUGH of raw parquet
+    doubles — no arithmetic touches a value, so the oracle compare is
+    exact with no rounding anywhere. Partials are mergeable because
+    first/last close over the (ts, event_id) lexicographic key: each
+    batch ships one candidate row per bar it saw, buckets re-reduce the
+    candidates the same way."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(minute=df["ts"].dt.floor("min"))
+        d = d.sort_values(["ts", "event_id"], kind="mergesort")
+        g = d.groupby(["event_type", "minute"], as_index=False)
+        out = g.agg(open_v=("value", "first"), close_v=("value", "last"),
+                    high_v=("value", "max"), low_v=("value", "min"),
+                    n=("value", "size"),
+                    min_ts=("ts", "min"), max_ts=("ts", "max"))
+        # lexicographic tiebreak keys for the merge
+        first = g.agg(min_eid=("event_id", "first"))
+        last = g.agg(max_eid=("event_id", "last"))
+        return out.assign(min_eid=first["min_eid"], max_eid=last["max_eid"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.sort_values(["min_ts", "min_eid"], kind="mergesort") \
+             .groupby(["event_type", "minute"], as_index=False) \
+             .agg(open_v=("open_v", "first"))
+        z = g.sort_values(["max_ts", "max_eid"], kind="mergesort") \
+             .groupby(["event_type", "minute"], as_index=False) \
+             .agg(close_v=("close_v", "last"))
+        m = g.groupby(["event_type", "minute"], as_index=False).agg(
+            high_v=("high_v", "max"), low_v=("low_v", "min"), n=("n", "sum"))
+        out = a.merge(z, on=["event_type", "minute"]) \
+               .merge(m, on=["event_type", "minute"])
+        return out[["event_type", "minute", "open_v", "high_v",
+                    "low_v", "close_v", "n"]]
+
+    out = bucketed_group_apply(ev, "event_type", merge, num_buckets=4,
+                               partial_fn=partial).to_pandas()
+    return (out.astype({"n": "int64"})
+               .sort_values(["event_type", "minute"])
+               .reset_index(drop=True))

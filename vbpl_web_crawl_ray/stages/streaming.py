@@ -190,3 +190,127 @@ def run_watermark_windows(ds: rd.Dataset, key_col: str,
     out = (pd.concat(outs, ignore_index=True)
              .sort_values(["key", "win_start"]).reset_index(drop=True))
     return out, metrics
+
+
+@ray.remote(num_cpus=0)
+class SessionWindow:
+    """Event-time SESSION windows with watermark finalization — the
+    MERGING-window semantics tumbling cannot express: a session is a
+    maximal run of a key's events with gaps <= ``gap``; a late-but-
+    allowed event that lands between two open sessions BRIDGES them into
+    one (the merge is the hard part every streaming engine special-cases).
+    A session finalizes exactly once when the watermark (max event time
+    minus allowed lateness) passes ``last_ts + gap`` — no future event can
+    extend it — so open state is bounded by activity within the lateness
+    horizon, not by stream length. Events strictly behind the horizon are
+    dropped and counted. All event-time arithmetic in int64 microseconds
+    (the event_gap lesson)."""
+
+    def __init__(self, gap_s: float = 1800.0,
+                 allowed_lateness_s: float = 0.0):
+        self.gap = int(round(gap_s * 1e6))
+        self.late = int(round(allowed_lateness_s * 1e6))
+        self.open: dict = {}      # key -> [[start, last, n, sum], ...]
+        self.done: list = []
+        self.watermark = None
+        self.dropped = 0
+
+    def feed(self, batch: pd.DataFrame) -> int:
+        ts = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = batch["key"].to_numpy()
+        vals = batch["value"].to_numpy()
+        frontier = (self.watermark - self.late
+                    if self.watermark is not None else None)
+        for k, t, v in zip(keys, ts, vals):
+            t = int(t)
+            if frontier is not None and t < frontier:
+                self.dropped += 1             # behind the horizon
+                continue
+            sess = self.open.setdefault(k, [])
+            hits = [i for i, s in enumerate(sess)
+                    if s[0] - self.gap <= t <= s[1] + self.gap]
+            start, last, n, total = t, t, 1, float(v)
+            for i in sorted(hits, reverse=True):   # bridge-merge
+                s = sess.pop(i)
+                start = min(start, s[0])
+                last = max(last, s[1])
+                n += s[2]
+                total += s[3]
+            sess.append([start, last, n, total])
+        if len(ts):
+            wm = int(ts.max())
+            self.watermark = (wm if self.watermark is None
+                              else max(self.watermark, wm))
+        self._finalize()
+        return len(batch)
+
+    def _finalize(self) -> None:
+        if self.watermark is None:
+            return
+        frontier = self.watermark - self.late
+        for k in list(self.open):
+            sess = self.open[k]
+            closed = [s for s in sess if s[1] + self.gap < frontier]
+            if closed:
+                self.open[k] = [s for s in sess
+                                if s[1] + self.gap >= frontier]
+                for s in sorted(closed):
+                    self.done.append((k, s[0], s[1], s[2], s[3]))
+                if not self.open[k]:
+                    del self.open[k]
+
+    def flush(self) -> pd.DataFrame:
+        for k in sorted(self.open):
+            for s in sorted(self.open[k]):
+                self.done.append((k, s[0], s[1], s[2], s[3]))
+        self.open.clear()
+        out = pd.DataFrame(self.done, columns=[
+            "key", "start_us", "end_us", "n", "sum_value"])
+        return out
+
+    def metrics(self) -> dict:
+        return {"dropped_late": self.dropped,
+                "open_sessions": sum(len(v) for v in self.open.values()),
+                "watermark": self.watermark}
+
+
+def run_session_windows(ds: rd.Dataset, key_col: str,
+                        gap_s: float = 1800.0,
+                        allowed_lateness_s: float = 0.0,
+                        num_buckets: int = 4,
+                        feed_batch_rows: int = 2048,
+                        arrival_order=("ts", "event_id")):
+    """Feed an events Dataset through session-window actors in arrival
+    order (event-time order by default: nothing drops and the finalized
+    output equals the batch gaps-and-islands GROUP BY — the oracle).
+    Returns (sessions DataFrame with timestamp bounds, metrics dict)."""
+    actors = [SessionWindow.remote(gap_s, allowed_lateness_s)
+              for _ in range(num_buckets)]
+    pending: list = []
+    for batch in (ds.sort(list(arrival_order))
+                    .iter_batches(batch_format="pandas",
+                                  batch_size=feed_batch_rows)):
+        batch = batch.rename(columns={key_col: "key"})
+        b = bucket_of(batch["key"].to_numpy(), num_buckets)
+        for bid in np.unique(b):
+            pending.append(actors[bid].feed.remote(batch[b == bid]))
+        if len(pending) >= 64:
+            ray.get(pending)
+            pending = []
+    ray.get(pending)
+    outs = [o for o in ray.get([a.flush.remote() for a in actors]) if len(o)]
+    mets = ray.get([a.metrics.remote() for a in actors])
+    metrics = {"dropped_late": sum(m["dropped_late"] for m in mets)}
+    if not outs:
+        empty = pd.DataFrame({"key": pd.Series(dtype=object),
+                              "session_start": pd.Series(dtype="datetime64[us]"),
+                              "session_end": pd.Series(dtype="datetime64[us]"),
+                              "n": pd.Series(dtype=np.int64),
+                              "sum_value": pd.Series(dtype=np.float64)})
+        return empty, metrics
+    out = pd.concat(outs, ignore_index=True)
+    out["session_start"] = pd.to_datetime(out.pop("start_us"), unit="us")
+    out["session_end"] = pd.to_datetime(out.pop("end_us"), unit="us")
+    out = out[["key", "session_start", "session_end", "n", "sum_value"]]
+    return (out.sort_values(["key", "session_start"])
+               .reset_index(drop=True), metrics)
