@@ -97,7 +97,10 @@ def q_brand_pair_counts(sf_dir: str) -> pd.DataFrame:
     in hash buckets, and the pair explosion is a RAGGED VECTORIZED
     arange (no per-order Python loop) bounded by the largest single
     order — never by the table. Only <=C(|brands|,2) count partials
-    leave each bucket."""
+    leave each bucket. (Scale note: the partkey->brand map broadcasts
+    because brands are a bounded vocabulary over a dim table; were the
+    dim to outgrow ray.put, the lookup becomes one bucketed_join on
+    partkey BEFORE the okey shuffle — same downstream shape.)"""
     part = pd.read_parquet(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_brand"])
     ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
