@@ -533,7 +533,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": CP.q_corpus_stats,
         "split_counts": CP.q_split_counts,
         # (c) oracle-backed, last driver row round 2 (green r1+r2):
-        "token_count": lambda sf: textstats.token_count(_docs(sf)),
         "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
         "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
         "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
@@ -586,6 +585,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (ts, event_id) lexicographic key so partials merge; every
         # output is a raw-value pass-through (no float arithmetic)
         "ohlc_bars": AN.q_ohlc_bars,
+        # hopping (sliding) event-time windows: ragged vectorized
+        # window expansion INSIDE the partial combiner - the shuffle
+        # moves per-(type, window) partials, never the expanded rows
+        "hopping_window": AN.q_hopping_window,
         # joins / lookups (§2.4)
         # extraction / streaming-shaped (§2.2, §2.8)
         # (e) NEW round 4 (all oracle-backed except crawl_meta_versioned):
@@ -650,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": R.q_semi_join,
         "string_agg_per_nation": R.q_string_agg_per_nation,
         "props_extract": R.q_props_extract,
+        "token_count": lambda sf: textstats.token_count(_docs(sf)),
         "sessionize": R.q_sessionize,
         "count_per_source": R.q_count_per_source,
         "tumbling_window": R.q_tumbling_window,
@@ -1233,6 +1237,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_images,
                    SUM(w*h)::BIGINT AS total_pixels
             FROM dims GROUP BY bucket ORDER BY bucket
+        """,
+        "hopping_window": """
+            -- integer-microsecond window math; EPOCH_US is positive so
+            -- floor division == truncation on both engines
+            WITH e AS (SELECT event_type, value, EPOCH_US(ts) AS t
+                       FROM events),
+            w AS (SELECT event_type, value,
+                    UNNEST(generate_series((t - 3600000000) // 900000000 + 1,
+                                           t // 900000000)) AS k
+                  FROM e)
+            SELECT event_type, (k * 900000000) // 1000000 AS win_start,
+                   COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM w GROUP BY event_type, win_start
+            ORDER BY event_type, win_start
         """,
         "stream_session_windows": """
             -- batch gaps-and-islands twin of the streaming session actor

@@ -421,3 +421,43 @@ def q_ohlc_bars(sf_dir: str) -> pd.DataFrame:
     return (out.astype({"n": "int64"})
                .sort_values(["event_type", "minute"])
                .reset_index(drop=True))
+
+
+def q_hopping_window(sf_dir: str, size_s: int = 3600,
+                     hop_s: int = 900) -> pd.DataFrame:
+    """Hopping (sliding) event-time windows: every event lands in
+    size/hop overlapping windows, aggregated per (event_type, window
+    start). The expansion is the same RAGGED vectorized arange as the
+    pair explosion — each row's window count is (size/hop) exactly, no
+    per-row loop — and it happens INSIDE the partial combiner, so the
+    shuffle moves per-(type, window) partials, never the expanded rows.
+    All window math in int64 microseconds; epoch timestamps are positive
+    so integer division == floor on both engines."""
+    size = size_s * 1_000_000
+    hop = hop_s * 1_000_000
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        k_min = (t - size) // hop + 1
+        k_max = t // hop
+        cnt = (k_max - k_min + 1).astype(np.int64)   # == size//hop
+        rows = np.repeat(np.arange(len(t)), cnt)
+        starts = np.cumsum(cnt) - cnt
+        k = (np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
+             + np.repeat(k_min, cnt))
+        d = pd.DataFrame({"event_type": df["event_type"].to_numpy()[rows],
+                          "win_start": k * hop,
+                          "value": df["value"].to_numpy()[rows]})
+        return (d.groupby(["event_type", "win_start"], as_index=False)
+                 .agg(n=("value", "size"), s=("value", "sum")))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    a = parts.groupby(["event_type", "win_start"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    return (pd.DataFrame({
+        "event_type": a["event_type"],
+        "win_start": (a["win_start"] // 1_000_000).astype("int64"),
+        "n": a["n"].astype("int64"),
+        "sum_value": round_half_away(a["s"].to_numpy(), 4)})
+        .sort_values(["event_type", "win_start"]).reset_index(drop=True))
