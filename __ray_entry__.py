@@ -627,6 +627,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and exercised in-window via crawl_meta_versioned's full crawl)
         "crawl_payload": _crawl_payload,
         "ann_lsh_topk": lambda sf: ann.lsh_topk(sf, query_vec_id=0, k=10),
+        # two-stage JL retrieval: seeded 64->48 projection, cheap
+        # reduced-space candidate scan, exact full-dim rescore of only
+        # |candidates| vectors (rows-only: approximate; recall pinned)
+        "ann_projected_topk": lambda sf: ann.projected_topk(sf, query_vec_id=0, k=10),
         "phash_dup_clusters": _phash_dup_clusters,
         # reference-parity parsers over deterministic pseudo-docs (rows-only)
         "vbpl_fulltext_sections": P.q_fulltext_sections,

@@ -324,3 +324,18 @@ def test_session_windows_ordered_equals_batch(sf_dir):
         want[["user_id", "session_start", "session_end", "n"]],
         check_dtype=False)
     assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_projected_topk_recall(sf_dir):
+    """Two-stage JL retrieval (reduced-space candidates -> exact rescore)
+    must recover nearly all of the full-dim exact top-k; the raw reduced
+    ranking alone does not (that's the point of the rescore stage)."""
+    from vbpl_web_crawl_ray.stages import ann
+
+    exact = ann.brute_force_topk(sf_dir, 0, 10)
+    red = ann.projected_topk(sf_dir, 0, 10)
+    recall = len(set(red["vec_id"]) & set(exact["vec_id"]))
+    assert recall >= 9
+    # determinism: the seeded projection gives identical output per run
+    again = ann.projected_topk(sf_dir, 0, 10)
+    assert red.equals(again)

@@ -101,3 +101,42 @@ def doc_embedding_near_dup(sf_dir: str, threshold: float = 0.95,
     return lsh_near_dup_pairs(embds, threshold, n_planes=n_planes,
                               n_tables=n_tables, seed=seed,
                               id_col="doc_id", with_sim=True)
+
+
+def projection_matrix(in_dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic Johnson-Lindenstrauss projection: a seeded Gaussian
+    (in_dim, out_dim) matrix scaled by 1/sqrt(out_dim). Seeded PCG64 is
+    platform-stable, so every actor derives the SAME matrix — at cluster
+    scale it broadcasts once via ray.put exactly like model weights."""
+    g = np.random.Generator(np.random.PCG64(seed))
+    return (g.standard_normal((in_dim, out_dim))
+            / np.sqrt(out_dim)).astype(np.float64)
+
+
+class ProjectEmbeddings:
+    """Actor-pool dimensionality-reduction stage (the JL transform a
+    pipeline runs before an ANN index when the raw dim is too wide):
+    matrix built once per actor in __init__ (where a learned projection
+    would load its checkpoint), one matmul per batch, output
+    re-normalized so cosine in the reduced space stays a cosine."""
+
+    def __init__(self, in_dim: int = 64, out_dim: int = 32, seed: int = 7):
+        self.proj = projection_matrix(in_dim, out_dim, seed)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        red = mat @ self.proj
+        norms = np.linalg.norm(red, axis=1)
+        norms[norms == 0] = 1.0
+        red = red / norms[:, None]
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "embedding": list(red.astype(np.float32))})
+
+
+def project_embeddings(ds: rd.Dataset, in_dim: int = 64, out_dim: int = 32,
+                       seed: int = 7, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(ProjectEmbeddings, batch_format="pandas",
+                          concurrency=concurrency,
+                          fn_constructor_kwargs={"in_dim": in_dim,
+                                                 "out_dim": out_dim,
+                                                 "seed": seed})
