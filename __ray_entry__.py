@@ -396,6 +396,29 @@ def _doc_pagerank(sf_dir: str):
     return pagerank(edges, src="src", dst="dst", iters=20)
 
 
+def _doc_triangles(sf_dir: str):
+    """Triangle count over the crawl's citation graph — degree-oriented
+    wedge generation, O(m^1.5) bound (rows-only: brute-force parity is
+    pytest-pinned; the crawl graph itself is not SQL-visible)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vbpl_web_crawl_ray.stages.graph import triangle_count
+
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4),
+                            fetch_concurrency=(1, 2),
+                            parse_concurrency=(1, 2))
+    files = sorted(glob.glob(f"{out}/edges/round=*/*.parquet")) \
+        + sorted(glob.glob(f"{out}/doc_map/round=*/*.parquet"))
+    frames = [pq.read_table(f, columns=["src", "dst"]).to_pandas()
+              for f in files]
+    edges = pd.concat(frames, ignore_index=True).drop_duplicates()
+    return triangle_count(edges)
+
+
 def _crawl_host_stats(sf_dir: str):
     """Per-host crawl accounting straight off the crawl-log PARQUET (the
     log is data-plane output, consumed as a dataset — never a driver
@@ -730,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _crawl_host_stats,
         # iterative authority scoring over the crawled citation graph
         "doc_pagerank": _doc_pagerank,
+        # degree-oriented distributed triangle count over the same graph
+        "doc_triangles": _doc_triangles,
         # crawl output feeding the curation family: exact caption dedup
         # over the crawled payload table (keep-min-image_id per caption)
         "crawl_caption_dedup": lambda sf: dedup.exact_dedup(

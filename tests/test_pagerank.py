@@ -49,3 +49,46 @@ def test_pagerank_bucketed_path_equals_broadcast(sf_dir):
     merged = a.merge(b, on="node", suffixes=("_a", "_b"))
     assert len(merged) == len(a)
     assert np.allclose(merged["rank_a"], merged["rank_b"], atol=1e-9)
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from vbpl_web_crawl_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(13)
+    n = 60
+    pairs = [(f"n{a}", f"n{b}") for a, b in
+             rng.integers(0, n, (400, 2)) if a != b]
+    edges = pd.DataFrame(pairs, columns=["src", "dst"])
+    # brute force over the canonical undirected simple graph
+    und = {tuple(sorted(p)) for p in pairs}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+              if b in adj[a] and c in adj[a] and c in adj[b])
+
+    out = triangle_count(edges)
+    assert out["n_triangles"].item() == tri
+    assert out["n_edges"].item() == len(und)
+    assert out["n_nodes"].item() == len(adj)
+    assert tri > 0  # the random graph must actually contain triangles
+
+
+def test_triangle_count_planted(ray_session):
+    import pandas as pd
+
+    from vbpl_web_crawl_ray.stages.graph import triangle_count
+
+    # K4 = 4 triangles; duplicate/reversed/self edges must not change it
+    e = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("b", "a"), ("a", "a"), ("c", "b")]
+    out = triangle_count(pd.DataFrame(e, columns=["src", "dst"]))
+    assert out["n_triangles"].item() == 4
+    assert out["n_edges"].item() == 6
+    assert out["n_nodes"].item() == 4

@@ -393,3 +393,103 @@ def pagerank(edges: pd.DataFrame | rd.Dataset, src: str = "src",
         return _pagerank_actors(edges_ds, src, dst, d, iters)
     out = _pagerank_broadcast(edges_ds, src, dst, d, iters)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   num_buckets: int = 8) -> pd.DataFrame:
+    """Distributed triangle count by DEGREE-ORIENTED wedge generation —
+    the classic O(m^1.5) shape: orient every undirected edge from its
+    (degree, id)-smaller endpoint to the larger, so each node's oriented
+    out-degree is bounded by sqrt(2m) and the wedge explosion sum(d_out^2)
+    cannot blow up on a hub (an UNoriented hub of degree 10^6 would
+    generate 10^12 wedges; oriented it generates at most 2m). Wedges are
+    the ragged vectorized arange inside whole-source buckets; closure is
+    a tagged-union membership count inside (u,v)-key buckets — wedge rows
+    never gather, only per-bucket triangle counters leave. Degrees ride
+    to the orientation step via broadcast here (node dim is small beside
+    edges); at a scale where even degrees cannot broadcast, the lookup
+    becomes one more bucketed join on the endpoint.
+
+    Accepts a pandas frame or a Dataset of (src, dst) string/int ids."""
+    import ray.data as rd
+
+    from .shuffle import bucketed_group_apply
+
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges[[src, dst]])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].astype(str).to_numpy()
+        b = df[dst].astype(str).to_numpy()
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        out = pd.DataFrame({"u": u, "v": v})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    ded = bucketed_group_apply(
+        edges.map_batches(canon, batch_format="pandas"), "u",
+        lambda g: g.drop_duplicates(["u", "v"]),
+        num_buckets=num_buckets).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["u"], df["v"]], ignore_index=True)
+        return (n.value_counts().rename_axis("node")
+                 .reset_index(name="d"))
+
+    deg = (ded.map_batches(deg_partial, batch_format="pandas")
+              .to_pandas().groupby("node", as_index=False)["d"].sum())
+    n_nodes = len(deg)
+    import ray
+    dref = ray.put(dict(zip(deg["node"], deg["d"])))
+
+    class Orient:
+        def __init__(self):
+            self.d = ray.get(dref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            du = df["u"].map(self.d).to_numpy()
+            dv = df["v"].map(self.d).to_numpy()
+            # (degree, id) order: strictly smaller key points outward
+            u_first = (du < dv) | ((du == dv)
+                                   & (df["u"].to_numpy() < df["v"].to_numpy()))
+            return pd.DataFrame({
+                "s": np.where(u_first, df["u"], df["v"]),
+                "t": np.where(u_first, df["v"], df["u"])})
+
+    oriented = ded.map_batches(Orient, batch_format="pandas",
+                               concurrency=(1, 4))
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["s", "t"], kind="mergesort")
+        m = d.groupby("s", sort=False)["t"].transform("size").to_numpy()
+        pos = d.groupby("s", sort=False).cumcount().to_numpy()
+        cnt = m - pos - 1
+        a_idx = np.repeat(np.arange(len(d)), cnt)
+        starts = np.cumsum(cnt) - cnt
+        b_idx = (np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
+                 + np.repeat(np.arange(len(d)) + 1, cnt))
+        t = d["t"].to_numpy()
+        x, y = t[a_idx], t[b_idx]
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pd.DataFrame({"key": lo + "|" + hi,
+                             "side": np.zeros(len(lo), np.int8)})
+
+    w = bucketed_group_apply(oriented, "s", wedges,
+                             num_buckets=num_buckets)
+    e = ded.map_batches(
+        lambda df: pd.DataFrame({"key": df["u"] + "|" + df["v"],
+                                 "side": np.ones(len(df), np.int8)}),
+        batch_format="pandas")
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["side"] == 1, "key"])
+        n = int(g.loc[g["side"] == 0, "key"].isin(have).sum())
+        return pd.DataFrame({"tri": [n]})
+
+    parts = bucketed_group_apply(w.union(e), "key", close,
+                                 num_buckets=num_buckets).to_pandas()
+    n_edges = ded.count()
+    return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
+                         "n_edges": [np.int64(n_edges)],
+                         "n_triangles": [np.int64(parts["tri"].sum())]})
