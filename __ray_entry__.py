@@ -556,7 +556,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": CP.q_corpus_stats,
         "split_counts": CP.q_split_counts,
         # (c) oracle-backed, last driver row round 2 (green r1+r2):
-        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
         "fuzzy_name_pairs": lambda sf: enrich.fuzzy_name_pairs(sf, threshold=0.8),
         "regex_token_count": lambda sf: textstats.regex_token_count(_docs(sf)),
         "quality_score": lambda sf: textstats.quality_score(_docs(sf)),
@@ -612,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window expansion INSIDE the partial combiner - the shuffle
         # moves per-(type, window) partials, never the expanded rows
         "hopping_window": AN.q_hopping_window,
+        # ROWS-frame moving average (last 3 rows per user): two shifts
+        # in whole-user buckets; stated-order sums, bit-exact unrounded
+        "rolling_avg_rows": AN.q_rolling_avg_rows,
         # joins / lookups (§2.4)
         # extraction / streaming-shaped (§2.2, §2.8)
         # (e) NEW round 4 (all oracle-backed except crawl_meta_versioned):
@@ -681,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_per_nation": R.q_string_agg_per_nation,
         "props_extract": R.q_props_extract,
         "token_count": lambda sf: textstats.token_count(_docs(sf)),
+        "ann_topk": lambda sf: ann.brute_force_topk(sf, query_vec_id=0, k=10),
         "sessionize": R.q_sessionize,
         "count_per_source": R.q_count_per_source,
         "tumbling_window": R.q_tumbling_window,
@@ -1266,6 +1269,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_images,
                    SUM(w*h)::BIGINT AS total_pixels
             FROM dims GROUP BY bucket ORDER BY bucket
+        """,
+        "rolling_avg_rows": """
+            WITH w AS (SELECT event_id, value,
+                         LAG(value, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS v1,
+                         LAG(value, 2) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS v2
+                       FROM events)
+            SELECT event_id,
+                   CASE WHEN v2 IS NOT NULL THEN ((v2 + v1) + value) / 3.0
+                        WHEN v1 IS NOT NULL THEN (v1 + value) / 2.0
+                        ELSE value END AS mov_avg
+            FROM w ORDER BY event_id
         """,
         "hopping_window": """
             -- integer-microsecond window math; EPOCH_US is positive so

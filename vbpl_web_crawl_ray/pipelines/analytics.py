@@ -461,3 +461,30 @@ def q_hopping_window(sf_dir: str, size_s: int = 3600,
         "n": a["n"].astype("int64"),
         "sum_value": round_half_away(a["s"].to_numpy(), 4)})
         .sort_values(["event_type", "win_start"]).reset_index(drop=True))
+
+
+def q_rolling_avg_rows(sf_dir: str) -> pd.DataFrame:
+    """ROWS-frame moving average (last 3 rows per user by (ts, event_id))
+    — the physical-row frame the time-based sliding window cannot
+    express. Users co-locate whole in hash buckets; the frame resolves as
+    two vectorized shifts, and the average is the STATED left-to-right
+    sum ((v2 + v1) + v0) / k evaluated identically in the oracle SQL, so
+    the compare is bit-exact without rounding tricks."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v0 = g["value"].to_numpy()
+        same1 = g["user_id"].eq(g["user_id"].shift(1)).to_numpy()
+        same2 = g["user_id"].eq(g["user_id"].shift(2)).to_numpy()
+        v1 = np.where(same1, g["value"].shift(1).to_numpy(), np.nan)
+        v2 = np.where(same2, g["value"].shift(2).to_numpy(), np.nan)
+        k = 1.0 + same1 + same2
+        s = np.where(same2, (v2 + v1) + v0,
+                     np.where(same1, v1 + v0, v0))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "mov_avg": s / k})
+
+    out = bucketed_group_apply(ev, "user_id", roll,
+                               num_buckets=4).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
