@@ -23,6 +23,7 @@ from vbpl_web_crawl_ray.pipelines import incremental as INC  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import payloads as P  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import analytics as AN  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import analytics2 as AN2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
@@ -645,6 +646,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # watermark; ordered feed == batch gaps-and-islands (oracle)
         "stream_session_windows": _stream_session_windows,
         # ---------------- past the driver's 50-entry window ----------------
+        # (everything below is still verified bit-exact at the driver's
+        # sf0.01 by tests/test_driver_exactness.py when oracle-backed)
+        # (g) NEW session 3 (all oracle-backed; first in line for the
+        # next window rotation):
+        # weekly cohort retention matrix: the cumulative COUNT(DISTINCT)
+        # decomposed inside whole-user buckets; integer week math
+        "cohort_retention": AN2.q_cohort_retention,
+        # longest consecutive-active-days run per user (gaps-and-islands
+        # over the distinct user-day set, batches pre-dedup)
+        "longest_streak": AN2.q_longest_streak,
+        # per-user trailing-window range join as three np.searchsorted
+        # calls over a composite rank key — no theta self-join
+        "purchase_click_attribution": AN2.q_purchase_click_attribution,
+        # time-weighted average value (TWAP): exact int64 cents x us
+        # integral, two stated-order float divisions at the end
+        "time_weighted_avg": AN2.q_time_weighted_avg,
+        # chi-square independence over the exact contingency counts
+        "chi2_independence": AN2.q_chi2_independence,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1282,6 +1301,85 @@ def oracle_sql() -> dict[str, str]:
                         WHEN v1 IS NOT NULL THEN (v1 + value) / 2.0
                         ELSE value END AS mov_avg
             FROM w ORDER BY event_id
+        """,
+        "cohort_retention": """
+            -- all week math integer: date_trunc('week') == the engine's
+            -- Monday-aligned integer day arithmetic
+            WITH f AS (SELECT user_id,
+                              MIN(date_trunc('week', ts)) AS cohort
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                  FROM events),
+            j AS (SELECT a.user_id, f.cohort,
+                    (EPOCH_US(CAST(a.wk AS TIMESTAMP))
+                     - EPOCH_US(CAST(f.cohort AS TIMESTAMP)))
+                        // 604800000000 AS week_offset
+                  FROM a JOIN f USING (user_id))
+            SELECT CAST(cohort AS TIMESTAMP) AS cohort_week,
+                   week_offset::BIGINT AS week_offset,
+                   COUNT(*)::BIGINT AS n_users
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "longest_streak": """
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy
+                       FROM events),
+            r AS (SELECT user_id, dy,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY dy) AS rn
+                  FROM d),
+            g AS (SELECT user_id, COUNT(*)::BIGINT AS len
+                  FROM r GROUP BY user_id, dy - CAST(rn AS INTEGER))
+            SELECT user_id, MAX(len)::BIGINT AS longest_streak,
+                   SUM(len)::BIGINT AS n_active_days
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "purchase_click_attribution": """
+            SELECT p.event_id, COUNT(c.event_id)::BIGINT AS n_clicks
+            FROM events p LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 1800 SECOND
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY p.event_id
+        """,
+        "time_weighted_avg": """
+            -- exact integral: int64 cents x int64 microseconds; the two
+            -- closing divisions state the engine's float operand order
+            WITH w AS (SELECT user_id, ts, event_id,
+                         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                         LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nts
+                       FROM events),
+            a AS (SELECT user_id,
+                    SUM(cents * EPOCH_US(nts - ts))::BIGINT AS num,
+                    SUM(EPOCH_US(nts - ts))::BIGINT AS dur_us
+                  FROM w WHERE nts IS NOT NULL GROUP BY user_id)
+            SELECT user_id,
+                   (CAST(num AS DOUBLE) / 100.0) / CAST(dur_us AS DOUBLE)
+                       AS twap,
+                   dur_us
+            FROM a WHERE dur_us > 0 ORDER BY user_id
+        """,
+        "chi2_independence": """
+            -- closes over the exact (type, isodow) contingency counts;
+            -- each term states the engine's exact float expression
+            WITH c AS (SELECT event_type AS t, ISODOW(ts) AS d,
+                              COUNT(*)::DOUBLE AS c
+                       FROM events GROUP BY t, d),
+            tot AS (SELECT SUM(c) AS n FROM c),
+            j AS (SELECT c.c, r.rc, k.kc, tot.n
+                  FROM c
+                  JOIN (SELECT t AS tt, SUM(c) AS rc FROM c GROUP BY 1) r
+                    ON c.t = r.tt
+                  JOIN (SELECT d AS dd, SUM(c) AS kc FROM c GROUP BY 1) k
+                    ON c.d = k.dd
+                  CROSS JOIN tot)
+            SELECT ROUND(SUM(((c - (rc * kc) / n) * (c - (rc * kc) / n))
+                             / ((rc * kc) / n)), 6) AS chi2,
+                   ((SELECT COUNT(DISTINCT t) FROM c) - 1)::BIGINT
+                   * ((SELECT COUNT(DISTINCT d) FROM c) - 1)::BIGINT AS dof,
+                   SUM(c)::BIGINT AS n_events
+            FROM j
         """,
         "hopping_window": """
             -- integer-microsecond window math; EPOCH_US is positive so

@@ -1,0 +1,242 @@
+"""Session-2 analytics: cohort/retention, streaks, event-interval joins
+and time-weighted aggregates — the user-behaviour family, each shaped for
+the 100-TB path and each with a DuckDB oracle twin.
+
+Scale patterns exercised here (beyond analytics.py):
+
+- cohort decomposition of a cumulative COUNT(DISTINCT) matrix
+  (q_cohort_retention): per-user distinct (cohort, offset) pairs resolve
+  entirely inside whole-user buckets, so the all-to-all moves one row per
+  user-week, never per event;
+- gaps-and-islands over DISTINCT days (q_longest_streak): the classic
+  "longest run of consecutive active days", one segmented cumcount inside
+  whole-user buckets;
+- per-key RANGE JOIN without a join (q_purchase_click_attribution):
+  count events of one type inside a trailing time window of another —
+  the naive form is a per-user theta self-join; here three global
+  ``np.searchsorted`` calls over a (user-rank, time-rank) composite key
+  resolve every purchase's window count in one vectorized pass per
+  bucket;
+- exact-integer time-weighted averages (q_time_weighted_avg): the TWAP
+  integral sums cents x microseconds in int64, so the float work is two
+  stated-order divisions on the final per-user scalars — bit-exact
+  against SQL with no rounding anywhere;
+- chi-square independence over exact contingency counts
+  (q_chi2_independence): the categorical-feature screen, closing over the
+  same mergeable count grid as mutual information.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+from ..stages.shuffle import bucketed_group_apply
+
+_DAY_US = 86_400 * 1_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _week_start_day(day_idx: np.ndarray) -> np.ndarray:
+    """ISO week start (Monday) as a day index. Epoch day 0 (1970-01-01)
+    was a Thursday, so shifting by +3 aligns the modulus to Mondays —
+    integer math, identical to SQL date_trunc('week', ts)."""
+    return day_idx - ((day_idx + 3) % 7)
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-active week
+    (the cohort), counted in every later week they were active, keyed by
+    the week offset. The cumulative-COUNT(DISTINCT) matrix no window
+    function gives directly decomposes inside whole-user buckets: each
+    user contributes exactly one row per (cohort, offset) week it was
+    active in, so the wire carries user-week rows (already distinct),
+    then per-(cohort, offset) count partials. All week math is integer
+    days on int64 microseconds — nothing float anywhere."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def retention(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        wk = _week_start_day(t // _DAY_US)
+        d = (pd.DataFrame({"user_id": g["user_id"].to_numpy(), "wk": wk})
+             .drop_duplicates())
+        cohort = d.groupby("user_id")["wk"].transform("min")
+        d = d.assign(cohort=cohort,
+                     week_offset=(d["wk"] - cohort) // 7)
+        return (d.groupby(["cohort", "week_offset"], as_index=False)
+                 .size().rename(columns={"size": "n_users"}))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # pre-dedup (user, week) per batch: the shuffle moves user-weeks
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        wk = _week_start_day(t // _DAY_US)
+        d = (pd.DataFrame({"user_id": df["user_id"].to_numpy(), "wk": wk})
+             .drop_duplicates())
+        return d.assign(ts=pd.to_datetime(d.pop("wk") * _DAY_US, unit="us"))
+
+    parts = bucketed_group_apply(ev, "user_id", retention, num_buckets=4,
+                                 partial_fn=partial).to_pandas()
+    out = (parts.groupby(["cohort", "week_offset"], as_index=False)
+                ["n_users"].sum())
+    return (pd.DataFrame({
+        "cohort_week": pd.to_datetime(out["cohort"] * _DAY_US, unit="us"),
+        "week_offset": out["week_offset"].astype("int64"),
+        "n_users": out["n_users"].astype("int64")})
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True))
+
+
+def q_longest_streak(sf_dir: str) -> pd.DataFrame:
+    """Longest run of CONSECUTIVE active days per user — gaps-and-islands
+    over the distinct (user, day) set: after one in-bucket sort, islands
+    are (day_index - per-user running count), a constant within each
+    consecutive run, and the answer is the max island size. Batches
+    pre-dedup (user, day) so the shuffle moves user-days, not events."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                           "day": t // _DAY_US})
+             .drop_duplicates())
+        return d.assign(ts=pd.to_datetime(d.pop("day") * _DAY_US, unit="us"))
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "day": t // _DAY_US})
+             .drop_duplicates()
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        seq = d.groupby("user_id", sort=False).cumcount()
+        isl = d["day"].to_numpy() - seq.to_numpy()          # run-constant
+        runs = (d.assign(isl=isl)
+                 .groupby(["user_id", "isl"], as_index=False)
+                 .size())
+        return (runs.groupby("user_id", as_index=False)
+                    .agg(longest_streak=("size", "max"),
+                         n_active_days=("size", "sum")))
+
+    out = bucketed_group_apply(ev, "user_id", streaks, num_buckets=4,
+                               partial_fn=partial).to_pandas()
+    return (out.astype({"longest_streak": "int64", "n_active_days": "int64"})
+               .sort_values("user_id").reset_index(drop=True))
+
+
+def q_purchase_click_attribution(sf_dir: str,
+                                 window_s: int = 1800) -> pd.DataFrame:
+    """For every purchase, how many clicks did that user make in the
+    trailing ``window_s`` seconds (inclusive both ends)? The naive form is
+    a per-user theta self-join (quadratic in user activity). Here both
+    event types co-locate in whole-user hash buckets (batches pre-filter
+    to the two types, so the shuffle moves only relevant rows) and the
+    window count closes as THREE global ``np.searchsorted`` calls per
+    bucket over a composite (user-rank x click-time-rank) int64 key:
+    clicks sort once by (user, ts); a purchase's count is the key-space
+    interval [user*M + rank(ts-window), user*M + rank(ts)) — cross-user
+    terms cancel exactly. No per-user loop, no joined rows materialize.
+    All time math in int64 microseconds."""
+    win_us = window_s * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(("click", "purchase"))]
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        uidx, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        is_c = (g["event_type"] == "click").to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        cu, ct = uidx[is_c], t[is_c]
+        order = np.lexsort((ct, cu))
+        cu, ct = cu[order], ct[order]
+        dist = np.unique(ct)                     # global click-time ranks
+        m = np.int64(len(dist) + 1)
+        # overflow guard: users-per-bucket x distinct-times-per-bucket
+        # must fit int64; at cluster scale num_buckets grows with data,
+        # keeping both factors bucket-bounded
+        assert (len(dist) + 1) * max(int(uidx.max(initial=0)) + 1, 1) < 2**62
+        key = cu.astype(np.int64) * m + np.searchsorted(dist, ct, side="left")
+        pu, pt = uidx[is_p].astype(np.int64), t[is_p]
+        hi = pu * m + np.searchsorted(dist, pt, side="right")
+        lo = pu * m + np.searchsorted(dist, pt - win_us, side="left")
+        n = (np.searchsorted(key, hi, side="left")
+             - np.searchsorted(key, lo, side="left"))
+        return pd.DataFrame({"event_id": g.loc[is_p, "event_id"].to_numpy(),
+                             "n_clicks": n.astype(np.int64)})
+
+    out = bucketed_group_apply(ev, "user_id", attribute, num_buckets=4,
+                               partial_fn=pre).to_pandas()
+    return (out.astype({"n_clicks": "int64"})
+               .sort_values("event_id").reset_index(drop=True))
+
+
+def q_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted average value per user (the TWAP integral): each
+    event's value holds until the user's next event; the average weights
+    values by that holding time. The integral stays EXACT — values become
+    int64 cents (the synth writes 2-decimal values; ROUND(v*100) recovers
+    the integer on both engines), durations are int64 microseconds, and
+    the numerator sums cents x us in int64, so summation order cannot
+    matter. The only float work is two stated-order divisions on the
+    final per-user scalars — bit-exact, unrounded. Users with a single
+    event have no holding time and are excluded (dur 0). Resolves with
+    one vectorized shift inside whole-user buckets."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def twap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        nxt_t = np.roll(t, -1)
+        same = g["user_id"].eq(g["user_id"].shift(-1)).to_numpy()
+        dt = np.where(same, nxt_t - t, 0)
+        a = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "num": cents * dt, "dur_us": dt})
+             .groupby("user_id", as_index=False).sum())
+        a = a[a["dur_us"] > 0]
+        return pd.DataFrame({
+            "user_id": a["user_id"].to_numpy(),
+            "twap": (a["num"].to_numpy(np.float64) / 100.0)
+                    / a["dur_us"].to_numpy(np.float64),
+            "dur_us": a["dur_us"].to_numpy(np.int64)})
+
+    out = bucketed_group_apply(ev, "user_id", twap,
+                               num_buckets=4).to_pandas()
+    return (out.astype({"dur_us": "int64"})
+               .sort_values("user_id").reset_index(drop=True))
+
+
+def q_chi2_independence(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square statistic for independence of event_type and
+    ISO day-of-week — the categorical-feature screen beside mutual
+    information: closes over the exact 5x7 contingency counts from
+    mergeable partials; the only float work is 35 terms of
+    ((o - e) * (o - e)) / e with e = (row*col)/n on the driver, the
+    oracle stating the identical expression. Degrees of freedom are
+    integers from the observed margins."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].dt.dayofweek.to_numpy() + 1       # == SQL ISODOW
+        return (pd.DataFrame({"t": df["event_type"].to_numpy(), "d": d})
+                .groupby(["t", "d"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby(["t", "d"], as_index=False)["c"].sum()
+    cc = c["c"].to_numpy(np.float64)
+    n = cc.sum()                                       # integer-exact
+    r = c.groupby("t")["c"].transform("sum").to_numpy(np.float64)
+    k = c.groupby("d")["c"].transform("sum").to_numpy(np.float64)
+    e = (r * k) / n
+    terms = ((cc - e) * (cc - e)) / e
+    dof = (c["t"].nunique() - 1) * (c["d"].nunique() - 1)
+    return pd.DataFrame({
+        "chi2": [round_half_away(float(terms.sum()), 6)],
+        "dof": [np.int64(dof)],
+        "n_events": [np.int64(n)]})
