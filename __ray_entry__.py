@@ -109,6 +109,28 @@ def _crawl_payload(sf_dir: str):
     return rd.read_parquet(f"{out}/payload").drop_columns(["round"])
 
 
+def _stream_click_attribution(sf_dir: str):
+    """Stream-stream INTERVAL JOIN with watermark-bounded state: every
+    purchase counts the same user's clicks in its trailing 30-minute
+    window. Probes finalize once the watermark strictly passes their
+    timestamp; build rows evict past the window horizon. Fed in
+    event-time order nothing drops and the output must equal the batch
+    theta-join oracle (the same SQL as purchase_click_attribution);
+    eviction and late-drop semantics are pinned by pytest."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.stages.streaming import run_interval_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    out, metrics = run_interval_join(ds, key_col="user_id",
+                                     build_type="click",
+                                     probe_type="purchase",
+                                     window_s=1800.0,
+                                     allowed_lateness_s=0.0)
+    assert metrics["dropped_late"] == 0   # ordered feed: nothing late
+    return out
+
+
 def _stream_session_windows(sf_dir: str):
     """Event-time SESSION windows (merging windows) with watermark
     finalization: fed in event-time order nothing drops, so the finalized
@@ -664,6 +686,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg": AN2.q_time_weighted_avg,
         # chi-square independence over the exact contingency counts
         "chi2_independence": AN2.q_chi2_independence,
+        # n-gram LM familiarity scoring: vocabulary-bounded bigram model
+        # broadcast once, per-doc integer scores close in-batch
+        "bigram_lm_scores": CP.q_bigram_lm_scores,
+        # image-axis: integer resize+center-crop geometry over the real
+        # payload metadata; oracle re-derives the synth dims
+        "crop_resize_plan": P.q_crop_resize_plan,
+        # per-group weighted median (int64 cumulative weights, raw-value
+        # pass-through output)
+        "weighted_median": AN2.q_weighted_median,
+        # stream-stream interval join: watermark-finalized probes,
+        # horizon-evicted build state; ordered feed == batch theta join
+        "stream_click_attribution": _stream_click_attribution,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1380,6 +1414,65 @@ def oracle_sql() -> dict[str, str]:
                    * ((SELECT COUNT(DISTINCT d) FROM c) - 1)::BIGINT AS dof,
                    SUM(c)::BIGINT AS n_events
             FROM j
+        """,
+        "bigram_lm_scores": """
+            -- per-doc familiarity = sum of GLOBAL bigram counts over the
+            -- doc's bigram occurrences (multiplicity kept); all integers
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            b AS (SELECT doc_id,
+                         unnest([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))]) AS bigram
+                  FROM t),
+            c AS (SELECT bigram, COUNT(*)::BIGINT AS n FROM b
+                  GROUP BY bigram)
+            SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                   SUM(c.n)::BIGINT AS familiarity
+            FROM b JOIN c USING (bigram)
+            GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "crop_resize_plan": """
+            -- dims re-derived from the synth spec (payload_table):
+            -- w = 48 + id % 33, h = 48 + 7*id % 33; pure integer plan
+            WITH dims AS (SELECT 'img' || lpad(CAST(doc_id AS VARCHAR),
+                                               8, '0') AS image_id,
+                                 48 + doc_id % 33 AS w,
+                                 48 + (doc_id * 7) % 33 AS h
+                          FROM documents),
+            p AS (SELECT image_id, w, h,
+                         (w * 64) // LEAST(w, h) AS new_w,
+                         (h * 64) // LEAST(w, h) AS new_h
+                  FROM dims)
+            SELECT image_id, w::BIGINT AS w, h::BIGINT AS h,
+                   new_w::BIGINT AS new_w, new_h::BIGINT AS new_h,
+                   ((new_w - 64) // 2)::BIGINT AS crop_x,
+                   ((new_h - 64) // 2)::BIGINT AS crop_y
+            FROM p ORDER BY image_id
+        """,
+        "weighted_median": """
+            -- smallest value whose cumulative int64 weight reaches half
+            -- the group total (2*cum >= total keeps it integer-exact)
+            WITH a AS (SELECT l_returnflag, l_extendedprice AS v,
+                              SUM(CAST(l_quantity AS BIGINT)) AS w
+                       FROM lineitem GROUP BY 1, 2),
+            c AS (SELECT l_returnflag, v,
+                    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS cw,
+                    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+                  FROM a)
+            SELECT l_returnflag, MIN(v) AS wmedian,
+                   MIN(tw)::BIGINT AS total_qty
+            FROM c WHERE 2 * cw >= tw
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "stream_click_attribution": """
+            SELECT p.event_id, COUNT(c.event_id)::BIGINT AS n_clicks
+            FROM events p LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 1800 SECOND
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY p.event_id
         """,
         "hopping_window": """
             -- integer-microsecond window math; EPOCH_US is positive so

@@ -339,3 +339,72 @@ def test_projected_topk_recall(sf_dir):
     # determinism: the seeded projection gives identical output per run
     again = ann.projected_topk(sf_dir, 0, 10)
     assert red.equals(again)
+
+
+def test_interval_join_watermark_eviction_and_late_drop():
+    """The stream-stream interval join: (1) a probe finalizes only once
+    the watermark strictly passes it, counting exactly the builds in its
+    trailing window; (2) build state EVICTS past watermark-late-window
+    (bounded by horizon activity, not stream length); (3) an event behind
+    the lateness horizon drops and is counted."""
+    import ray
+    from vbpl_web_crawl_ray.stages.streaming import IntervalJoin
+
+    def mk(ts_s, side, eid, key=1):
+        return pd.DataFrame({
+            "key": [key],
+            "ts": pd.to_datetime([ts_s], unit="s").astype("datetime64[us]"),
+            "side": [side],
+            "event_id": [eid]})
+
+    # window 10s, lateness 0
+    a = IntervalJoin.remote(window_s=10.0, allowed_lateness_s=0.0)
+    ray.get(a.feed.remote(mk(0, "build", 100)))
+    ray.get(a.feed.remote(mk(5, "build", 101)))
+    ray.get(a.feed.remote(mk(8, "probe", 1)))     # sees both (0, 5)
+    m = ray.get(a.metrics.remote())
+    assert m["buffered_builds"] == 2              # nothing evictable yet
+    # watermark jumps to 100: probe 1 finalizes with n=2; builds at 0,5
+    # are behind 100-0-10=90 -> evicted; the new build stays
+    ray.get(a.feed.remote(mk(100, "build", 102)))
+    m = ray.get(a.metrics.remote())
+    assert m["evicted_builds"] == 2
+    assert m["buffered_builds"] == 1
+    # a probe at 95 would be behind the watermark -> dropped late
+    ray.get(a.feed.remote(mk(95, "probe", 2)))
+    assert ray.get(a.metrics.remote())["dropped_late"] == 1
+    # probe at 105 sees only build 102 (100 >= 105-10)
+    ray.get(a.feed.remote(mk(105, "probe", 3)))
+    out = ray.get(a.flush.remote()).set_index("event_id")["n_clicks"]
+    assert out.to_dict() == {1: 2, 3: 1}
+
+    # boundary inclusivity: clicks at exactly t-window and t both count;
+    # a probe NOT finalized early still counts a tie-timestamp build
+    # that arrives after it (the strict-watermark contract)
+    b = IntervalJoin.remote(window_s=10.0, allowed_lateness_s=0.0)
+    ray.get(b.feed.remote(mk(10, "build", 200)))
+    ray.get(b.feed.remote(mk(20, "probe", 4)))
+    ray.get(b.feed.remote(mk(20, "build", 201)))  # tie with probe 4
+    out = ray.get(b.flush.remote()).set_index("event_id")["n_clicks"]
+    assert out.to_dict() == {4: 2}
+
+
+def test_interval_join_ordered_equals_batch(sf_dir):
+    """Ordered feed == the batch trailing-window theta join (the same
+    count purchase_click_attribution computes)."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.pipelines.analytics2 import (
+        q_purchase_click_attribution,
+    )
+    from vbpl_web_crawl_ray.stages.streaming import run_interval_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    got, metrics = run_interval_join(ds, key_col="user_id",
+                                     build_type="click",
+                                     probe_type="purchase",
+                                     window_s=1800.0)
+    assert metrics["dropped_late"] == 0
+    want = q_purchase_click_attribution(sf_dir)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))

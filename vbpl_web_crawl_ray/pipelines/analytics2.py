@@ -240,3 +240,39 @@ def q_chi2_independence(sf_dir: str) -> pd.DataFrame:
         "chi2": [round_half_away(float(terms.sum()), 6)],
         "dof": [np.int64(dof)],
         "n_events": [np.int64(n)]})
+
+
+def q_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Per-group WEIGHTED median (l_extendedprice weighted by integer
+    l_quantity): the smallest value whose cumulative weight reaches half
+    the group total — the deterministic rule both engines can state
+    exactly, because weights are int64 end to end (2*cum >= total avoids
+    the /2 float). Batches pre-aggregate weight per (group, value) so the
+    shuffle moves distinct (group, value) partials; groups are few and
+    bounded, co-locating whole in hash buckets (the median_per_group
+    shape). The output value is a raw parquet double pass-through — no
+    float arithmetic anywhere."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.assign(w=df["l_quantity"].to_numpy(np.int64))
+                  .groupby(["l_returnflag", "l_extendedprice"],
+                           as_index=False)["w"].sum())
+
+    def wmedian(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby(["l_returnflag", "l_extendedprice"],
+                       as_index=False)["w"].sum()
+              .sort_values(["l_returnflag", "l_extendedprice"],
+                           kind="mergesort"))
+        cw = a.groupby("l_returnflag", sort=False)["w"].cumsum()
+        tw = a.groupby("l_returnflag", sort=False)["w"].transform("sum")
+        hit = a.assign(tw=tw)[2 * cw >= tw]
+        return (hit.groupby("l_returnflag", as_index=False)
+                   .agg(wmedian=("l_extendedprice", "first"),
+                        total_qty=("tw", "first")))
+
+    out = bucketed_group_apply(li, "l_returnflag", wmedian, num_buckets=4,
+                               partial_fn=partial).to_pandas()
+    return (out.astype({"total_qty": "int64"})
+               .sort_values("l_returnflag").reset_index(drop=True))

@@ -330,3 +330,76 @@ def q_bm25_topk(sf_dir: str, terms: tuple[str, ...] = ("join", "hash", "vector")
     merged = docs.map_batches(score, batch_format="pandas").to_pandas()
     return (merged.sort_values(["bm25", "doc_id"], ascending=[False, True])
                   .head(limit).reset_index(drop=True))
+
+
+def q_bigram_lm_scores(sf_dir: str) -> pd.DataFrame:
+    """N-gram LM familiarity scoring — the CCNet/KenLM-style quality pass
+    that scores each document against a language model trained on the
+    corpus itself, reduced to exact integers: pass 1 trains the "model"
+    (global bigram counts — a vocabulary-bounded table, broadcast via
+    ray.put exactly once, the same contract as tf-idf's idf side), pass 2
+    streams the corpus once more and scores every document by the SUM of
+    the global counts of its bigram OCCURRENCES (multiplicity kept).
+    Familiar wording scores high; rare wording low. Everything is int64,
+    so the oracle compare is exact with no float anywhere.
+
+    Bigrams build vectorized: one flatten per batch, shifted views for
+    the pairs, document boundaries masked by index arithmetic — no
+    per-token Python. A document never straddles batch rows, so per-doc
+    scores close inside the batch and the output needs no shuffle.
+    (Unbounded vocabularies would swap the broadcast for the
+    Misra-Gries heavy-hitter + bucketed-join path beside it.)"""
+    import ray
+
+    from ..stages.shuffle import bucket_of  # noqa: F401  (family import)
+
+    def _pairs(df: pd.DataFrame):
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        if len(flat) < 2:
+            return None
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        last = np.cumsum(lens) - 1            # last-token positions
+        keep[last[:-1]] = False               # pairs may not cross docs
+        big = (pd.Series(flat[:-1], dtype=object)
+               + " " + pd.Series(flat[1:], dtype=object))[keep]
+        docs = np.repeat(df["doc_id"].to_numpy(), lens)[:-1][keep]
+        return docs, big
+
+    def train(df: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs(df)
+        if p is None:
+            return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        _, big = p
+        c = big.value_counts()
+        return pd.DataFrame({"bigram": c.index.to_numpy(),
+                             "n": c.to_numpy(np.int64)})
+
+    parts = (_docs(sf_dir, ("doc_id", "text"))
+             .map_batches(train, batch_format="pandas").to_pandas())
+    model = parts.groupby("bigram")["n"].sum()
+    ref = ray.put(model.to_dict())
+
+    class Score:
+        def __init__(self):
+            self.model = ray.get(ref)          # fetched once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            p = _pairs(df)
+            if p is None:
+                return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                     "n_bigrams": pd.Series(dtype=np.int64),
+                                     "familiarity": pd.Series(dtype=np.int64)})
+            docs, big = p
+            cnt = big.map(self.model).to_numpy(np.int64)
+            return (pd.DataFrame({"doc_id": docs, "c": cnt})
+                    .groupby("doc_id", as_index=False)
+                    .agg(n_bigrams=("c", "size"), familiarity=("c", "sum")))
+
+    out = (_docs(sf_dir, ("doc_id", "text"))
+           .map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    return (out.astype({"n_bigrams": "int64", "familiarity": "int64"})
+               .sort_values("doc_id").reset_index(drop=True))

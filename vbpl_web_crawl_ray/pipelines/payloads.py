@@ -307,3 +307,32 @@ def q_curated_image_pack(sf_dir: str, per_bucket: int = 50) -> pd.DataFrame:
                                partial_fn=bucket_and_hash).to_pandas()
     return (out.astype({"n_px": "int64", "offset_px": "int64"})
                .sort_values(["bucket", "offset_px"]).reset_index(drop=True))
+
+
+def q_crop_resize_plan(sf_dir: str, target: int = 64) -> pd.DataFrame:
+    """Deterministic preprocessing PLAN per payload image: scale the
+    shorter side to ``target`` (integer floor scaling) and center-crop
+    target x target — the resize/crop geometry a vision loader computes
+    before touching a pixel. Pure integer arithmetic over the REAL (w, h)
+    metadata that rode through image encode; ORACLE-BACKED through the
+    synth spec (dims are a pure function of doc_id), so the twin
+    cross-checks the image-plumbing path the same way aspect_bucket_counts
+    does. Per-batch map only — no shuffle, nothing but the plan rows move."""
+    imgs = payload_table(sf_dir).select_columns(["image_id", "w", "h"])
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        s = np.minimum(w, h)
+        nw = (w * target) // s
+        nh = (h * target) // s
+        return pd.DataFrame({"image_id": df["image_id"].to_numpy(),
+                             "w": w, "h": h,
+                             "new_w": nw, "new_h": nh,
+                             "crop_x": (nw - target) // 2,
+                             "crop_y": (nh - target) // 2})
+
+    out = imgs.map_batches(plan, batch_format="pandas").to_pandas()
+    return (out.astype({c: "int64" for c in
+                        ("w", "h", "new_w", "new_h", "crop_x", "crop_y")})
+               .sort_values("image_id").reset_index(drop=True))

@@ -14,6 +14,8 @@ slice before delivery, and keys never straddle buckets.
 
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 import pandas as pd
 import ray
@@ -314,3 +316,145 @@ def run_session_windows(ds: rd.Dataset, key_col: str,
     out = out[["key", "session_start", "session_end", "n", "sum_value"]]
     return (out.sort_values(["key", "session_start"])
                .reset_index(drop=True), metrics)
+
+
+@ray.remote(num_cpus=0)
+class IntervalJoin:
+    """Stream-stream INTERVAL JOIN with watermark-bounded state — the
+    third event-time shape beside tumbling and session windows: every
+    'probe' event (purchase) counts the 'build' events (clicks) of the
+    same key inside its trailing [t - window, t] interval, inclusive both
+    ends. A probe FINALIZES only once the watermark strictly passes its
+    timestamp (ties on the boundary may still arrive inside the same
+    event-time instant), so the ordered-feed output equals the batch
+    theta-join oracle exactly; build rows EVICT once the watermark passes
+    ts + window + lateness — state is bounded by activity inside the
+    window horizon, never by stream length. Events strictly behind the
+    watermark minus lateness are dropped and counted. All event-time
+    arithmetic in int64 microseconds."""
+
+    def __init__(self, window_s: float = 1800.0,
+                 allowed_lateness_s: float = 0.0):
+        self.win = int(round(window_s * 1e6))
+        self.late = int(round(allowed_lateness_s * 1e6))
+        self.builds: dict = {}     # key -> sorted list of build ts
+        self.pending: list = []    # (pt, key, probe_id) awaiting watermark
+        self.done: list = []       # (probe_id, n) finalized
+        self.watermark = None
+        self.dropped = 0
+        self.evicted = 0
+
+    def feed(self, batch: pd.DataFrame) -> int:
+        ts = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = batch["key"].to_numpy()
+        sides = batch["side"].to_numpy()       # 'build' | 'probe'
+        ids = batch["event_id"].to_numpy()
+        frontier = (self.watermark - self.late
+                    if self.watermark is not None else None)
+        for k, t, side, eid in zip(keys, ts, sides, ids):
+            t = int(t)
+            if frontier is not None and t < frontier:
+                self.dropped += 1
+                continue
+            if side == "build":
+                bisect.insort(self.builds.setdefault(k, []), t)
+            else:
+                self.pending.append((t, k, int(eid)))
+        if len(ts):
+            wm = int(ts.max())
+            self.watermark = (wm if self.watermark is None
+                              else max(self.watermark, wm))
+        self._finalize()
+        return len(batch)
+
+    def _finalize(self) -> None:
+        """Emit probes strictly behind the watermark; evict builds no
+        future in-horizon probe can still see."""
+        if self.watermark is None:
+            return
+        keep = []
+        for pt, k, eid in self.pending:
+            if pt < self.watermark:
+                b = self.builds.get(k, ())
+                n = (bisect.bisect_right(b, pt)
+                     - bisect.bisect_left(b, pt - self.win))
+                self.done.append((eid, n))
+            else:
+                keep.append((pt, k, eid))
+        self.pending = keep
+        evict_before = self.watermark - self.late - self.win
+        for k in list(self.builds):
+            b = self.builds[k]
+            cut = bisect.bisect_left(b, evict_before)
+            if cut:
+                self.evicted += cut
+                del b[:cut]
+                if not b:
+                    del self.builds[k]
+
+    def flush(self) -> pd.DataFrame:
+        """End of stream: the watermark advances past everything."""
+        for pt, k, eid in self.pending:
+            b = self.builds.get(k, ())
+            n = (bisect.bisect_right(b, pt)
+                 - bisect.bisect_left(b, pt - self.win))
+            self.done.append((eid, n))
+        self.pending = []
+        return pd.DataFrame(self.done, columns=["event_id", "n_clicks"])
+
+    def metrics(self) -> dict:
+        return {"dropped_late": self.dropped,
+                "evicted_builds": self.evicted,
+                "buffered_builds": sum(len(v) for v in self.builds.values()),
+                "watermark": self.watermark}
+
+
+def run_interval_join(ds: rd.Dataset, key_col: str,
+                      build_type: str, probe_type: str,
+                      window_s: float = 1800.0,
+                      allowed_lateness_s: float = 0.0,
+                      num_buckets: int = 4,
+                      feed_batch_rows: int = 2048,
+                      arrival_order=("ts", "event_id")):
+    """Feed an events Dataset through interval-join actors in arrival
+    order (event-time order by default: nothing drops and the output
+    equals the batch trailing-window theta join — the oracle). Rows of
+    other event types are filtered out BEFORE the stream sort. Returns
+    (per-probe counts DataFrame, metrics dict)."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin((build_type, probe_type))]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "key": df[key_col].to_numpy(),
+            "ts": df["ts"].to_numpy(),
+            "side": np.where(df["event_type"].to_numpy() == build_type,
+                             "build", "probe")})
+
+    actors = [IntervalJoin.remote(window_s, allowed_lateness_s)
+              for _ in range(num_buckets)]
+    pending: list = []
+    for batch in (ds.map_batches(pre, batch_format="pandas")
+                    .sort(list(arrival_order))
+                    .iter_batches(batch_format="pandas",
+                                  batch_size=feed_batch_rows)):
+        b = bucket_of(batch["key"].to_numpy(), num_buckets)
+        for bid in np.unique(b):
+            pending.append(actors[bid].feed.remote(batch[b == bid]))
+        if len(pending) >= 64:
+            ray.get(pending)
+            pending = []
+    ray.get(pending)
+    outs = [o for o in ray.get([a.flush.remote() for a in actors]) if len(o)]
+    mets = ray.get([a.metrics.remote() for a in actors])
+    metrics = {"dropped_late": sum(m["dropped_late"] for m in mets),
+               "evicted_builds": sum(m["evicted_builds"] for m in mets),
+               "buffered_builds": sum(m["buffered_builds"] for m in mets)}
+    if not outs:
+        return (pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                              "n_clicks": pd.Series(dtype=np.int64)}),
+                metrics)
+    out = (pd.concat(outs, ignore_index=True)
+             .astype({"event_id": "int64", "n_clicks": "int64"})
+             .sort_values("event_id").reset_index(drop=True))
+    return out, metrics
