@@ -442,6 +442,29 @@ def _doc_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _doc_kcore(sf_dir: str):
+    """K-core backbone of the crawl citation graph — distributed
+    iterative peeling (rows-only: planted-structure and brute-force
+    parity are pytest-pinned; the crawl graph is not SQL-visible)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vbpl_web_crawl_ray.stages.graph import k_core
+
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4),
+                            fetch_concurrency=(1, 2),
+                            parse_concurrency=(1, 2))
+    files = sorted(glob.glob(f"{out}/edges/round=*/*.parquet")) \
+        + sorted(glob.glob(f"{out}/doc_map/round=*/*.parquet"))
+    frames = [pq.read_table(f, columns=["src", "dst"]).to_pandas()
+              for f in files]
+    edges = pd.concat(frames, ignore_index=True).drop_duplicates()
+    return k_core(edges, k=2)
+
+
 def _crawl_host_stats(sf_dir: str):
     """Per-host crawl accounting straight off the crawl-log PARQUET (the
     log is data-plane output, consumed as a dataset — never a driver
@@ -698,6 +721,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-stream interval join: watermark-finalized probes,
         # horizon-evicted build state; ordered feed == batch theta join
         "stream_click_attribution": _stream_click_attribution,
+        # rolling 7-day COUNT(DISTINCT users): factored through window
+        # membership inside whole-user buckets (ragged coverage expand)
+        "rolling_distinct_users": AN2.q_rolling_distinct_users,
+        # order-independent per-partition md5-XOR table checksum — the
+        # anti-entropy verification pass for a resumable 100-TB store
+        "table_checksum": SO.q_table_checksum,
+        # exact quartile boundaries (selection histogram) broadcast into
+        # a streaming classification pass: length-balanced mix gating
+        "length_quartile_counts": SO.q_length_quartile_counts,
+        # k-core backbone of the crawl citation graph by distributed
+        # iterative peeling (rows-only: brute-force parity pytest-pinned)
+        "doc_kcore": _doc_kcore,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1464,6 +1499,40 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "rolling_distinct_users": """
+            WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy
+                          FROM events),
+            cal AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+            SELECT CAST(cal.d AS TIMESTAMP) AS day,
+                   COUNT(DISTINCT days.user_id)::BIGINT AS n_users
+            FROM cal JOIN days ON days.dy BETWEEN cal.d - 6 AND cal.d
+            GROUP BY cal.d ORDER BY cal.d
+        """,
+        "table_checksum": """
+            -- md5 of the canonical row string (int/string columns only:
+            -- float VARCHAR formatting is engine-specific), first 8
+            -- bytes as uint64, XOR per partition — order-independent
+            WITH h AS (SELECT o_orderpriority,
+                         CAST(CONCAT('0x', SUBSTR(md5(
+                             CAST(o_orderkey AS VARCHAR) || '|'
+                             || CAST(o_custkey AS VARCHAR) || '|'
+                             || o_orderpriority), 1, 16)) AS UBIGINT) AS v
+                       FROM orders)
+            SELECT o_orderpriority,
+                   lower(lpad(to_hex(bit_xor(v)), 16, '0')) AS checksum,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM h GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "length_quartile_counts": """
+            WITH q AS (SELECT ROUND(QUANTILE_CONT(n_chars, 0.25), 4) AS q1,
+                              ROUND(QUANTILE_CONT(n_chars, 0.50), 4) AS q2,
+                              ROUND(QUANTILE_CONT(n_chars, 0.75), 4) AS q3
+                       FROM documents)
+            SELECT 1 + (n_chars > q1)::BIGINT + (n_chars > q2)::BIGINT
+                     + (n_chars > q3)::BIGINT AS quartile,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM documents, q GROUP BY 1 ORDER BY 1
         """,
         "stream_click_attribution": """
             SELECT p.event_id, COUNT(c.event_id)::BIGINT AS n_clicks

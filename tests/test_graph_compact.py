@@ -2,6 +2,7 @@
 
 import glob
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import ray.data as rd
@@ -58,3 +59,48 @@ def test_compact_crawl_output(tmp_path):
     compact_crawl_output(out, "payload", "image_id")
     t2 = rd.read_parquet(compacted).to_pandas()
     assert sorted(t2["image_id"]) == sorted(t["image_id"])
+
+
+def _brute_kcore(edges: pd.DataFrame, k: int) -> dict:
+    """Reference peeling: loop until no node has degree < k."""
+    es = {tuple(sorted((str(a), str(b))))
+          for a, b in zip(edges["src"], edges["dst"]) if str(a) != str(b)}
+    while True:
+        deg: dict = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {(u, v) for u, v in es if u not in drop and v not in drop}
+
+
+def test_k_core_matches_brute_force(ray_session):
+    """Distributed peeling == reference peeling on a seeded random graph,
+    across several k."""
+    from vbpl_web_crawl_ray.stages.graph import k_core
+
+    rng = np.random.RandomState(7)
+    edges = pd.DataFrame({"src": rng.randint(0, 40, 300),
+                          "dst": rng.randint(0, 40, 300)})
+    for k in (2, 3, 5):
+        got = k_core(edges, k=k)
+        want = _brute_kcore(edges, k)
+        assert dict(zip(got["node"], got["degree"])) == want, f"k={k}"
+
+
+def test_k_core_planted_clique(ray_session):
+    """A planted K6 inside sparse noise survives k=5 exactly; the noise
+    (a long path: every node degree <= 2) peels away entirely."""
+    from vbpl_web_crawl_ray.stages.graph import k_core
+
+    clique = [(f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)]
+    path = [(f"p{i}", f"p{i+1}") for i in range(50)]
+    edges = pd.DataFrame(clique + path, columns=["src", "dst"])
+    got = k_core(edges, k=5)
+    assert sorted(got["node"]) == [f"c{i}" for i in range(6)]
+    assert (got["degree"] == 5).all()
+    # k above the clique degree: empty core, empty frame with schema
+    empty = k_core(edges, k=7)
+    assert len(empty) == 0 and list(empty.columns) == ["node", "degree"]

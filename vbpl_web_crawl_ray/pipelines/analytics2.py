@@ -276,3 +276,57 @@ def q_weighted_median(sf_dir: str) -> pd.DataFrame:
                                partial_fn=partial).to_pandas()
     return (out.astype({"total_qty": "int64"})
                .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def q_rolling_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Rolling 7-day DISTINCT user count per day — the windowed
+    COUNT(DISTINCT) no engine can decompose into plain sums. It factors
+    through set membership instead: a user counts toward day d iff d is
+    within [active_day, active_day + 6] for some active day — so inside
+    whole-user buckets each user's distinct active days expand by a
+    ragged vectorized arange into the window-days they cover, dedup per
+    (user, window_day), and only per-day count partials leave the bucket.
+    Wire cost is bounded by window x user-days, never by events; the
+    final restriction to days that exist in the data joins against the
+    tiny distinct-day table on the driver. Integer day math only."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                           "day": t // _DAY_US})
+             .drop_duplicates())
+        return d.assign(ts=pd.to_datetime(d.pop("day") * _DAY_US, unit="us"))
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "day": t // _DAY_US})
+             .drop_duplicates())
+        day = d["day"].to_numpy()
+        n = len(d)
+        rows = np.repeat(np.arange(n), window_days)
+        off = np.tile(np.arange(window_days, dtype=np.int64), n)
+        w = (pd.DataFrame({"user_id": d["user_id"].to_numpy()[rows],
+                           "wday": day[rows] + off})
+             .drop_duplicates())
+        return (w.groupby("wday", as_index=False)
+                 .size().rename(columns={"size": "n_users"}))
+
+    parts = bucketed_group_apply(ev, "user_id", cover, num_buckets=4,
+                                 partial_fn=partial).to_pandas()
+    cnt = parts.groupby("wday", as_index=False)["n_users"].sum()
+
+    # the day domain: only days that actually occur in the data
+    def days_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({"day": np.unique(t // _DAY_US)})
+
+    cal = (_read(sf_dir, "events", ["ts"])
+           .map_batches(days_partial, batch_format="pandas")
+           .to_pandas()["day"].drop_duplicates())
+    out = cnt[cnt["wday"].isin(set(cal))]
+    return (pd.DataFrame({
+        "day": pd.to_datetime(out["wday"] * _DAY_US, unit="us"),
+        "n_users": out["n_users"].astype("int64")})
+        .sort_values("day").reset_index(drop=True))

@@ -280,3 +280,72 @@ def q_decile_boundaries(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
     qs = {f"d{i}": i / 10 for i in range(1, 10)}
     return exact_quantiles_selection(ds, "l_extendedprice", qs)
+
+
+def q_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent PER-PARTITION CHECKSUM of a table — the
+    anti-entropy verification a 100-TB resumable store runs to prove a
+    re-crawled / re-shuffled copy is byte-equivalent without moving data:
+    every row hashes (md5 of a canonical string form, int/string columns
+    only — float formatting is engine-specific), each batch XORs its
+    rows' hashes per partition key, and XOR partials merge in ANY order
+    on any topology. The driver holds one (group, xor, count) row per
+    partition; two stores compare by comparing these tiny tables.
+    Output checksum as zero-padded lowercase hex so signedness never
+    enters the compare."""
+    import hashlib
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df["o_orderkey"].astype(str) + "|"
+             + df["o_custkey"].astype(str) + "|"
+             + df["o_orderpriority"])
+        h = np.fromiter(
+            (int(hashlib.md5(x.encode()).hexdigest()[:16], 16) for x in s),
+            dtype=np.uint64, count=len(s))
+        return (pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                              "h": h})
+                .groupby("o_orderpriority", as_index=False)
+                .agg(x=("h", lambda v: np.bitwise_xor.reduce(
+                          v.to_numpy(np.uint64))),
+                     n=("h", "size")))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby("o_orderpriority", as_index=False)
+                .agg(x=("x", lambda v: np.bitwise_xor.reduce(
+                          v.to_numpy(np.uint64))),
+                     n_rows=("n", "sum")))
+    return (pd.DataFrame({
+        "o_orderpriority": out["o_orderpriority"],
+        "checksum": [format(int(v), "016x") for v in out["x"]],
+        "n_rows": out["n_rows"].astype("int64")})
+        .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_length_quartile_counts(sf_dir: str) -> pd.DataFrame:
+    """Document-length quartile gating — the selection histogram finds
+    the three exact global quartile boundaries of n_chars (no global
+    sort), they broadcast as three doubles, and one more streaming pass
+    classifies every document by 1 + (x > q1) + (x > q2) + (x > q3) —
+    integer comparisons against bit-exact boundaries, so the class
+    counts compare exactly. The composition a curation pipeline runs to
+    build length-balanced training mixes."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["n_chars"])
+    q = exact_quantiles_selection(docs, "n_chars",
+                                  {"q1": 0.25, "q2": 0.5, "q3": 0.75})
+    q1, q2, q3 = float(q["q1"][0]), float(q["q2"][0]), float(q["q3"][0])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        cls = 1 + (x > q1).astype(np.int64) + (x > q2) + (x > q3)
+        return (pd.DataFrame({"quartile": cls})
+                .groupby("quartile", as_index=False)
+                .size().rename(columns={"size": "n_docs"}))
+
+    parts = docs.map_batches(classify, batch_format="pandas").to_pandas()
+    out = parts.groupby("quartile", as_index=False)["n_docs"].sum()
+    return (out.astype({"quartile": "int64", "n_docs": "int64"})
+               .sort_values("quartile").reset_index(drop=True))

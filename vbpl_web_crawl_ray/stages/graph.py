@@ -493,3 +493,82 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
     return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
                          "n_edges": [np.int64(n_edges)],
                          "n_triangles": [np.int64(parts["tri"].sum())]})
+
+
+def k_core(edges, k: int = 3, src: str = "src", dst: str = "dst",
+           num_buckets: int = 8, max_iters: int = 100) -> pd.DataFrame:
+    """K-CORE decomposition by distributed iterative peeling: repeatedly
+    drop every node of degree < k until a fixpoint — what survives is the
+    maximal subgraph where every node keeps >= k neighbours (the dense
+    backbone extractor used for community seeding and spam filtering).
+
+    Per iteration: one degree pass (mergeable per-batch endpoint counts)
+    and one vectorized edge filter against THIS round's removal set,
+    broadcast once via ray.put — the edge set only shrinks, and peeling
+    converges in few rounds on power-law graphs (each round removes the
+    whole current fringe, not one node). The dataset materializes per
+    iteration so lineage stays flat (the PageRank object-reconstruction
+    lesson). The removal broadcast is size-gated by construction (a
+    round's fringe); at a scale where even the degree table cannot merge
+    on the driver, the degree pass becomes a bucketed count and the
+    filter a bucketed anti-join on each endpoint — same loop, two more
+    shuffles per round.
+
+    Returns the surviving (node, degree-in-core) table; empty if the
+    k-core is empty. Accepts a pandas frame or a Dataset of (src, dst)."""
+    import ray
+    import ray.data as rd
+
+    from .shuffle import bucketed_group_apply
+
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges[[src, dst]])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].astype(str).to_numpy()
+        b = df[dst].astype(str).to_numpy()
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        out = pd.DataFrame({"u": u, "v": v})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    cur = bucketed_group_apply(
+        edges.map_batches(canon, batch_format="pandas"), "u",
+        lambda g: g.drop_duplicates(["u", "v"]),
+        num_buckets=num_buckets).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["u"], df["v"]], ignore_index=True)
+        return (n.value_counts().rename_axis("node")
+                 .reset_index(name="d"))
+
+    deg = pd.DataFrame({"node": pd.Series(dtype=object),
+                        "d": pd.Series(dtype=np.int64)})
+    for _ in range(max_iters):
+        if cur.count() == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=object),
+                                 "degree": pd.Series(dtype=np.int64)})
+        deg = (cur.map_batches(deg_partial, batch_format="pandas")
+                  .to_pandas().groupby("node", as_index=False)["d"].sum())
+        fringe = set(deg.loc[deg["d"] < k, "node"])
+        if not fringe:
+            break
+        rref = ray.put(fringe)
+
+        class Drop:
+            def __init__(self):
+                self.gone = ray.get(rref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                keep = (~df["u"].isin(self.gone)
+                        & ~df["v"].isin(self.gone))
+                return df[keep]
+
+        cur = cur.map_batches(Drop, batch_format="pandas",
+                              concurrency=(1, 4)).materialize()
+    else:
+        raise RuntimeError("k_core failed to converge")
+
+    return (deg.rename(columns={"d": "degree"})
+               .astype({"degree": "int64"})
+               .sort_values("node").reset_index(drop=True))
