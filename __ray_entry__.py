@@ -25,6 +25,7 @@ from vbpl_web_crawl_ray.pipelines import relational as R  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import analytics as AN  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import analytics2 as AN2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational3 as R3  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 
@@ -733,6 +734,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-core backbone of the crawl citation graph by distributed
         # iterative peeling (rows-only: brute-force parity pytest-pinned)
         "doc_kcore": _doc_kcore,
+        # RANK() <= k top-k keeping boundary-value ties (data-driven size)
+        "rank_topk_with_ties": R3.q_rank_topk_with_ties,
+        # value-RANGE window frame: searchsorted bounds + int64 cents
+        # prefix sums inside whole-priority buckets — order-free, exact
+        "range_frame_sum": R3.q_range_frame_sum,
+        # TPC-H Q3 shape: dim filter -> broadcast semi-join -> single
+        # fact pass -> partial agg -> global top-k; zero all-to-alls
+        "q3_shipping_priority": R3.q_q3_shipping_priority,
+        # tokenizer-prep coverage curve: types covering 95% of tokens;
+        # integer coverage test, word table never exceeds one row/type
+        "vocab_coverage": CP.q_vocab_coverage,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1499,6 +1511,63 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "rank_topk_with_ties": """
+            WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC) AS rk
+                       FROM orders)
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   rk::BIGINT AS rk
+            FROM r WHERE rk <= 3
+            ORDER BY o_orderpriority, rk, o_orderkey
+        """,
+        "range_frame_sum": """
+            -- exact integer cents inside the value-RANGE frame; the
+            -- +-5000 boundaries are the same IEEE double ops both sides
+            SELECT o_orderkey, CAST(cnt AS BIGINT) AS n_near,
+                   CAST(s AS BIGINT) AS cents_near
+            FROM (SELECT o_orderkey, COUNT(*) OVER w AS cnt,
+                         SUM(cents) OVER w AS s
+                  FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                   AS cents
+                        FROM orders)
+                  WINDOW w AS (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice
+                               RANGE BETWEEN 5000 PRECEDING
+                                         AND 5000 FOLLOWING))
+            ORDER BY o_orderkey
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "vocab_coverage": """
+            WITH u AS (SELECT unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            c AS (SELECT w, COUNT(*)::BIGINT AS n FROM u GROUP BY w),
+            r AS (SELECT n, w,
+                    SUM(n) OVER (ORDER BY n DESC, w
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                    ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk,
+                    SUM(n) OVER () AS tot
+                  FROM c)
+            SELECT (SELECT SUM(n) FROM c)::BIGINT AS total_tokens,
+                   (SELECT COUNT(*) FROM c)::BIGINT AS vocab_size,
+                   MIN(rk)::BIGINT AS vocab_95,
+                   MIN(cum)::BIGINT AS covered_tokens
+            FROM r WHERE 100 * cum >= 95 * tot
         """,
         "rolling_distinct_users": """
             WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy

@@ -403,3 +403,36 @@ def q_bigram_lm_scores(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     return (out.astype({"n_bigrams": "int64", "familiarity": "int64"})
                .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_vocab_coverage(sf_dir: str, pct: int = 95) -> pd.DataFrame:
+    """Vocabulary coverage curve closed at one point — the tokenizer-prep
+    question "how many word types cover 95% of all tokens?". Word counts
+    come from per-batch combiners merged through a bucketed shuffle
+    (counts by word — works unbounded; only the final word table, one row
+    per TYPE, reaches the driver for the rank/cumsum close, and at a
+    vocabulary too large even for that the close becomes a distributed
+    sort + running-total scan). The coverage test stays in integers
+    (100*cum >= pct*total) — no float crosses anywhere."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"w": c.index.to_numpy(),
+                             "n": c.to_numpy(np.int64)})
+
+    words = bucketed_group_apply(
+        _docs(sf_dir, ("doc_id", "text")).map_batches(
+            partial, batch_format="pandas"),
+        "w", lambda g: g.groupby("w", as_index=False)["n"].sum(),
+        num_buckets=8).to_pandas()
+    words = words.sort_values(["n", "w"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    cum = words["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    hit = int(np.argmax(100 * cum >= pct * total))   # first qualifying rank
+    return pd.DataFrame({
+        "total_tokens": [np.int64(total)],
+        "vocab_size": [np.int64(len(words))],
+        "vocab_95": [np.int64(hit + 1)],
+        "covered_tokens": [np.int64(cum[hit])]})

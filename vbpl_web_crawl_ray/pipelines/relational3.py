@@ -1,0 +1,160 @@
+"""Session-3 relational operators: ties-preserving ranks, value-RANGE
+window frames, and the classic multi-join analytics composition — each
+with a DuckDB oracle twin and a stated 100-TB shape.
+
+- q_rank_topk_with_ties: RANK() <= k keeps ALL peers of the boundary
+  value (DENSE_RANK/ROW_NUMBER drop them) — integer ranks close inside
+  whole-group buckets, outputs are raw-value pass-throughs;
+- q_range_frame_sum: the RANGE window frame (value distance, not row
+  count) resolves as two np.searchsorted bounds over the sorted group +
+  one int64 prefix-sum — values aggregate as exact integer cents so the
+  windowed sums are order-free and bit-exact;
+- q_q3_shipping_priority: TPC-H Q3's shape (selective dim filter ->
+  broadcast semi-join -> fact filter -> partial aggregate -> global
+  top-k): the segment's customers and their qualifying orders ride to
+  the lineitem scan as one ray.put lookup (size-gated by the filter's
+  selectivity; past the gate each hop becomes a bucketed join), so the
+  big fact table is touched exactly once with no all-to-all at all."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+from ..stages.shuffle import bucketed_group_apply
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_rank_topk_with_ties(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k order prices per priority KEEPING TIES (RANK() <= k): the
+    boundary value's peers all stay, so the result size is data-driven —
+    the semantics dense_rank_top_orders cannot give. Priorities co-locate
+    whole in hash buckets; ranks are exact integers from one vectorized
+    pd.rank, prices pass through raw."""
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        rk = (g.groupby("o_orderpriority")["o_totalprice"]
+               .rank(method="min", ascending=False).astype(np.int64))
+        out = g.assign(rk=rk)
+        return out[out["rk"] <= k]
+
+    out = bucketed_group_apply(o, "o_orderpriority", ranks,
+                               num_buckets=4).to_pandas()
+    return (out.astype({"rk": "int64"})
+               .sort_values(["o_orderpriority", "rk", "o_orderkey"])
+               .reset_index(drop=True)
+               [["o_orderpriority", "o_orderkey", "o_totalprice", "rk"]])
+
+
+def q_range_frame_sum(sf_dir: str, radius: float = 5000.0) -> pd.DataFrame:
+    """RANGE window frame: for every order, the count and cents-sum of
+    same-priority orders whose price lies within +-radius of its own —
+    the value-distance frame ROWS cannot express. Inside whole-priority
+    buckets the frame is two np.searchsorted bounds over the sorted
+    price array plus an int64 prefix-sum of integer cents (the synth's
+    2-decimal prices recover exactly), so every windowed sum is
+    order-free integer arithmetic; the +-radius boundaries are the same
+    IEEE double ops in both engines."""
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderpriority", "o_totalprice"],
+                          kind="mergesort")
+        outs = []
+        for _, gg in g.groupby("o_orderpriority", sort=False):
+            p = gg["o_totalprice"].to_numpy()
+            cents = np.round(p * 100.0).astype(np.int64)
+            pre = np.concatenate(([0], np.cumsum(cents)))
+            lo = np.searchsorted(p, p - radius, side="left")
+            hi = np.searchsorted(p, p + radius, side="right")
+            outs.append(pd.DataFrame({
+                "o_orderkey": gg["o_orderkey"].to_numpy(),
+                "n_near": (hi - lo).astype(np.int64),
+                "cents_near": pre[hi] - pre[lo]}))
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_apply(o, "o_orderpriority", frame,
+                               num_buckets=4).to_pandas()
+    return (out.astype({"n_near": "int64", "cents_near": "int64"})
+               .sort_values("o_orderkey").reset_index(drop=True))
+
+
+def q_q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                           cutoff: str = "1995-03-15",
+                           limit: int = 10) -> pd.DataFrame:
+    """TPC-H Q3's shape — the classic 3-table analytics join: revenue of
+    the top unshipped orders for one market segment. The selective dim
+    side collapses BEFORE touching the fact table: the segment's
+    customers filter orders in one pruned scan, the qualifying
+    (orderkey -> orderdate) map broadcasts via ray.put (size-gated by
+    the two filters' selectivity — past the gate each hop becomes a
+    bucketed join on the same keys), and lineitem is then touched
+    exactly ONCE, emitting per-order revenue partials. No all-to-all
+    anywhere; the driver merges per-order partials and takes the global
+    top-k. Revenue rounds to 4 decimals in both engines before the
+    ordering, making the compare and the cutoff deterministic."""
+    cut = np.datetime64(cutoff, "us")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df.loc[df["c_mktsegment"] == segment, "c_custkey"]})
+
+    ckeys = set(cust.map_batches(seg_keys, batch_format="pandas")
+                    .to_pandas()["k"])
+    cref = ray.put(ckeys)
+
+    class OrderSide:
+        def __init__(self):
+            self.keys = ray.get(cref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["o_orderdate"].to_numpy() < cut) \
+                & df["o_custkey"].isin(self.keys).to_numpy()
+            return df.loc[m, ["o_orderkey", "o_orderdate"]]
+
+    omap = (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(OrderSide, batch_format="pandas",
+                         concurrency=(1, 4)).to_pandas())
+    oref = ray.put(dict(zip(omap["o_orderkey"],
+                            omap["o_orderdate"].astype("datetime64[us]"))))
+
+    class Revenue:
+        def __init__(self):
+            self.dates = ray.get(oref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["l_shipdate"].to_numpy() > cut) \
+                & df["l_orderkey"].isin(self.dates).to_numpy()
+            d = df.loc[m]
+            rev = (d["l_extendedprice"].to_numpy()
+                   * (1.0 - d["l_discount"].to_numpy()))
+            return (pd.DataFrame({"l_orderkey": d["l_orderkey"].to_numpy(),
+                                  "rev": rev})
+                    .groupby("l_orderkey", as_index=False)["rev"].sum())
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_shipdate"])
+             .map_batches(Revenue, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas())
+    agg = parts.groupby("l_orderkey", as_index=False)["rev"].sum()
+    dates = dict(zip(omap["o_orderkey"],
+                     omap["o_orderdate"].astype("datetime64[us]")))
+    out = pd.DataFrame({
+        "l_orderkey": agg["l_orderkey"].astype("int64"),
+        "revenue": round_half_away(agg["rev"].to_numpy(), 4),
+        "o_orderdate": agg["l_orderkey"].map(dates)})
+    return (out.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                            ascending=[False, True, True])
+               .head(limit).reset_index(drop=True))
