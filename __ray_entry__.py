@@ -745,6 +745,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer-prep coverage curve: types covering 95% of tokens;
         # integer coverage test, word table never exceeds one row/type
         "vocab_coverage": CP.q_vocab_coverage,
+        # partition-skew diagnosis: count-of-counts histogram + integer
+        # rank selection — the stats a shuffle planner reads before salts
+        "key_skew_stats": SO.q_key_skew_stats,
+        # gradient-sign dhash near-dup beside phash (rows-only: planted
+        # jpeg-requantized twins pinned by pytest)
+        "dhash_near_dup": P.q_dhash_near_dup,
+        # join-cardinality estimation from mergeable HLL sketches
+        # (rows-only: deterministic; <5% error bound pytest-pinned)
+        "hll_join_cardinality": SO.q_hll_join_cardinality,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1511,6 +1520,22 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "key_skew_stats": """
+            -- rank rule stated identically to the engine: smallest
+            -- per-key count whose cumulative key-rank covers q% of keys
+            WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY user_id),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rk,
+                         COUNT(*) OVER () AS m
+                  FROM c)
+            SELECT (SELECT COUNT(*) FROM c)::BIGINT AS n_users,
+                   (SELECT SUM(n) FROM c)::BIGINT AS total_events,
+                   (SELECT MAX(n) FROM c)::BIGINT AS max_events,
+                   (SELECT MIN(n) FROM r WHERE 100 * rk >= 50 * m)::BIGINT
+                       AS p50_events,
+                   (SELECT MIN(n) FROM r WHERE 100 * rk >= 99 * m)::BIGINT
+                       AS p99_events
         """,
         "rank_topk_with_ties": """
             WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -185,3 +185,50 @@ def test_audio_features_deterministic(sf_dir):
     a = q_audio_features(sf_dir).to_pandas().sort_values("audio_id")
     b = q_audio_features(sf_dir).to_pandas().sort_values("audio_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_dhash_near_dup_planted_twins(ray_session):
+    """The dhash gradient hash recovers the planted jpeg-requantized
+    twins through the banded hash_near_dup_pairs machinery, and the
+    banded result EQUALS brute-force Hamming on the dhash column."""
+    from vbpl_web_crawl_ray.pipelines.payloads import q_dhash_near_dup
+    from vbpl_web_crawl_ray.sources.imaging import dhash64
+
+    pairs = q_dhash_near_dup("/root/testdata/sf0.001")
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # every planted twin (doc_id % 10 == 0) must pair with its original
+    import duckdb
+    n_docs = duckdb.sql("SELECT COUNT(*) FROM "
+                        "'/root/testdata/sf0.001/documents.parquet'"
+                        ).fetchone()[0]
+    for did in range(0, n_docs, 10):
+        a, b = f"dup{did:08d}", f"img{did:08d}"
+        assert (a, b) in got or (b, a) in got, f"missing twin for {did}"
+
+    # dhash invariance sanity: jpeg requant flips few gradient signs
+    px = gen_pixels("imgx", 64, 64)
+    px2 = decode_image(encode_image(px, "jpeg"))
+    x = np.uint64(dhash64(px)) ^ np.uint64(dhash64(px2))
+    assert bin(int(x)).count("1") <= 2
+
+
+def test_hll_join_cardinality_error_bound(ray_session):
+    """Deterministic HLL estimates land within 5% of exact distinct
+    counts (p=12 -> ~1.6% std error), run-to-run stable."""
+    import duckdb
+
+    from vbpl_web_crawl_ray.pipelines.scaleops import q_hll_join_cardinality
+
+    sf = "/root/testdata/sf0.01"
+    est = q_hll_join_cardinality(sf)
+    con = duckdb.connect()
+    exact_a = con.execute(f"SELECT COUNT(DISTINCT o_custkey) FROM '{sf}/orders.parquet'").fetchone()[0]
+    exact_b = con.execute(f"SELECT COUNT(DISTINCT c_custkey) FROM '{sf}/customer.parquet'").fetchone()[0]
+    exact_u = con.execute(f"""SELECT COUNT(*) FROM (
+        SELECT o_custkey AS k FROM '{sf}/orders.parquet'
+        UNION SELECT c_custkey FROM '{sf}/customer.parquet')""").fetchone()[0]
+    for got, want in [(est["est_order_custkeys"][0], exact_a),
+                      (est["est_customers"][0], exact_b),
+                      (est["est_union"][0], exact_u)]:
+        assert abs(got - want) / want < 0.05, (got, want)
+    assert est.equals(q_hll_join_cardinality(sf))   # deterministic

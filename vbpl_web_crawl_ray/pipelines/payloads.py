@@ -336,3 +336,40 @@ def q_crop_resize_plan(sf_dir: str, target: int = 64) -> pd.DataFrame:
     return (out.astype({c: "int64" for c in
                         ("w", "h", "new_w", "new_h", "crop_x", "crop_y")})
                .sort_values("image_id").reset_index(drop=True))
+
+
+def q_dhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """dhash-banded Hamming near-dup over the payload table — the
+    gradient-sign perceptual hash beside phash's mean-threshold one
+    (local structure vs global brightness): every 10th image gets a
+    jpeg-requantized twin planted; the dhash column is computed by an
+    actor-pool decode pass (one per-batch call, decode per row — the
+    codec's inherent unit) and pairs resolve through the SAME banded
+    hash_near_dup_pairs machinery (pigeonhole chunks, in-bucket popcount
+    verify). Rows-only: planted-twin recovery is pytest-pinned."""
+    from ..sources.imaging import decode_image, dhash64
+    base = payload_table(sf_dir)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        extra = []
+        for r in df.itertuples(index=False):
+            did = int(r.image_id[3:])
+            if did % 10 == 0:
+                px2 = decode_image(encode_image(decode_image(r.bytes), "jpeg"))
+                extra.append({"image_id": r.image_id.replace("img", "dup"),
+                              "bytes": encode_image(px2, "png"),
+                              "w": r.w, "h": r.h, "fmt": "png",
+                              "caption": r.caption, "phash": r.phash})
+        return pd.concat([df, pd.DataFrame(extra)], ignore_index=True) \
+            if extra else df
+
+    def add_dhash(df: pd.DataFrame) -> pd.DataFrame:
+        dh = np.array([dhash64(decode_image(b)) for b in df["bytes"]],
+                      dtype=np.uint64)
+        return pd.DataFrame({"image_id": df["image_id"].to_numpy(),
+                             "dhash": dh.astype(np.int64)})
+
+    hashed = (base.map_batches(plant, batch_format="pandas")
+                  .map_batches(add_dhash, batch_format="pandas"))
+    return mm.hash_near_dup_pairs(hashed, hash_col="dhash",
+                                  id_col="image_id", max_hamming=2)

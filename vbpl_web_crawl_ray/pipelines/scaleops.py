@@ -349,3 +349,82 @@ def q_length_quartile_counts(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("quartile", as_index=False)["n_docs"].sum()
     return (out.astype({"quartile": "int64", "n_docs": "int64"})
                .sort_values("quartile").reset_index(drop=True))
+
+
+def q_key_skew_stats(sf_dir: str) -> pd.DataFrame:
+    """Partition-skew diagnosis over the events key — the pipeline-health
+    statistics a shuffle planner reads before choosing salts: per-user
+    event counts reduce to a COUNT-OF-COUNTS histogram (one row per
+    DISTINCT count value, not per user), which merges as plain integer
+    sums on any topology; exact p50/p99 of the per-key distribution then
+    resolve by rank from the cumulative histogram — the selection
+    pattern on integers, no sort, no quantile float math. The rank rule
+    (smallest count with 100*rank >= q*keys) is stated identically in
+    the oracle, so everything compares as BIGINTs."""
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("user_id", as_index=False)["n"].sum()
+        # count-of-counts: one row per distinct per-user count
+        return (c.groupby("n", as_index=False)
+                 .size().rename(columns={"size": "keys"}))
+
+    hist = bucketed_group_apply(
+        ev, "user_id", per_user, num_buckets=4,
+        partial_fn=lambda df: (df.groupby("user_id", as_index=False)
+                                 .size().rename(columns={"size": "n"}))
+    ).to_pandas().groupby("n", as_index=False)["keys"].sum() \
+     .sort_values("n").reset_index(drop=True)
+
+    cnt = hist["n"].to_numpy(np.int64)
+    keys = hist["keys"].to_numpy(np.int64)
+    m = int(keys.sum())
+    cum = np.cumsum(keys)
+
+    def rank_at(q: int) -> int:
+        return int(cnt[int(np.argmax(100 * cum >= q * m))])
+
+    return pd.DataFrame({
+        "n_users": [np.int64(m)],
+        "total_events": [np.int64(int((cnt * keys).sum()))],
+        "max_events": [np.int64(int(cnt[-1]))],
+        "p50_events": [np.int64(rank_at(50))],
+        "p99_events": [np.int64(rank_at(99))]})
+
+
+def q_hll_join_cardinality(sf_dir: str) -> pd.DataFrame:
+    """Join-cardinality estimation from mergeable HLL sketches — the
+    planning statistics pass run BEFORE committing to a join strategy:
+    one 4 KB sketch per side estimates each side's distinct keys, their
+    merged sketch the union, and inclusion-exclusion the key overlap —
+    O(sketch) wire and driver cost however large the tables. Sketches
+    hash deterministically, so the estimates are stable run to run
+    (rows-only: the <5% error bound vs exact is pytest-pinned)."""
+    from ..pipelines.relational2 import HyperLogLog, hash64
+
+    def sketch(ds: rd.Dataset, col: str) -> "HyperLogLog":
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            h = HyperLogLog(12)
+            h.add_hashes(hash64(df[col].astype(str).to_numpy()))
+            return pd.DataFrame({"sketch": [h.registers.tobytes()]})
+
+        merged = HyperLogLog(12)
+        for row in (ds.map_batches(partial, batch_format="pandas")
+                      .iter_rows()):
+            other = HyperLogLog(12)
+            other.registers = np.frombuffer(row["sketch"],
+                                            dtype=np.uint8).copy()
+            merged.merge(other)
+        return merged
+
+    a = sketch(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey")
+    b = sketch(_read(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    ea, eb = a.estimate(), b.estimate()
+    u = HyperLogLog(12)
+    u.registers = np.maximum(a.registers, b.registers)
+    eu = u.estimate()
+    return pd.DataFrame({
+        "est_order_custkeys": [round(ea)],
+        "est_customers": [round(eb)],
+        "est_union": [round(eu)],
+        "est_overlap": [round(ea + eb - eu)]})

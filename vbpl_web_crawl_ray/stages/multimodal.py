@@ -232,24 +232,25 @@ def audio_features(ds: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
                           batch_size=16, concurrency=concurrency)
 
 
-def phash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 2,
-                         num_chunks: int | None = None) -> pd.DataFrame:
-    """Near-duplicate image pairs by phash Hamming distance — the payload
-    table's analogue of the reference's PK-identity dedup (SURVEY.md §2.7):
-    band the 64-bit phash into (max_hamming+1) chunks (pigeonhole: pairs
-    within distance d agree on >=1 chunk), bucket-join, verify popcount."""
+def hash_near_dup_pairs(ds: rd.Dataset, hash_col: str = "phash",
+                        id_col: str = "image_id", max_hamming: int = 2,
+                        num_chunks: int | None = None) -> pd.DataFrame:
+    """Near-duplicate pairs by 64-bit-hash Hamming distance over ANY
+    perceptual hash column (phash, dhash, simhash alike): band the hash
+    into (max_hamming+1) chunks (pigeonhole: pairs within distance d
+    agree on >=1 chunk), bucket-join, verify popcount."""
     k = num_chunks or (max_hamming + 1)
     chunk_bits = 64 // k
 
     def to_chunks(df: pd.DataFrame) -> pd.DataFrame:
-        ph = df["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        ph = df[hash_col].to_numpy().astype(np.int64).view(np.uint64)
         rows = {"chunk": [], "chunk_val": [], "image_id": [], "phash": []}
         for c in range(k):
             rows["chunk"].append(np.full(len(df), c, np.int32))
             rows["chunk_val"].append(
                 ((ph >> np.uint64(c * chunk_bits))
                  & np.uint64((1 << chunk_bits) - 1)).astype(np.int64))
-            rows["image_id"].append(df["image_id"].to_numpy())
+            rows["image_id"].append(df[id_col].to_numpy())
             rows["phash"].append(ph.astype(np.int64))
         return pd.DataFrame({kk: np.concatenate(v) for kk, v in rows.items()})
 
@@ -278,11 +279,19 @@ def phash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 2,
                              "hamming": np.concatenate(out_h)})
 
     from .shuffle import bucketed_group_apply
-    chunked = ds.select_columns(["image_id", "phash"]) \
+    chunked = ds.select_columns([id_col, hash_col]) \
                 .map_batches(to_chunks, batch_format="pandas")
     return (bucketed_group_apply(chunked, "chunk_val", verify, num_buckets=8)
             .to_pandas().drop_duplicates(["id_a", "id_b"])
             .reset_index(drop=True))
+
+
+def phash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 2,
+                         num_chunks: int | None = None) -> pd.DataFrame:
+    """Near-duplicate image pairs by phash Hamming distance — the payload
+    table's analogue of the reference's PK-identity dedup (SURVEY.md §2.7)."""
+    return hash_near_dup_pairs(ds, "phash", "image_id",
+                               max_hamming, num_chunks)
 
 
 class ImageQuality:
