@@ -754,6 +754,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join-cardinality estimation from mergeable HLL sketches
         # (rows-only: deterministic; <5% error bound pytest-pinned)
         "hll_join_cardinality": SO.q_hll_join_cardinality,
+        # md5-seeded deterministic augmentation parameters per image —
+        # reproducible aug with no shared RNG; oracle derives the same
+        # nibbles with SQL md5
+        "augment_manifest": P.q_augment_manifest,
+        # 2x2 mosaic packing layout per aspect bucket (integer tiling
+        # arithmetic over in-bucket row numbers)
+        "mosaic_grid_plan": P.q_mosaic_grid_plan,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1520,6 +1527,42 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "augment_manifest": """
+            -- md5 nibble seeding stated identically to the engine
+            WITH ids AS (SELECT 'img' || lpad(CAST(doc_id AS VARCHAR),
+                                              8, '0') AS image_id
+                         FROM documents),
+            h AS (SELECT image_id, md5(image_id) AS hx FROM ids)
+            SELECT image_id,
+                   (CAST(CONCAT('0x', SUBSTR(hx, 1, 1)) AS UBIGINT) % 2)
+                       ::BIGINT AS flip_h,
+                   (CAST(CONCAT('0x', SUBSTR(hx, 2, 1)) AS UBIGINT) % 4)
+                       ::BIGINT AS rot90,
+                   (CAST(CONCAT('0x', SUBSTR(hx, 3, 2)) AS UBIGINT) % 21)
+                       ::BIGINT - 10 AS jitter
+            FROM h ORDER BY image_id
+        """,
+        "mosaic_grid_plan": """
+            WITH dims AS (SELECT 'img' || lpad(CAST(doc_id AS VARCHAR),
+                                               8, '0') AS image_id,
+                                 48 + doc_id % 33 AS w,
+                                 48 + (doc_id * 7) % 33 AS h
+                          FROM documents),
+            b AS (SELECT image_id,
+                    CASE WHEN w*4 >= h*5 THEN 'wide'
+                         WHEN h*4 >= w*5 THEN 'tall'
+                         ELSE 'square' END AS bucket
+                  FROM dims),
+            r AS (SELECT image_id, bucket,
+                    ROW_NUMBER() OVER (PARTITION BY bucket
+                                       ORDER BY image_id) - 1 AS rn
+                  FROM b)
+            SELECT image_id, bucket,
+                   (rn // 4)::BIGINT AS mosaic_id,
+                   (rn % 2)::BIGINT AS grid_x,
+                   ((rn % 4) // 2)::BIGINT AS grid_y
+            FROM r ORDER BY image_id
         """,
         "key_skew_stats": """
             -- rank rule stated identically to the engine: smallest

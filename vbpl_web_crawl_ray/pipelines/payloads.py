@@ -373,3 +373,68 @@ def q_dhash_near_dup(sf_dir: str) -> pd.DataFrame:
                   .map_batches(add_dhash, batch_format="pandas"))
     return mm.hash_near_dup_pairs(hashed, hash_col="dhash",
                                   id_col="image_id", max_hamming=2)
+
+
+def q_augment_manifest(sf_dir: str) -> pd.DataFrame:
+    """Deterministic augmentation manifest — the seeding discipline a
+    reproducible training pipeline needs: every image's augmentation
+    parameters (horizontal flip, quarter-rotations, brightness jitter)
+    derive from md5(image_id) nibbles, so any worker on any run computes
+    the identical plan with NO shared RNG state to coordinate. Pure
+    per-batch map; the oracle derives the same nibbles with SQL md5 —
+    everything integer, exact."""
+    import hashlib
+
+    imgs = payload_table(sf_dir).select_columns(["image_id"])
+
+    def manifest(df: pd.DataFrame) -> pd.DataFrame:
+        hexes = [hashlib.md5(i.encode()).hexdigest()
+                 for i in df["image_id"]]
+        return pd.DataFrame({
+            "image_id": df["image_id"].to_numpy(),
+            "flip_h": np.array([int(h[0], 16) % 2 for h in hexes],
+                               np.int64),
+            "rot90": np.array([int(h[1], 16) % 4 for h in hexes],
+                              np.int64),
+            "jitter": np.array([int(h[2:4], 16) % 21 - 10 for h in hexes],
+                               np.int64)})
+
+    out = imgs.map_batches(manifest, batch_format="pandas").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def q_mosaic_grid_plan(sf_dir: str) -> pd.DataFrame:
+    """Mosaic/packing grid plan: images group by aspect bucket, order by
+    image_id inside their bucket, and tile into 2x2 mosaics (mosaic
+    index, grid x, grid y) — the deterministic collage-packing layout an
+    augmentation loader materializes. Buckets are few and bounded, so
+    each co-locates whole in a hash bucket and one cumcount resolves
+    every position; everything integer. The oracle re-derives bucket
+    membership from the synth dims and states the identical tiling
+    arithmetic over ROW_NUMBER."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    imgs = payload_table(sf_dir).select_columns(["image_id", "w", "h"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        bucket = np.where(w * 4 >= h * 5, "wide",
+                          np.where(h * 4 >= w * 5, "tall", "square"))
+        return pd.DataFrame({"image_id": df["image_id"].to_numpy(),
+                             "bucket": bucket})
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "image_id"], kind="mergesort")
+        rn = g.groupby("bucket", sort=False).cumcount().to_numpy()  # 0-based
+        return pd.DataFrame({"image_id": g["image_id"].to_numpy(),
+                             "bucket": g["bucket"].to_numpy(),
+                             "mosaic_id": rn // 4,
+                             "grid_x": rn % 2,
+                             "grid_y": (rn % 4) // 2})
+
+    out = bucketed_group_apply(
+        imgs.map_batches(pre, batch_format="pandas"), "bucket", tile,
+        num_buckets=4).to_pandas()
+    return (out.astype({c: "int64" for c in ("mosaic_id", "grid_x", "grid_y")})
+               .sort_values("image_id").reset_index(drop=True))
