@@ -761,6 +761,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2x2 mosaic packing layout per aspect bucket (integer tiling
         # arithmetic over in-bucket row numbers)
         "mosaic_grid_plan": P.q_mosaic_grid_plan,
+        # last-touch attribution: the per-key AS-OF pick via the same
+        # composite-rank searchsorted bound, minus one
+        "last_touch_attribution": AN2.q_last_touch_attribution,
+        # int8 quantization error audit: max-abs scales + round-trip
+        # error maxima, both order-free merges — float yet bit-exact
+        "embedding_quantization": AN2.q_embedding_quantization,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1527,6 +1533,31 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "last_touch_attribution": """
+            WITH j AS (SELECT p.event_id AS pe, c.event_id AS ce,
+                         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                            ORDER BY c.ts DESC,
+                                                     c.event_id DESC) AS rn
+                       FROM events p JOIN events c
+                         ON c.user_id = p.user_id
+                        AND c.event_type = 'click' AND c.ts <= p.ts
+                       WHERE p.event_type = 'purchase')
+            SELECT pe AS event_id, ce AS click_id
+            FROM j WHERE rn = 1 ORDER BY pe
+        """,
+        "embedding_quantization": """
+            -- per-element expression stated identically to the engine;
+            -- both reductions are MAX, so order never enters
+            WITH u AS (SELECT UNNEST(embedding)::DOUBLE AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings),
+            m AS (SELECT dim, MAX(ABS(v)) AS mx FROM u GROUP BY dim)
+            SELECT m.dim::BIGINT AS dim, m.mx / 127.0 AS scale,
+                   MAX(ABS(u.v - FLOOR(u.v / (m.mx / 127.0) + 0.5)
+                                 * (m.mx / 127.0))) AS max_abs_err
+            FROM u JOIN m USING (dim)
+            GROUP BY m.dim, m.mx ORDER BY dim
         """,
         "augment_manifest": """
             -- md5 nibble seeding stated identically to the engine

@@ -330,3 +330,83 @@ def q_rolling_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
         "day": pd.to_datetime(out["wday"] * _DAY_US, unit="us"),
         "n_users": out["n_users"].astype("int64")})
         .sort_values("day").reset_index(drop=True))
+
+
+def q_last_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """LAST-TOUCH attribution: each purchase resolves to the most recent
+    click by the same user at-or-before it (ties on the microsecond pick
+    the larger event_id — stated identically in the oracle's ROW_NUMBER
+    ordering). This is the per-key AS-OF pick, resolved like the window
+    count: clicks sort once by (user, ts, event_id) inside whole-user
+    buckets; the composite (user-rank x time-rank) searchsorted bound
+    minus one IS the as-of row, valid iff it stays inside the user's key
+    segment. No join, no per-user loop; purchases with no prior click
+    drop (inner-join semantics)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(("click", "purchase"))]
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        uidx, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ids = g["event_id"].to_numpy()
+        is_c = (g["event_type"] == "click").to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        cu, ct, cid = uidx[is_c], t[is_c], ids[is_c]
+        order = np.lexsort((cid, ct, cu))      # ties end on max event_id
+        cu, ct, cid = cu[order], ct[order], cid[order]
+        dist = np.unique(ct)
+        m = np.int64(len(dist) + 1)
+        key = cu.astype(np.int64) * m + np.searchsorted(dist, ct, side="left")
+        pu, pt = uidx[is_p].astype(np.int64), t[is_p]
+        hi = pu * m + np.searchsorted(dist, pt, side="right")
+        pos = np.searchsorted(key, hi, side="left") - 1
+        base = np.searchsorted(key, pu * m, side="left")
+        ok = pos >= base
+        return pd.DataFrame({
+            "event_id": ids[is_p][ok],
+            "click_id": cid[np.maximum(pos[ok], 0)]})
+
+    out = bucketed_group_apply(ev, "user_id", attribute, num_buckets=4,
+                               partial_fn=pre).to_pandas()
+    return (out.astype({"click_id": "int64"})
+               .sort_values("event_id").reset_index(drop=True))
+
+
+def q_embedding_quantization(sf_dir: str) -> pd.DataFrame:
+    """INT8 symmetric quantization error audit over the embedding column
+    — the compression pre-check an ANN/serving stack runs before
+    shipping int8 vectors: pass 1 merges per-dimension max-abs (order-
+    free), the 64 scales broadcast as plain floats, pass 2 computes every
+    element's round-trip error and merges per-dimension MAX (order-free
+    again) — so despite being float math end to end, nothing depends on
+    summation order and the compare is bit-exact with no rounding. The
+    element expression (floor(v/scale + 0.5)*scale, on float64 upcast
+    BEFORE any arithmetic) is stated identically in the oracle."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def maxabs(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.abs(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame({"dim": np.arange(1, m.shape[1] + 1,
+                                              dtype=np.int64),
+                             "mx": m.max(axis=0)})
+
+    mx = (emb.map_batches(maxabs, batch_format="pandas").to_pandas()
+             .groupby("dim", as_index=False)["mx"].max()
+             .sort_values("dim"))
+    scale = (mx["mx"].to_numpy(np.float64) / 127.0)
+
+    def err(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        e = np.abs(v - np.floor(v / scale + 0.5) * scale)
+        return pd.DataFrame({"dim": np.arange(1, v.shape[1] + 1,
+                                              dtype=np.int64),
+                             "err": e.max(axis=0)})
+
+    mxe = (emb.map_batches(err, batch_format="pandas").to_pandas()
+              .groupby("dim", as_index=False)["err"].max())
+    return pd.DataFrame({
+        "dim": mx["dim"].astype("int64").to_numpy(),
+        "scale": scale,
+        "max_abs_err": mxe.sort_values("dim")["err"].to_numpy()})
