@@ -767,6 +767,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8 quantization error audit: max-abs scales + round-trip
         # error maxima, both order-free merges — float yet bit-exact
         "embedding_quantization": AN2.q_embedding_quantization,
+        # SCD type-2 history build: versioned [valid_from, valid_to)
+        # rows per user, one vectorized shift in whole-user buckets
+        "scd2_history": R3.q_scd2_history,
+        # signup->purchase conversion-time distribution: conditional
+        # argmin partials with +inf sentinel, integer rank selection
+        "conversion_time_stats": R3.q_conversion_time_stats,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1533,6 +1539,40 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "scd2_history": """
+            WITH h AS (SELECT user_id, ts, event_id, value,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                             AS version,
+                         LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS valid_to
+                       FROM events)
+            SELECT user_id, version::BIGINT AS version, value,
+                   ts AS valid_from, valid_to,
+                   (CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS is_current
+            FROM h ORDER BY user_id, version
+        """,
+        "conversion_time_stats": """
+            WITH f AS (SELECT user_id,
+                         MIN(CASE WHEN event_type = 'signup'
+                                  THEN ts END) AS s,
+                         MIN(CASE WHEN event_type = 'purchase'
+                                  THEN ts END) AS p
+                       FROM events GROUP BY user_id),
+            d AS (SELECT EPOCH_US(p - s) AS dur FROM f
+                  WHERE s IS NOT NULL AND p IS NOT NULL),
+            r AS (SELECT dur, ROW_NUMBER() OVER (ORDER BY dur) AS rk,
+                         COUNT(*) OVER () AS m
+                  FROM d)
+            SELECT (SELECT COUNT(*) FROM d)::BIGINT AS n_users,
+                   (SELECT MIN(dur) FROM d)::BIGINT AS min_dur_us,
+                   (SELECT MAX(dur) FROM d)::BIGINT AS max_dur_us,
+                   (SELECT MIN(dur) FROM r
+                    WHERE 100 * rk >= 50 * m)::BIGINT AS p50_dur_us,
+                   (SELECT MIN(dur) FROM r
+                    WHERE 100 * rk >= 90 * m)::BIGINT AS p90_dur_us
         """,
         "last_touch_attribution": """
             WITH j AS (SELECT p.event_id AS pe, c.event_id AS ce,

@@ -158,3 +158,68 @@ def q_q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     return (out.sort_values(["revenue", "o_orderdate", "l_orderkey"],
                             ascending=[False, True, True])
                .head(limit).reset_index(drop=True))
+
+
+def q_scd2_history(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension TYPE 2 history build: each user's event
+    stream becomes versioned rows with [valid_from, valid_to) intervals
+    (valid_to = the next change's timestamp; the current row keeps a NULL
+    end and is_current = 1) — the warehouse-merge shape every dimension
+    load runs. Users co-locate whole in hash buckets; one vectorized
+    shift closes every interval; every output is a raw pass-through
+    (timestamps and values untouched), so the compare is exact."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def history(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g["ts"].shift(-1)
+        same = g["user_id"].eq(g["user_id"].shift(-1))
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "version": g.groupby("user_id", sort=False).cumcount()
+                        .to_numpy(np.int64) + 1,
+            "value": g["value"].to_numpy(),
+            "valid_from": g["ts"].to_numpy(),
+            "valid_to": nxt.where(same).to_numpy(),
+            "is_current": np.where(same.to_numpy(), 0, 1).astype(np.int64)})
+
+    out = bucketed_group_apply(ev, "user_id", history,
+                               num_buckets=4).to_pandas()
+    return (out.astype({"version": "int64", "is_current": "int64"})
+               .sort_values(["user_id", "version"]).reset_index(drop=True))
+
+
+def q_conversion_time_stats(sf_dir: str) -> pd.DataFrame:
+    """Signup-to-purchase conversion-time distribution: first signup and
+    first purchase per user are mergeable conditional-argmin partials
+    (int64 microseconds with a +inf sentinel for 'never', so partial
+    merges stay plain MIN); users holding both events yield an exact
+    integer duration, and p50/p90 resolve by the integer rank rule
+    (smallest duration with 100*rank >= q*n) stated identically in the
+    oracle. Nothing float anywhere."""
+    _NEVER = np.int64(2**62)
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        s = np.where(df["event_type"].to_numpy() == "signup", t, _NEVER)
+        p = np.where(df["event_type"].to_numpy() == "purchase", t, _NEVER)
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                              "s": s, "p": p})
+                .groupby("user_id", as_index=False).min())
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    f = parts.groupby("user_id", as_index=False).min()
+    d = f[(f["s"] < _NEVER) & (f["p"] < _NEVER)]
+    dur = np.sort((d["p"] - d["s"]).to_numpy(np.int64))
+    m = len(dur)
+
+    def rank_at(q: int) -> np.int64:
+        return dur[int(np.argmax(100 * (np.arange(m) + 1) >= q * m))]
+
+    return pd.DataFrame({
+        "n_users": [np.int64(m)],
+        "min_dur_us": [dur[0]],
+        "max_dur_us": [dur[-1]],
+        "p50_dur_us": [rank_at(50)],
+        "p90_dur_us": [rank_at(90)]})
