@@ -110,6 +110,30 @@ def _crawl_payload(sf_dir: str):
     return rd.read_parquet(f"{out}/payload").drop_columns(["round"])
 
 
+def _stream_hopping_watermark(sf_dir: str):
+    """Event-time HOPPING windows with watermark finalization — the
+    overlapping-window streaming shape beside tumbling and sessions. Fed
+    in event-time order nothing drops, so the finalized windows must
+    equal the batch ragged-expansion GROUP BY (the same generate_series
+    oracle as hopping_window). Late-drop semantics pytest-pinned."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.functions.numeric import round_half_away
+    from vbpl_web_crawl_ray.stages.streaming import run_hopping_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+    out, metrics = run_hopping_windows(ds, key_col="event_type",
+                                       window_size_s=3600.0, hop_s=900.0,
+                                       allowed_lateness_s=0.0)
+    assert metrics["dropped_late"] == 0   # ordered feed: nothing late
+    out = out.rename(columns={"key": "event_type"})
+    out["n"] = out["n"].astype("int64")
+    out["win_start"] = out["win_start"].astype("int64")
+    out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 4)
+    return (out.sort_values(["event_type", "win_start"])
+               .reset_index(drop=True))
+
+
 def _stream_click_attribution(sf_dir: str):
     """Stream-stream INTERVAL JOIN with watermark-bounded state: every
     purchase counts the same user's clicks in its trailing 30-minute
@@ -773,6 +797,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # signup->purchase conversion-time distribution: conditional
         # argmin partials with +inf sentinel, integer rank selection
         "conversion_time_stats": R3.q_conversion_time_stats,
+        # bigram LM mean log-probability scoring (libm LN parity; per-doc
+        # means round to 4 — order noise ~1e-13 cannot reach it)
+        "lm_logprob_scores": CP.q_lm_logprob_scores,
+        # streaming HOPPING windows with watermark finalization — the
+        # overlapping-window actor; ordered feed == the batch expansion
+        "stream_hopping_watermark": _stream_hopping_watermark,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1539,6 +1569,41 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lm_logprob_scores": """
+            -- MLE bigram conditional; LN through libm matches math.log
+            -- bitwise, the per-doc mean rounds to 4
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            b AS (SELECT doc_id,
+                         unnest([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))]) AS bigram
+                  FROM t),
+            c AS (SELECT bigram, COUNT(*)::BIGINT AS n FROM b
+                  GROUP BY bigram),
+            m AS (SELECT string_split(bigram, ' ')[1] AS a,
+                         SUM(n)::BIGINT AS mn
+                  FROM c GROUP BY 1)
+            SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                   ROUND(AVG(LN(c.n::DOUBLE / m.mn::DOUBLE)), 4)
+                       AS avg_logprob
+            FROM b JOIN c USING (bigram)
+                   JOIN m ON string_split(b.bigram, ' ')[1] = m.a
+            GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "stream_hopping_watermark": """
+            -- same ragged-expansion twin as hopping_window: the ordered
+            -- streaming feed must finalize the identical windows
+            WITH e AS (SELECT event_type, value, EPOCH_US(ts) AS t
+                       FROM events),
+            w AS (SELECT event_type, value,
+                    UNNEST(generate_series((t - 3600000000) // 900000000 + 1,
+                                           t // 900000000)) AS k
+                  FROM e)
+            SELECT event_type, (k * 900000000) // 1000000 AS win_start,
+                   COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM w GROUP BY event_type, win_start
+            ORDER BY event_type, win_start
         """,
         "scd2_history": """
             WITH h AS (SELECT user_id, ts, event_id, value,

@@ -408,3 +408,34 @@ def test_interval_join_ordered_equals_batch(sf_dir):
     want = q_purchase_click_attribution(sf_dir)
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True))
+
+
+def test_hopping_window_overlap_and_late_drop():
+    """Every event lands in size/hop overlapping windows; a window
+    finalizes once the watermark passes its end and an event for it
+    afterwards drops (counted), never resurrecting it."""
+    import ray
+    from vbpl_web_crawl_ray.stages.streaming import HoppingWindow
+
+    def mk(ts_s, key="a", value=1.0):
+        return pd.DataFrame({
+            "key": [key],
+            "ts": pd.to_datetime([ts_s], unit="s").astype("datetime64[us]"),
+            "value": [value]})
+
+    # size 40, hop 10 -> each event covers 4 windows
+    a = HoppingWindow.remote(window_size_s=40.0, hop_s=10.0,
+                             allowed_lateness_s=0.0)
+    ray.get(a.feed.remote(mk(35)))            # windows 0,10,20,30
+    assert ray.get(a.metrics.remote())["open_windows"] == 4
+    # watermark to 100: all four finalize (end <= 100)
+    ray.get(a.feed.remote(mk(100)))           # windows 70,80,90,100
+    m = ray.get(a.metrics.remote())
+    assert m["open_windows"] == 4             # only the new event's
+    # straggler at 36 targets finalized windows 0..30 -> all 4 drop
+    ray.get(a.feed.remote(mk(36)))
+    m = ray.get(a.metrics.remote())
+    assert m["dropped_late"] == 4
+    out = ray.get(a.flush.remote())
+    w35 = out[out["win_start"].isin([0, 10, 20, 30])]
+    assert (w35["n"] == 1).all()              # the straggler never landed

@@ -436,3 +436,84 @@ def q_vocab_coverage(sf_dir: str, pct: int = 95) -> pd.DataFrame:
         "vocab_size": [np.int64(len(words))],
         "vocab_95": [np.int64(hit + 1)],
         "covered_tokens": [np.int64(cum[hit])]})
+
+
+def q_lm_logprob_scores(sf_dir: str) -> pd.DataFrame:
+    """Bigram LM LOG-PROBABILITY scoring (the proper perplexity filter
+    beside the integer familiarity score): the model is the corpus's MLE
+    conditional P(b|a) = c(a,b) / c(a,·); each document scores its mean
+    log-probability over its bigram occurrences. Counts stay exact
+    integers in the broadcast model; per-occurrence terms evaluate
+    LN(c::DOUBLE / mc::DOUBLE) through libm (math.log — bitwise DuckDB LN
+    parity; np.log drifts), and the per-doc mean rounds to 4 decimals —
+    sums are a few hundred terms of magnitude <= ~8, so summation-order
+    noise (~1e-13) cannot reach the 4th decimal. Two streaming passes,
+    O(vocab^2) driver state, per-doc scores close in-batch."""
+    import math
+
+    import ray
+
+    from ..functions.numeric import round_half_away
+
+    def _pairs(df: pd.DataFrame):
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        if len(flat) < 2:
+            return None
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        last = np.cumsum(lens) - 1
+        keep[last[:-1]] = False
+        big = (pd.Series(flat[:-1], dtype=object)
+               + " " + pd.Series(flat[1:], dtype=object))[keep]
+        docs = np.repeat(df["doc_id"].to_numpy(), lens)[:-1][keep]
+        return docs, big
+
+    def train(df: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs(df)
+        if p is None:
+            return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        _, big = p
+        c = big.value_counts()
+        return pd.DataFrame({"bigram": c.index.to_numpy(),
+                             "n": c.to_numpy(np.int64)})
+
+    parts = (_docs(sf_dir, ("doc_id", "text"))
+             .map_batches(train, batch_format="pandas").to_pandas())
+    model = parts.groupby("bigram")["n"].sum()
+    first = model.index.str.split(" ").str[0]
+    marginal = model.groupby(first.to_numpy()).sum()   # c(a, ·)
+    mref = ray.put((model.to_dict(), marginal.to_dict()))
+
+    class Score:
+        def __init__(self):
+            self.model, self.marginal = ray.get(mref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            p = _pairs(df)
+            if p is None:
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "n_bigrams": pd.Series(dtype=np.int64),
+                    "avg_logprob": pd.Series(dtype=np.float64)})
+            docs, big = p
+            c = big.map(self.model).to_numpy(np.float64)
+            mc = (big.str.split(" ").str[0].map(self.marginal)
+                  .to_numpy(np.float64))
+            lp = np.fromiter((math.log(v) for v in c / mc),
+                             dtype=np.float64, count=len(c))
+            g = (pd.DataFrame({"doc_id": docs, "lp": lp})
+                 .groupby("doc_id", as_index=False)
+                 .agg(n_bigrams=("lp", "size"), s=("lp", "sum")))
+            return pd.DataFrame({
+                "doc_id": g["doc_id"],
+                "n_bigrams": g["n_bigrams"].astype(np.int64),
+                "avg_logprob": round_half_away(
+                    (g["s"] / g["n_bigrams"]).to_numpy(), 4)})
+
+    out = (_docs(sf_dir, ("doc_id", "text"))
+           .map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    return (out.astype({"n_bigrams": "int64"})
+               .sort_values("doc_id").reset_index(drop=True))

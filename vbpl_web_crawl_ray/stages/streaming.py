@@ -458,3 +458,116 @@ def run_interval_join(ds: rd.Dataset, key_col: str,
              .astype({"event_id": "int64", "n_clicks": "int64"})
              .sort_values("event_id").reset_index(drop=True))
     return out, metrics
+
+
+@ray.remote(num_cpus=0)
+class HoppingWindow:
+    """Event-time HOPPING (sliding) windows with watermark finalization —
+    the overlapping-window member of the trio (tumbling / session /
+    hopping): every event lands in size/hop windows [k*hop, k*hop+size);
+    a window finalizes once the watermark passes its END, emitting
+    exactly once; events behind an already-finalized window drop and are
+    counted. The multi-window assignment is the ragged vectorized arange
+    INSIDE feed — per batch, no per-event Python loop for the expansion.
+    All event-time arithmetic in int64 microseconds; state is bounded by
+    (size/hop) x lateness-horizon windows per key."""
+
+    def __init__(self, window_size_s: float = 3600.0,
+                 hop_s: float = 900.0, allowed_lateness_s: float = 0.0):
+        self.size = int(round(window_size_s * 1e6))
+        self.hop = int(round(hop_s * 1e6))
+        self.late = int(round(allowed_lateness_s * 1e6))
+        self.open: dict = {}        # (key, win_start_us) -> [n, sum]
+        self.done: list = []
+        self.watermark = None
+        self.dropped = 0
+
+    def feed(self, batch: pd.DataFrame) -> int:
+        ts = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = batch["key"].to_numpy()
+        vals = batch["value"].to_numpy()
+        k_min = (ts - self.size) // self.hop + 1
+        k_max = ts // self.hop
+        cnt = (k_max - k_min + 1).astype(np.int64)
+        rows = np.repeat(np.arange(len(ts)), cnt)
+        starts = np.cumsum(cnt) - cnt
+        k = (np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
+             + np.repeat(k_min, cnt))
+        wins = k * self.hop
+        frontier = (self.watermark - self.late
+                    if self.watermark is not None else None)
+        for r, w in zip(rows, wins):
+            if frontier is not None and w + self.size <= frontier:
+                self.dropped += 1       # window already finalized
+                continue
+            st = self.open.setdefault((keys[r], int(w)), [0, 0.0])
+            st[0] += 1
+            st[1] += vals[r]
+        if len(ts):
+            wm = int(ts.max())
+            self.watermark = (wm if self.watermark is None
+                              else max(self.watermark, wm))
+        self._finalize()
+        return len(batch)
+
+    def _finalize(self) -> None:
+        if self.watermark is None:
+            return
+        frontier = self.watermark - self.late
+        closed = [kw for kw in self.open if kw[1] + self.size <= frontier]
+        for key, w in sorted(closed):
+            n, s = self.open.pop((key, w))
+            self.done.append((key, w // 1_000_000, n, s))
+
+    def flush(self) -> pd.DataFrame:
+        for key, w in sorted(self.open):
+            n, s = self.open[(key, w)]
+            self.done.append((key, w // 1_000_000, n, s))
+        self.open.clear()
+        return pd.DataFrame(self.done,
+                            columns=["key", "win_start", "n", "sum_value"])
+
+    def metrics(self) -> dict:
+        return {"dropped_late": self.dropped,
+                "open_windows": len(self.open),
+                "watermark": self.watermark}
+
+
+def run_hopping_windows(ds: rd.Dataset, key_col: str,
+                        window_size_s: float = 3600.0,
+                        hop_s: float = 900.0,
+                        allowed_lateness_s: float = 0.0,
+                        num_buckets: int = 4,
+                        feed_batch_rows: int = 2048,
+                        arrival_order=("ts", "event_id")):
+    """Feed an events Dataset through hopping-window actors in arrival
+    order (event-time order by default: nothing drops and the finalized
+    output equals the batch window expansion — the oracle). Returns
+    (windows DataFrame, metrics dict)."""
+    actors = [HoppingWindow.remote(window_size_s, hop_s,
+                                   allowed_lateness_s)
+              for _ in range(num_buckets)]
+    pending: list = []
+    for batch in (ds.sort(list(arrival_order))
+                    .iter_batches(batch_format="pandas",
+                                  batch_size=feed_batch_rows)):
+        batch = batch.rename(columns={key_col: "key"})
+        b = bucket_of(batch["key"].astype(str).to_numpy(), num_buckets)
+        for bid in np.unique(b):
+            pending.append(actors[bid].feed.remote(batch[b == bid]))
+        if len(pending) >= 64:
+            ray.get(pending)
+            pending = []
+    ray.get(pending)
+    outs = [o for o in ray.get([a.flush.remote() for a in actors]) if len(o)]
+    mets = ray.get([a.metrics.remote() for a in actors])
+    metrics = {"dropped_late": sum(m["dropped_late"] for m in mets)}
+    if not outs:
+        return (pd.DataFrame({"key": pd.Series(dtype=object),
+                              "win_start": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64),
+                              "sum_value": pd.Series(dtype=np.float64)}),
+                metrics)
+    out = (pd.concat(outs, ignore_index=True)
+             .sort_values(["key", "win_start"]).reset_index(drop=True))
+    return out, metrics
