@@ -803,6 +803,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming HOPPING windows with watermark finalization — the
         # overlapping-window actor; ordered feed == the batch expansion
         "stream_hopping_watermark": _stream_hopping_watermark,
+        # clamped-at-zero running balance: the sequential-looking
+        # recurrence closed as cumsum - min(0, running cummin)
+        "clamped_balance": R3.q_clamped_balance,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1569,6 +1572,30 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "clamped_balance": """
+            -- b_i = S_i - LEAST(0, MIN(S) up to i): the closed form of
+            -- the clamp recurrence, stated identically to the engine
+            WITH d AS (SELECT event_id, user_id, ts,
+                         CASE WHEN event_type = 'purchase'
+                              THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                              ELSE -CAST(ROUND(value * 100, 0) AS BIGINT)
+                         END AS delta
+                       FROM events
+                       WHERE event_type IN ('purchase', 'error')),
+            s AS (SELECT event_id, user_id, ts,
+                    SUM(delta) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS run
+                  FROM d),
+            m AS (SELECT event_id,
+                    run - LEAST(0, MIN(run) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id
+                                                  ROWS UNBOUNDED PRECEDING))
+                        AS bal
+                  FROM s)
+            SELECT event_id, bal::BIGINT AS balance_cents
+            FROM m ORDER BY event_id
         """,
         "lm_logprob_scores": """
             -- MLE bigram conditional; LN through libm matches math.log

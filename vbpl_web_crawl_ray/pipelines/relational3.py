@@ -223,3 +223,37 @@ def q_conversion_time_stats(sf_dir: str) -> pd.DataFrame:
         "max_dur_us": [dur[-1]],
         "p50_dur_us": [rank_at(50)],
         "p90_dur_us": [rank_at(90)]})
+
+
+def q_clamped_balance(sf_dir: str) -> pd.DataFrame:
+    """Clamped-at-zero running balance per user (purchases credit, errors
+    debit, the balance never goes negative) — the inventory/credit
+    simulation whose recurrence b_i = max(0, b_{i-1} + d_i) looks
+    inherently sequential, but closes as b_i = S_i - min(0, running
+    min(S_i)): one segmented cumsum + cummin inside whole-user buckets,
+    fully vectorized, and the identical window closed form is stated in
+    the oracle. Deltas are exact int64 cents, so everything compares as
+    BIGINTs."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(("purchase", "error"))]
+
+    def balance(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        delta = np.where(g["event_type"].to_numpy() == "purchase",
+                         cents, -cents)
+        s = pd.Series(delta).groupby(g["user_id"].to_numpy()).cumsum() \
+            .to_numpy()
+        rmin = pd.Series(s).groupby(g["user_id"].to_numpy()).cummin() \
+            .to_numpy()
+        bal = s - np.minimum(0, rmin)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "balance_cents": bal.astype(np.int64)})
+
+    out = bucketed_group_apply(ev, "user_id", balance, num_buckets=4,
+                               partial_fn=pre).to_pandas()
+    return (out.astype({"balance_cents": "int64"})
+               .sort_values("event_id").reset_index(drop=True))
