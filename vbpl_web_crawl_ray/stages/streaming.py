@@ -494,15 +494,23 @@ class HoppingWindow:
         k = (np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
              + np.repeat(k_min, cnt))
         wins = k * self.hop
+        keys_e, vals_e = keys[rows], vals[rows]
         frontier = (self.watermark - self.late
                     if self.watermark is not None else None)
-        for r, w in zip(rows, wins):
-            if frontier is not None and w + self.size <= frontier:
-                self.dropped += 1       # window already finalized
-                continue
-            st = self.open.setdefault((keys[r], int(w)), [0, 0.0])
-            st[0] += 1
-            st[1] += vals[r]
+        if frontier is not None:
+            late = wins + self.size <= frontier   # window already final
+            self.dropped += int(late.sum())
+            keep = ~late
+            keys_e, vals_e, wins = keys_e[keep], vals_e[keep], wins[keep]
+        # per-(key, window) combine BEFORE touching dict state: the
+        # Python loop runs over distinct open windows, not assignments
+        agg = (pd.DataFrame({"k": keys_e, "w": wins, "v": vals_e})
+               .groupby(["k", "w"], sort=False)["v"]
+               .agg(["size", "sum"]))
+        for (kk, ww), (n, sv) in agg.iterrows():
+            st = self.open.setdefault((kk, int(ww)), [0, 0.0])
+            st[0] += int(n)
+            st[1] += sv
         if len(ts):
             wm = int(ts.max())
             self.watermark = (wm if self.watermark is None
