@@ -806,6 +806,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # clamped-at-zero running balance: the sequential-looking
         # recurrence closed as cumsum - min(0, running cummin)
         "clamped_balance": R3.q_clamped_balance,
+        # most frequent 3-step event paths: two vectorized shifts in
+        # whole-user buckets, <=|types|^3 count partials merge
+        "topk_frequent_paths": AN2.q_topk_frequent_paths,
+        # WAU/MAU stickiness: two windowed COUNT(DISTINCT)s via tagged
+        # coverage expansion; the ratio is one exact-integer division
+        "wau_mau_stickiness": AN2.q_wau_mau_stickiness,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1572,6 +1578,35 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "topk_frequent_paths": """
+            WITH w AS (SELECT user_id, event_type,
+                         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                             AS e1,
+                         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                             AS e2
+                       FROM events)
+            SELECT event_type || '>' || e1 || '>' || e2 AS path,
+                   COUNT(*)::BIGINT AS n
+            FROM w WHERE e2 IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+        """,
+        "wau_mau_stickiness": """
+            WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy
+                          FROM events),
+            cal AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+            w AS (SELECT cal.d, COUNT(DISTINCT days.user_id) AS n7
+                  FROM cal JOIN days ON days.dy BETWEEN cal.d - 6 AND cal.d
+                  GROUP BY cal.d),
+            m AS (SELECT cal.d, COUNT(DISTINCT days.user_id) AS n28
+                  FROM cal JOIN days ON days.dy BETWEEN cal.d - 27 AND cal.d
+                  GROUP BY cal.d)
+            SELECT CAST(w.d AS TIMESTAMP) AS day, w.n7::BIGINT AS wau,
+                   m.n28::BIGINT AS mau,
+                   w.n7::DOUBLE / m.n28::DOUBLE AS stickiness
+            FROM w JOIN m ON w.d = m.d ORDER BY day
         """,
         "clamped_balance": """
             -- b_i = S_i - LEAST(0, MIN(S) up to i): the closed form of

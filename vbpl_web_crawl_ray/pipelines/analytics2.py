@@ -410,3 +410,90 @@ def q_embedding_quantization(sf_dir: str) -> pd.DataFrame:
         "dim": mx["dim"].astype("int64").to_numpy(),
         "scale": scale,
         "max_abs_err": mxe.sort_values("dim")["err"].to_numpy()})
+
+
+def q_topk_frequent_paths(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Most frequent 3-step event paths (sequential pattern mining's
+    bread-and-butter): every user's ordered stream yields its length-3
+    subsequences of ADJACENT events via two vectorized shifts inside
+    whole-user buckets (a window is valid iff the user_id survives both
+    shifts); path-count partials leave the bucket, the driver merges the
+    <=|types|^3 rows and takes top-k with the (count desc, path) tie
+    break. All integers."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        e0 = g["event_type"].to_numpy()
+        e1 = g["event_type"].shift(-1).to_numpy()
+        e2 = g["event_type"].shift(-2).to_numpy()
+        same = (g["user_id"].eq(g["user_id"].shift(-1))
+                & g["user_id"].eq(g["user_id"].shift(-2))).to_numpy()
+        p = pd.Series(e0[same], dtype=object) + ">" + e1[same] + ">" + e2[same]
+        c = p.value_counts()
+        return pd.DataFrame({"path": c.index.to_numpy(),
+                             "n": c.to_numpy(np.int64)})
+
+    parts = bucketed_group_apply(ev, "user_id", paths,
+                                 num_buckets=4).to_pandas()
+    out = (parts.groupby("path", as_index=False)["n"].sum()
+                .astype({"n": "int64"})
+                .sort_values(["n", "path"], ascending=[False, True])
+                .head(k).reset_index(drop=True))
+    return out
+
+
+def q_wau_mau_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/MAU-style stickiness: per day, the 7-day distinct users over
+    the 28-day distinct users — TWO windowed COUNT(DISTINCT)s at once,
+    both factored through window membership inside whole-user buckets
+    (each user-day expands into its tagged 7- and 28-day coverage, dedup
+    per (user, tag, window-day), only per-(tag, day) count partials
+    leave). The ratio is ONE division of two exact integers — identical
+    IEEE both sides, no rounding."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                           "day": t // _DAY_US})
+             .drop_duplicates())
+        return d.assign(ts=pd.to_datetime(d.pop("day") * _DAY_US, unit="us"))
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "day": t // _DAY_US})
+             .drop_duplicates())
+        frames = []
+        for tag, win in (("w", 7), ("m", 28)):
+            day = d["day"].to_numpy()
+            rows = np.repeat(np.arange(len(d)), win)
+            off = np.tile(np.arange(win, dtype=np.int64), len(d))
+            w = (pd.DataFrame({"user_id": d["user_id"].to_numpy()[rows],
+                               "wday": day[rows] + off})
+                 .drop_duplicates().assign(tag=tag))
+            frames.append(w)
+        return (pd.concat(frames, ignore_index=True)
+                .groupby(["tag", "wday"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = bucketed_group_apply(ev, "user_id", cover, num_buckets=4,
+                                 partial_fn=partial).to_pandas()
+    cnt = (parts.groupby(["tag", "wday"], as_index=False)["n"].sum()
+                .pivot(index="wday", columns="tag", values="n"))
+
+    def days_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({"day": np.unique(t // _DAY_US)})
+
+    cal = (_read(sf_dir, "events", ["ts"])
+           .map_batches(days_partial, batch_format="pandas")
+           .to_pandas()["day"].drop_duplicates())
+    cnt = cnt.loc[cnt.index.isin(set(cal))]
+    wau = cnt["w"].to_numpy(np.int64)
+    mau = cnt["m"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "day": pd.to_datetime(cnt.index.to_numpy() * _DAY_US, unit="us"),
+        "wau": wau, "mau": mau,
+        "stickiness": wau.astype(np.float64) / mau.astype(np.float64)})
