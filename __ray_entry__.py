@@ -812,6 +812,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WAU/MAU stickiness: two windowed COUNT(DISTINCT)s via tagged
         # coverage expansion; the ratio is one exact-integer division
         "wau_mau_stickiness": AN2.q_wau_mau_stickiness,
+        # Iceberg-style partition manifest: per-partition bounds, rows
+        # and exact distinct users from (type, user)-deduped partials
+        "partition_manifest": SO.q_partition_manifest,
+        # column profiling: null counts + exact distincts for every
+        # column in ONE tagged-union (col, value)-hashed shuffle
+        "table_profile": SO.q_table_profile,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1578,6 +1584,32 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "partition_manifest": """
+            SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+                   MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "table_profile": """
+            SELECT 'o_orderkey' AS col,
+                   COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                   (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_nulls
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(DISTINCT o_custkey)::BIGINT,
+                   (COUNT(*) - COUNT(o_custkey))::BIGINT FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus)::BIGINT,
+                   (COUNT(*) - COUNT(o_orderstatus))::BIGINT FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(DISTINCT o_totalprice)::BIGINT,
+                   (COUNT(*) - COUNT(o_totalprice))::BIGINT FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   COUNT(DISTINCT o_orderpriority)::BIGINT,
+                   (COUNT(*) - COUNT(o_orderpriority))::BIGINT FROM orders
+            ORDER BY col
         """,
         "topk_frequent_paths": """
             WITH w AS (SELECT user_id, event_type,

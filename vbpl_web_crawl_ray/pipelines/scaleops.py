@@ -428,3 +428,82 @@ def q_hll_join_cardinality(sf_dir: str) -> pd.DataFrame:
         "est_customers": [round(eb)],
         "est_union": [round(eu)],
         "est_overlap": [round(ea + eb - eu)]})
+
+
+def q_partition_manifest(sf_dir: str) -> pd.DataFrame:
+    """Partition MANIFEST build — the per-partition statistics row an
+    Iceberg/Delta-style table layer keeps so planners can prune without
+    opening files: for an events table partitioned by event_type, emit
+    (rows, min/max event time, exact distinct users). Bounds and counts
+    are mergeable partials; the exact distinct-user count dedups
+    (type, user) pairs per batch and counts inside type-hashed buckets —
+    the wire carries one row per (type, user), never per event. Min/max
+    timestamps are raw pass-throughs."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.groupby("event_type", as_index=False).agg(
+            n_rows=("ts", "size"), min_ts=("ts", "min"),
+            max_ts=("ts", "max"))
+        u = df[["event_type", "user_id"]].drop_duplicates()
+        return b.merge(u.groupby("event_type", as_index=False)
+                        .agg(users=("user_id", lambda s: list(set(s)))),
+                       on="event_type")
+
+    def manifest(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("event_type", as_index=False).agg(
+            n_rows=("n_rows", "sum"), min_ts=("min_ts", "min"),
+            max_ts=("max_ts", "max"))
+        nu = (g.explode("users").drop_duplicates(["event_type", "users"])
+               .groupby("event_type", as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+        return agg.merge(nu, on="event_type")
+
+    out = bucketed_group_apply(ev, "event_type", manifest, num_buckets=4,
+                               partial_fn=partial).to_pandas()
+    return (out.astype({"n_rows": "int64", "n_users": "int64"})
+               .sort_values("event_type").reset_index(drop=True))
+
+
+def q_table_profile(sf_dir: str) -> pd.DataFrame:
+    """Column PROFILING pass — the data-quality audit run before a table
+    enters a training pipeline: per column, null count and EXACT distinct
+    count. Null counts are plain mergeable partials; exact distincts
+    dedup (column, canonical value string) pairs per batch and count
+    inside (column, value)-hashed buckets — buckets own disjoint value
+    sets, so per-column distinct partials SUM across buckets and one
+    tagged-union shuffle profiles every column at once, the wire carrying
+    distinct values only. Profiled here: the orders table."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    ds = _read(sf_dir, "orders", cols)
+    sep = "\x1f"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            v = df[c]
+            u = v.dropna().astype(str).drop_duplicates().to_numpy()
+            frames.append(pd.DataFrame({
+                "kv": c + sep + pd.Series(u, dtype=object),
+                "col": c, "nulls": np.int64(0)}))
+            frames.append(pd.DataFrame({
+                "kv": [c + sep], "col": [c],
+                "nulls": [np.int64(v.isna().sum())]}))
+        return pd.concat(frames, ignore_index=True)
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g["kv"].str.len() > g["col"].str.len() + 1]
+        d = (vals.drop_duplicates("kv")
+                 .groupby("col", as_index=False)
+                 .size().rename(columns={"size": "n_distinct"}))
+        n = (g.groupby("col", as_index=False)["nulls"].sum()
+              .rename(columns={"nulls": "n_nulls"}))
+        return d.merge(n, on="col", how="outer").fillna(0)
+
+    parts = bucketed_group_apply(ds, "kv", profile, num_buckets=4,
+                                 partial_fn=partial).to_pandas()
+    out = parts.groupby("col", as_index=False).agg(
+        n_distinct=("n_distinct", "sum"), n_nulls=("n_nulls", "sum"))
+    return (out.astype({"n_distinct": "int64", "n_nulls": "int64"})
+               .sort_values("col").reset_index(drop=True))
