@@ -818,6 +818,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # column profiling: null counts + exact distincts for every
         # column in ONE tagged-union (col, value)-hashed shuffle
         "table_profile": SO.q_table_profile,
+        # calendar densification: explicit zero rows for silent days
+        # (tiny calendar x bounded vocabulary fills on the driver)
+        "gap_filled_daily_counts": AN2.q_gap_filled_daily_counts,
+        # Pearson corr of the daily click/purchase series: integer raw
+        # sums, ONE stated float chain at the end — bit-exact unrounded
+        "daily_series_correlation": AN2.q_daily_series_correlation,
+        # exact join cardinality without the join: per-key count
+        # partials multiplied in-bucket; the broadcast-vs-salt stat
+        "join_size_estimate": AN2.q_join_size_estimate,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1584,6 +1593,58 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "gap_filled_daily_counts": """
+            WITH c AS (SELECT event_type,
+                              CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                  AS day,
+                              COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+            cal AS (SELECT UNNEST(generate_series(lo, hi,
+                                                  INTERVAL 1 DAY)) AS day
+                    FROM bounds),
+            t AS (SELECT DISTINCT event_type FROM events)
+            SELECT t.event_type, cal.day, COALESCE(c.n, 0)::BIGINT AS n
+            FROM t CROSS JOIN cal
+            LEFT JOIN c ON c.event_type = t.event_type AND c.day = cal.day
+            ORDER BY t.event_type, cal.day
+        """,
+        "daily_series_correlation": """
+            -- integer raw sums; the one float chain states the engine's
+            -- exact operand order
+            WITH c AS (SELECT event_type,
+                              EPOCH_US(ts) // 86400000000 AS day,
+                              COUNT(*)::BIGINT AS n
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')
+                       GROUP BY 1, 2),
+            p AS (SELECT day,
+                    COALESCE(MAX(CASE WHEN event_type = 'click'
+                                      THEN n END), 0) AS x,
+                    COALESCE(MAX(CASE WHEN event_type = 'purchase'
+                                      THEN n END), 0) AS y
+                  FROM c GROUP BY day),
+            s AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+                         SUM(y)::BIGINT AS sy, SUM(x*x)::BIGINT AS sxx,
+                         SUM(y*y)::BIGINT AS syy, SUM(x*y)::BIGINT AS sxy
+                  FROM p)
+            SELECT n AS n_days,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                      * SQRT(CAST(n*syy - sy*sy AS DOUBLE)))
+                       AS corr_click_purchase
+            FROM s
+        """,
+        "join_size_estimate": """
+            WITH a AS (SELECT o_orderkey AS k, COUNT(*)::BIGINT AS na
+                       FROM orders GROUP BY 1),
+            b AS (SELECT l_orderkey AS k, COUNT(*)::BIGINT AS nb
+                  FROM lineitem GROUP BY 1),
+            j AS (SELECT na * nb AS r FROM a JOIN b USING (k))
+            SELECT SUM(r)::BIGINT AS join_rows,
+                   MAX(r)::BIGINT AS max_single_key_rows
+            FROM j
         """,
         "partition_manifest": """
             SELECT event_type, COUNT(*)::BIGINT AS n_rows,

@@ -497,3 +497,114 @@ def q_wau_mau_stickiness(sf_dir: str) -> pd.DataFrame:
         "day": pd.to_datetime(cnt.index.to_numpy() * _DAY_US, unit="us"),
         "wau": wau, "mau": mau,
         "stickiness": wau.astype(np.float64) / mau.astype(np.float64)})
+
+
+def q_gap_filled_daily_counts(sf_dir: str) -> pd.DataFrame:
+    """Calendar DENSIFICATION: per (event_type, day) counts with explicit
+    ZERO rows for days a type never fired — the gap-filling pass
+    time-series models need before windowing. Count partials merge as
+    usual; the calendar (min..max day x the bounded type vocabulary) is
+    tiny however large the table, so the fill is a driver-side cross of
+    two broadcast-sized sets against the merged counts. Integer day math
+    only."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                              "day": t // _DAY_US})
+                .groupby(["event_type", "day"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    days = np.arange(cnt["day"].min(), cnt["day"].max() + 1)
+    types = np.sort(cnt["event_type"].unique())
+    cal = pd.DataFrame({
+        "event_type": np.repeat(types, len(days)),
+        "day": np.tile(days, len(types))})
+    out = cal.merge(cnt, on=["event_type", "day"], how="left").fillna(0)
+    return (pd.DataFrame({
+        "event_type": out["event_type"],
+        "day": pd.to_datetime(out["day"] * _DAY_US, unit="us"),
+        "n": out["n"].astype("int64")})
+        .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+def q_daily_series_correlation(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation between the DAILY click and purchase count
+    series — the cross-metric screen run over aggregate telemetry: daily
+    counts are exact integer partials; the correlation closes on the
+    driver over the ~|days| pairs with every raw sum kept integer and
+    the final expression ((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) *
+    sqrt(n*syy - sy*sy))) stated in the oracle operand for operand —
+    bit-exact with no rounding, because the only float ops are that one
+    stated chain."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(("click", "purchase"))]
+        t = d["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return (pd.DataFrame({"event_type": d["event_type"].to_numpy(),
+                              "day": t // _DAY_US})
+                .groupby(["event_type", "day"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = (parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+                .pivot(index="day", columns="event_type", values="n")
+                .fillna(0).astype(np.int64))
+    x = cnt.get("click", pd.Series(dtype=np.int64)).to_numpy(np.int64)
+    y = cnt.get("purchase", pd.Series(dtype=np.int64)).to_numpy(np.int64)
+    n = np.int64(len(x))
+    sx, sy = x.sum(), y.sum()
+    sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+    corr = (np.float64(n * sxy - sx * sy)
+            / (np.sqrt(np.float64(n * sxx - sx * sx))
+               * np.sqrt(np.float64(n * syy - sy * sy))))
+    return pd.DataFrame({"n_days": [n], "corr_click_purchase": [corr]})
+
+
+def q_join_size_estimate(sf_dir: str) -> pd.DataFrame:
+    """EXACT join cardinality WITHOUT running the join — the planner
+    statistic that decides broadcast vs shuffle vs salt: |orders ⋈
+    lineitem on orderkey| = sum over keys of n_orders(k) * n_lineitem(k).
+    Both sides reduce to per-key count partials (each batch ships one row
+    per key it saw), keys co-locate in hash buckets, and only per-bucket
+    int64 products-of-counts reach the driver. The heaviest key rides
+    along for the skew report. All integers."""
+    o = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def cnt(col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[col].value_counts()
+            return pd.DataFrame({"key": c.index.to_numpy(),
+                                 "n": c.to_numpy(np.int64)})
+        return f
+
+    tagged = (o.map_batches(cnt("o_orderkey"), batch_format="pandas")
+               .map_batches(lambda d: d.assign(side=np.int8(0)),
+                            batch_format="pandas")
+              .union(li.map_batches(cnt("l_orderkey"), batch_format="pandas")
+                       .map_batches(lambda d: d.assign(side=np.int8(1)),
+                                    batch_format="pandas")))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g[g["side"] == 0].groupby("key", as_index=False)["n"].sum()
+             .rename(columns={"n": "na"}))
+        b = (g[g["side"] == 1].groupby("key", as_index=False)["n"].sum()
+             .rename(columns={"n": "nb"}))
+        j = a.merge(b, on="key")
+        prod = j["na"].to_numpy(np.int64) * j["nb"].to_numpy(np.int64)
+        if not len(prod):
+            return pd.DataFrame({"rows": [np.int64(0)],
+                                 "max_key_rows": [np.int64(0)]})
+        return pd.DataFrame({"rows": [np.int64(prod.sum())],
+                             "max_key_rows": [np.int64(prod.max())]})
+
+    parts = bucketed_group_apply(tagged, "key", combine,
+                                 num_buckets=8).to_pandas()
+    return pd.DataFrame({
+        "join_rows": [np.int64(parts["rows"].sum())],
+        "max_single_key_rows": [np.int64(parts["max_key_rows"].max())]})
