@@ -827,6 +827,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact join cardinality without the join: per-key count
         # partials multiplied in-bucket; the broadcast-vs-salt stat
         "join_size_estimate": AN2.q_join_size_estimate,
+        # per-source KL divergence from the corpus word distribution —
+        # the curation mixture audit; libm terms, round 6
+        "source_kl_divergence": CP.q_source_kl_divergence,
+        # 80/20 revenue concentration: exact integer cents, stated total
+        # order, one closing division
+        "pareto_revenue_share": R3.q_pareto_revenue_share,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1593,6 +1599,47 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "source_kl_divergence": """
+            WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            c AS (SELECT source, w, COUNT(*)::BIGINT AS c FROM u
+                  GROUP BY 1, 2),
+            s AS (SELECT source AS ss, SUM(c)::BIGINT AS ns FROM c
+                  GROUP BY 1),
+            g AS (SELECT w AS ww, SUM(c)::BIGINT AS cw FROM c GROUP BY 1),
+            tot AS (SELECT SUM(c)::BIGINT AS n FROM c)
+            SELECT c.source,
+                   ROUND(SUM((c.c / ns) * LN((c.c / ns) / (cw / n))), 6)
+                       AS kl_divergence
+            FROM c JOIN s ON c.source = s.ss
+                   JOIN g ON c.w = g.ww
+                   CROSS JOIN tot
+            GROUP BY c.source ORDER BY c.source
+        """,
+        "pareto_revenue_share": """
+            WITH r AS (SELECT o_custkey,
+                         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                             ::BIGINT AS cents
+                       FROM orders GROUP BY 1),
+            rk AS (SELECT cents,
+                     ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+                         AS k,
+                     COUNT(*) OVER () AS m,
+                     SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(cents) OVER () AS total
+                   FROM r),
+            cut AS (SELECT MIN(k) AS k20 FROM rk WHERE 5 * k >= m)
+            SELECT (SELECT MAX(m) FROM rk)::BIGINT AS n_customers,
+                   k20::BIGINT AS top20_customers,
+                   (SELECT cum FROM rk, cut WHERE k = k20)::BIGINT
+                       AS top20_cents,
+                   (SELECT MAX(total) FROM rk)::BIGINT AS total_cents,
+                   CAST((SELECT cum FROM rk, cut WHERE k = k20) AS DOUBLE)
+                   / CAST((SELECT MAX(total) FROM rk) AS DOUBLE)
+                       AS top20_share
+            FROM cut
         """,
         "gap_filled_daily_counts": """
             WITH c AS (SELECT event_type,

@@ -517,3 +517,40 @@ def q_lm_logprob_scores(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     return (out.astype({"n_bigrams": "int64"})
                .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_source_kl_divergence(sf_dir: str) -> pd.DataFrame:
+    """KL divergence of each source's word distribution from the corpus
+    distribution — the mixture-audit a curation pipeline runs to spot
+    off-distribution slices: (source, word) counts are mergeable integer
+    partials over a bounded vocabulary; the closed form
+    sum_w (c_sw/n_s) * ln((c_sw/n_s) / (c_w/n)) evaluates on the driver
+    through libm with the oracle stating the identical per-term
+    expression, rounded to 6 (the ~vocab-sized sum keeps order noise
+    ~1e-15). Wire cost: one row per (source, word TYPE)."""
+    import math
+
+    from ..functions.numeric import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["source", "text"]].copy()
+        e["w"] = e.pop("text").str.split(" ")
+        e = e.explode("w")
+        return (e.groupby(["source", "w"], as_index=False)
+                 .size().rename(columns={"size": "c"}))
+
+    parts = (_docs(sf_dir, ("source", "text"))
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    c = parts.groupby(["source", "w"], as_index=False)["c"].sum()
+    ns = c.groupby("source")["c"].transform("sum").to_numpy(np.float64)
+    cw = c.groupby("w")["c"].transform("sum").to_numpy(np.float64)
+    n = np.float64(c["c"].sum())
+    cc = c["c"].to_numpy(np.float64)
+    terms = (cc / ns) * np.fromiter(
+        (math.log(v) for v in (cc / ns) / (cw / n)),
+        dtype=np.float64, count=len(cc))
+    out = (c.assign(t=terms).groupby("source", as_index=False)["t"].sum())
+    return pd.DataFrame({
+        "source": out["source"],
+        "kl_divergence": round_half_away(out["t"].to_numpy(), 6)}) \
+        .sort_values("source").reset_index(drop=True)

@@ -257,3 +257,37 @@ def q_clamped_balance(sf_dir: str) -> pd.DataFrame:
                                partial_fn=pre).to_pandas()
     return (out.astype({"balance_cents": "int64"})
                .sort_values("event_id").reset_index(drop=True))
+
+
+def q_pareto_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration (the 80/20 audit): what fraction of total
+    order value do the top 20% of customers hold? Per-customer revenue
+    sums as EXACT integer cents (mergeable partials), customers rank by
+    (cents desc, custkey) — a stated total order, so the boundary of the
+    top-20% set is identical in both engines — and the share is ONE
+    division of two exact int64 sums. The rank cut (smallest k with
+    5k >= customers) stays integer."""
+    o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        return (pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(),
+                              "cents": cents})
+                .groupby("o_custkey", as_index=False)["cents"].sum())
+
+    parts = o.map_batches(partial, batch_format="pandas").to_pandas()
+    rev = (parts.groupby("o_custkey", as_index=False)["cents"].sum()
+                .sort_values(["cents", "o_custkey"],
+                             ascending=[False, True], kind="mergesort"))
+    m = len(rev)
+    k = int(np.argmax(5 * (np.arange(m) + 1) >= m)) + 1   # ceil(m/5)
+    cents = rev["cents"].to_numpy(np.int64)
+    top = np.int64(cents[:k].sum())
+    total = np.int64(cents.sum())
+    return pd.DataFrame({
+        "n_customers": [np.int64(m)],
+        "top20_customers": [np.int64(k)],
+        "top20_cents": [top],
+        "total_cents": [total],
+        "top20_share": [np.float64(top) / np.float64(total)]})
