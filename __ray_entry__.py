@@ -833,6 +833,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 80/20 revenue concentration: exact integer cents, stated total
         # order, one closing division
         "pareto_revenue_share": R3.q_pareto_revenue_share,
+        # LOCF forward-fill densification: span expansion + one
+        # composite searchsorted per bucket; values pass through raw
+        "locf_daily_values": AN2.q_locf_daily_values,
+        # percent-of-total contribution per (priority, status): integer
+        # cents, one division per row — exact unrounded
+        "revenue_contribution": AN2.q_revenue_contribution,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1599,6 +1605,43 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "locf_daily_values": """
+            WITH obs AS (SELECT user_id,
+                           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                           value,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id, date_trunc('day', ts)
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                         FROM events),
+            lastobs AS (SELECT user_id, day, value FROM obs WHERE rn = 1),
+            span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+                     FROM lastobs GROUP BY 1),
+            cal AS (SELECT user_id,
+                           UNNEST(generate_series(lo, hi,
+                                                  INTERVAL 1 DAY)) AS day
+                    FROM span),
+            j AS (SELECT cal.user_id, cal.day, lastobs.value
+                  FROM cal LEFT JOIN lastobs
+                    ON lastobs.user_id = cal.user_id
+                   AND lastobs.day = cal.day)
+            SELECT user_id, day,
+                   LAST_VALUE(value IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS value
+            FROM j ORDER BY user_id, day
+        """,
+        "revenue_contribution": """
+            WITH c AS (SELECT o_orderpriority, o_orderstatus,
+                         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                             ::BIGINT AS cents
+                       FROM orders GROUP BY 1, 2),
+            t AS (SELECT o_orderpriority AS p, SUM(cents)::BIGINT AS tot
+                  FROM c GROUP BY 1)
+            SELECT c.o_orderpriority, c.o_orderstatus, c.cents,
+                   CAST(c.cents AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+            FROM c JOIN t ON c.o_orderpriority = t.p
+            ORDER BY 1, 2
         """,
         "source_kl_divergence": """
             WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS w

@@ -608,3 +608,79 @@ def q_join_size_estimate(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "join_rows": [np.int64(parts["rows"].sum())],
         "max_single_key_rows": [np.int64(parts["max_key_rows"].max())]})
+
+
+def q_locf_daily_values(sf_dir: str) -> pd.DataFrame:
+    """LOCF (last-observation-carried-forward) densification: one row per
+    user per calendar day of their active span, carrying the user's most
+    recent event value at-or-before that day — the forward-fill a
+    feature-store materialization runs over sparse signals. Inside
+    whole-user buckets: per (user, day) the last observation resolves by
+    one sort (ties end on the larger event_id, stated in the oracle),
+    the span expands with the ragged vectorized arange, and the fill is
+    one np.searchsorted of span-days into observed-days per bucket.
+    Values are raw pass-throughs — nothing float is computed."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        obs = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                             "day": t // _DAY_US,
+                             "value": g["value"].to_numpy()})
+               .groupby(["user_id", "day"], as_index=False)
+               .last())                       # last obs of the day
+        span = obs.groupby("user_id", as_index=False).agg(
+            lo=("day", "min"), hi=("day", "max"))
+        n_days = (span["hi"] - span["lo"] + 1).to_numpy(np.int64)
+        rows = np.repeat(np.arange(len(span)), n_days)
+        starts = np.cumsum(n_days) - n_days
+        day = (np.arange(int(n_days.sum())) - np.repeat(starts, n_days)
+               + np.repeat(span["lo"].to_numpy(), n_days))
+        uid = span["user_id"].to_numpy()[rows]
+        # composite searchsorted: user-major (obs and span both sorted)
+        uidx_obs, uniq = pd.factorize(obs["user_id"], sort=True)
+        uidx_q = np.searchsorted(uniq, uid)
+        m = np.int64(obs["day"].max() - obs["day"].min() + 2)
+        base = np.int64(obs["day"].min())
+        key = uidx_obs.astype(np.int64) * m + (obs["day"].to_numpy() - base)
+        q = uidx_q.astype(np.int64) * m + (day - base)
+        pos = np.searchsorted(key, q, side="right") - 1
+        return pd.DataFrame({
+            "user_id": uid,
+            "day": pd.to_datetime(day * _DAY_US, unit="us"),
+            "value": obs["value"].to_numpy()[pos]})
+
+    out = bucketed_group_apply(ev, "user_id", fill,
+                               num_buckets=4).to_pandas()
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def q_revenue_contribution(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total contribution analysis: each (priority, status)
+    cell's share of its priority's revenue — integer-cents partials, and
+    every share is ONE division of two exact int64 sums (identical IEEE
+    both sides, unrounded). The within-group percent a reporting rollup
+    always needs, at partial-aggregate wire cost."""
+    o = _read(sf_dir, "orders",
+              ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        return (df.assign(cents=cents)
+                  .groupby(["o_orderpriority", "o_orderstatus"],
+                           as_index=False)["cents"].sum())
+
+    parts = o.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby(["o_orderpriority", "o_orderstatus"],
+                      as_index=False)["cents"].sum()
+    tot = c.groupby("o_orderpriority")["cents"].transform("sum")
+    return (pd.DataFrame({
+        "o_orderpriority": c["o_orderpriority"],
+        "o_orderstatus": c["o_orderstatus"],
+        "cents": c["cents"].astype("int64"),
+        "share": c["cents"].to_numpy(np.float64)
+                 / tot.to_numpy(np.float64)})
+        .sort_values(["o_orderpriority", "o_orderstatus"])
+        .reset_index(drop=True))
