@@ -467,6 +467,21 @@ def _doc_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _cm_frequency_probe(sf_dir: str):
+    """Count-Min sketch frequency estimates for the event-type vocabulary
+    (rows-only: the sketch is deterministic — seeded hashes, additive
+    grid merges; the CM overestimate bound vs exact counts is
+    pytest-pinned)."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.stages.sketches import cm_sketch_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    return cm_sketch_counts(
+        ds, "event_type",
+        probe_values=["click", "error", "purchase", "signup", "view"])
+
+
 def _doc_kcore(sf_dir: str):
     """K-core backbone of the crawl citation graph — distributed
     iterative peeling (rows-only: planted-structure and brute-force
@@ -839,6 +854,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percent-of-total contribution per (priority, status): integer
         # cents, one division per row — exact unrounded
         "revenue_contribution": AN2.q_revenue_contribution,
+        # Lorenz concentration curve at deciles: integer rank cuts over
+        # the stated (cents desc, custkey) order, one division per point
+        "lorenz_curve": R3.q_lorenz_curve,
+        # Count-Min frequency probe (rows-only: deterministic seeded
+        # grids, additive merges; overestimate bound pytest-pinned)
+        "cm_frequency_probe": _cm_frequency_probe,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1605,6 +1626,29 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lorenz_curve": """
+            WITH r AS (SELECT o_custkey,
+                         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                             ::BIGINT AS cents
+                       FROM orders GROUP BY 1),
+            rk AS (SELECT cents,
+                     ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+                         AS k,
+                     COUNT(*) OVER () AS m,
+                     SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(cents) OVER () AS total
+                   FROM r),
+            d AS (SELECT UNNEST(generate_series(1, 10)) AS dk),
+            cut AS (SELECT dk, MIN(k) AS kk
+                    FROM d JOIN rk ON 10 * rk.k >= d.dk * rk.m
+                    GROUP BY dk)
+            SELECT (dk * 10)::BIGINT AS top_pct, kk::BIGINT AS n_customers,
+                   (SELECT cum FROM rk WHERE k = kk)::BIGINT AS cum_cents,
+                   CAST((SELECT cum FROM rk WHERE k = kk) AS DOUBLE)
+                   / CAST((SELECT MAX(total) FROM rk) AS DOUBLE) AS share
+            FROM cut ORDER BY top_pct
         """,
         "locf_daily_values": """
             WITH obs AS (SELECT user_id,

@@ -232,3 +232,24 @@ def test_hll_join_cardinality_error_bound(ray_session):
                       (est["est_union"][0], exact_u)]:
         assert abs(got - want) / want < 0.05, (got, want)
     assert est.equals(q_hll_join_cardinality(sf))   # deterministic
+
+
+def test_count_min_overestimate_bound_and_merge(ray_session):
+    """CM estimates are never below the true count, stay within the
+    eps*N bound for width=2048, and the distributed build is
+    deterministic run to run."""
+    import duckdb
+
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.01"
+    est = em.queries()["cm_frequency_probe"](sf)
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(*) n FROM '{sf}/events.parquet' "
+        "GROUP BY 1").df().set_index("event_type")["n"]
+    n_total = int(exact.sum())
+    for _, r in est.iterrows():
+        true = int(exact[r["value"]])
+        assert r["est_count"] >= true
+        assert r["est_count"] <= true + (2 / 2048) * n_total * 4
+    assert est.equals(em.queries()["cm_frequency_probe"](sf))

@@ -291,3 +291,40 @@ def q_pareto_revenue_share(sf_dir: str) -> pd.DataFrame:
         "top20_cents": [top],
         "total_cents": [total],
         "top20_share": [np.float64(top) / np.float64(total)]})
+
+
+def q_lorenz_curve(sf_dir: str) -> pd.DataFrame:
+    """Lorenz concentration curve at deciles: for k = 1..10, the share of
+    total order value held by the top k*10% of customers — the full curve
+    behind the 80/20 point. Per-customer revenue is exact integer cents;
+    ranks come from the stated (cents desc, custkey) total order; each
+    decile cut is the integer rule (smallest rank with 10*rank >= k*m);
+    every share is one exact-int64 division. The driver holds one row
+    per customer (at a scale where that breaks, the ranks resolve from a
+    count-of-cents histogram — the selection pattern)."""
+    o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        return (pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(),
+                              "cents": cents})
+                .groupby("o_custkey", as_index=False)["cents"].sum())
+
+    parts = o.map_batches(partial, batch_format="pandas").to_pandas()
+    rev = (parts.groupby("o_custkey", as_index=False)["cents"].sum()
+                .sort_values(["cents", "o_custkey"],
+                             ascending=[False, True], kind="mergesort"))
+    cents = rev["cents"].to_numpy(np.int64)
+    m = len(cents)
+    cum = np.cumsum(cents)
+    total = np.int64(cum[-1])
+    ranks = np.arange(1, m + 1)
+    rows = []
+    for k in range(1, 11):
+        cut = int(np.argmax(10 * ranks >= k * m))      # first qualifying
+        rows.append((np.int64(k * 10), np.int64(cut + 1),
+                     np.int64(cum[cut]),
+                     np.float64(cum[cut]) / np.float64(total)))
+    return pd.DataFrame(rows, columns=["top_pct", "n_customers",
+                                       "cum_cents", "share"])

@@ -219,3 +219,72 @@ def sketch_quantile_per_group(ds: rd.Dataset, key_col: str, value_col: str,
         out.append((g, sk.quantile(q), sk.count))
     return (pd.DataFrame(out, columns=[key_col, f"q{int(q*100)}", "n"])
             .sort_values(key_col).reset_index(drop=True))
+
+
+class CountMin:
+    """Count-Min sketch: a (depth x width) counter grid where every key
+    increments one counter per row (seeded hash) — estimates are the MIN
+    across rows, always >= the true count and <= true + eps*N with
+    probability 1 - (1/2)^depth for width = 2/eps. Grids are plain int64
+    matrices, so per-batch partials merge by elementwise ADDITION on any
+    topology — the frequency-sketch complement to Misra-Gries (which
+    keeps candidates exactly but forgets the tail entirely)."""
+
+    SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.grid = np.zeros((depth, width), dtype=np.int64)
+
+    def _rows(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.empty((self.depth, len(hashes)), dtype=np.int64)
+        for d in range(self.depth):
+            h = hashes * np.uint64(self.SEEDS[d])
+            h ^= h >> np.uint64(29)
+            out[d] = (h % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def add_hashes(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        idx = self._rows(hashes.astype(np.uint64))
+        for d in range(self.depth):
+            np.add.at(self.grid[d], idx[d], counts)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.grid += other.grid
+        return self
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        idx = self._rows(hashes.astype(np.uint64))
+        return np.min(np.stack([self.grid[d][idx[d]]
+                                for d in range(self.depth)]), axis=0)
+
+
+def cm_sketch_counts(ds, col: str, probe_values: list,
+                     width: int = 2048, depth: int = 4):
+    """Distributed Count-Min build: one serialized grid per batch (a few
+    KB), merged by elementwise sum on the driver; probes estimate the
+    given values' frequencies. Deterministic — seeded hashes, additive
+    merges."""
+    import pandas as pd
+
+    from ..pipelines.relational2 import hash64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cm = CountMin(width, depth)
+        c = df[col].astype(str).value_counts()
+        cm.add_hashes(hash64(c.index.to_numpy()),
+                      c.to_numpy(np.int64))
+        return pd.DataFrame({"grid": [cm.grid.tobytes()]})
+
+    merged = CountMin(width, depth)
+    for row in ds.map_batches(partial, batch_format="pandas").iter_rows():
+        other = CountMin(width, depth)
+        other.grid = np.frombuffer(row["grid"], dtype=np.int64) \
+            .reshape(depth, width).copy()
+        merged.merge(other)
+    est = merged.estimate_hashes(
+        hash64(np.array([str(v) for v in probe_values], dtype=object)))
+    return pd.DataFrame({"value": [str(v) for v in probe_values],
+                         "est_count": est.astype(np.int64)})
