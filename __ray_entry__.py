@@ -860,6 +860,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min frequency probe (rows-only: deterministic seeded
         # grids, additive merges; overestimate bound pytest-pinned)
         "cm_frequency_probe": _cm_frequency_probe,
+        # session bounce rate: gaps-and-islands in whole-user buckets,
+        # one exact-int division at the close
+        "bounce_rate": AN2.q_bounce_rate,
+        # dedup impact accounting: docs/chars saved over exact text
+        # families ((hash,id)-shuffle shape, integer partials)
+        "dedup_savings": CU.q_dedup_savings,
+        # contrastive negative assignment: next-on-the-md5-ring pairing
+        # (reproducible shuffle, no RNG state; LEAD-over-md5 twin)
+        "contrastive_pairs": CU.q_contrastive_pairs,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1626,6 +1635,49 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "bounce_rate": """
+            WITH o AS (SELECT user_id, ts, event_id,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM events),
+            g AS (SELECT user_id,
+                    SUM(CASE WHEN pts IS NULL
+                              OR ts > pts + INTERVAL 1800 SECOND
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            s AS (SELECT user_id, sid, COUNT(*)::BIGINT AS n
+                  FROM g GROUP BY 1, 2)
+            SELECT COUNT(*)::BIGINT AS n_sessions,
+                   SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_bounce,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+            FROM s
+        """,
+        "dedup_savings": """
+            WITH k AS (SELECT doc_id, n_chars,
+                         MIN(doc_id) OVER (PARTITION BY text) AS keeper
+                       FROM documents)
+            SELECT COUNT(*)::BIGINT AS n_docs,
+                   SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                       ::BIGINT AS dup_docs,
+                   SUM(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END)
+                       ::BIGINT AS chars_saved
+            FROM k
+        """,
+        "contrastive_pairs": """
+            WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+                       FROM documents),
+            r AS (SELECT doc_id,
+                    LEAD(doc_id) OVER (ORDER BY hx, doc_id) AS neg,
+                    FIRST_VALUE(doc_id) OVER (ORDER BY hx, doc_id)
+                        AS first_id
+                  FROM h)
+            SELECT doc_id, COALESCE(neg, first_id)::BIGINT AS neg_doc_id
+            FROM r ORDER BY doc_id
         """,
         "lorenz_curve": """
             WITH r AS (SELECT o_custkey,

@@ -684,3 +684,30 @@ def q_revenue_contribution(sf_dir: str) -> pd.DataFrame:
                  / tot.to_numpy(np.float64)})
         .sort_values(["o_orderpriority", "o_orderstatus"])
         .reset_index(drop=True))
+
+
+def q_bounce_rate(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Session bounce rate: the share of 30-minute-gap sessions containing
+    exactly one event — gaps-and-islands inside whole-user buckets (one
+    shift + cumsum), per-bucket (sessions, bounces) partials, and the
+    rate is ONE division of two exact int64 counts."""
+    gap_us = gap_s * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new = (~g["user_id"].eq(g["user_id"].shift(1)).to_numpy()) \
+            | (t - np.roll(t, 1) > gap_us)
+        sid = np.cumsum(new)
+        size = pd.Series(sid).value_counts()
+        return pd.DataFrame({
+            "n_sessions": [np.int64(len(size))],
+            "n_bounce": [np.int64(int((size == 1).sum()))]})
+
+    parts = bucketed_group_apply(ev, "user_id", sessions,
+                                 num_buckets=4).to_pandas()
+    ns = np.int64(parts["n_sessions"].sum())
+    nb = np.int64(parts["n_bounce"].sum())
+    return pd.DataFrame({"n_sessions": [ns], "n_bounce": [nb],
+                         "bounce_rate": [np.float64(nb) / np.float64(ns)]})

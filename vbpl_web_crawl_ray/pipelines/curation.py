@@ -364,3 +364,60 @@ def q_weighted_sample(sf_dir: str, k: int = 200) -> pd.DataFrame:
     out = pool.sort_values(["priority", "doc_id"]).head(k)
     out["priority"] = round_half_away(out["priority"].to_numpy(), 6)
     return out.reset_index(drop=True)
+
+
+def q_dedup_savings(sf_dir: str) -> pd.DataFrame:
+    """Dedup impact report — the accounting a curation run publishes:
+    over exact text-duplicate families (keeper = min doc_id), how many
+    documents and how many characters would dropping the duplicates
+    save? Families resolve by the (hash, id)-only shuffle shape of exact
+    dedup (text rides for the collision guard); per-bucket (docs, dup
+    docs, dup chars) partials merge as integer sums."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+
+    def savings(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("text")["doc_id"].transform("min")
+        dup = g["doc_id"].to_numpy() != keep.to_numpy()
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(g))],
+            "dup_docs": [np.int64(int(dup.sum()))],
+            "chars_saved": [np.int64(int(g.loc[dup, "n_chars"].sum()))]})
+
+    parts = bucketed_group_apply(docs, "text", savings,
+                                 num_buckets=8).to_pandas()
+    return pd.DataFrame({
+        "n_docs": [np.int64(parts["n_docs"].sum())],
+        "dup_docs": [np.int64(parts["dup_docs"].sum())],
+        "chars_saved": [np.int64(parts["chars_saved"].sum())]})
+
+
+def q_contrastive_pairs(sf_dir: str) -> pd.DataFrame:
+    """Contrastive negative assignment — the deterministic pairing a
+    CLIP-style trainer materializes: every document takes as its
+    negative the NEXT document on the md5-hash ring (hash order is a
+    reproducible shuffle with no RNG state; the ring wraps the last back
+    to the first). Hashes compute per batch; the ring closes with ONE
+    tiny driver sort over (hash, id) pairs — at a scale past that, the
+    ring closes per hash-range bucket with boundary stitching. The
+    oracle states the identical LEAD-over-md5 window."""
+    import hashlib
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in df["doc_id"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "h": h})
+
+    ring = (docs.map_batches(hashes, batch_format="pandas").to_pandas()
+                .sort_values(["h", "doc_id"], kind="mergesort")
+                .reset_index(drop=True))
+    neg = np.roll(ring["doc_id"].to_numpy(), -1)
+    return (pd.DataFrame({"doc_id": ring["doc_id"].to_numpy(),
+                          "neg_doc_id": neg})
+            .astype({"neg_doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
