@@ -869,6 +869,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contrastive negative assignment: next-on-the-md5-ring pairing
         # (reproducible shuffle, no RNG state; LEAD-over-md5 twin)
         "contrastive_pairs": CU.q_contrastive_pairs,
+        # Simpson diversity: the no-logarithm diversity index — exact
+        # integer counts, one stated division, unrounded
+        "user_simpson_diversity": AN2.q_user_simpson_diversity,
+        # quantity-weighted mean price: cents x qty int64 sums, stated
+        # two-step division — exact unrounded
+        "weighted_avg_price": AN2.q_weighted_avg_price,
+        # per-label embedding centroids (long form): per-(label, dim)
+        # mergeable float64-sum partials — no join, no shuffle
+        "label_centroids": AN2.q_label_centroids,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1635,6 +1644,38 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "user_simpson_diversity": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT user_id, SUM(n)::BIGINT AS n,
+                         SUM(n * n)::BIGINT AS sq
+                  FROM c GROUP BY user_id)
+            SELECT user_id, n AS n_events,
+                   1.0 - CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE)
+                       AS simpson
+            FROM a ORDER BY user_id
+        """,
+        "weighted_avg_price": """
+            WITH a AS (SELECT l_returnflag,
+                         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                             * CAST(l_quantity AS BIGINT))::BIGINT AS wc,
+                         SUM(CAST(l_quantity AS BIGINT))::BIGINT AS w
+                       FROM lineitem GROUP BY 1)
+            SELECT l_returnflag,
+                   (CAST(wc AS DOUBLE) / 100.0) / CAST(w AS DOUBLE)
+                       AS w_avg_price,
+                   w AS total_qty
+            FROM a ORDER BY l_returnflag
+        """,
+        "label_centroids": """
+            WITH u AS (SELECT label, UNNEST(embedding)::DOUBLE AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+            SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                   COUNT(*)::BIGINT AS n,
+                   ROUND(SUM(v) / COUNT(*), 4) AS mean_v
+            FROM u GROUP BY label, dim ORDER BY label, dim
         """,
         "bounce_rate": """
             WITH o AS (SELECT user_id, ts, event_id,

@@ -711,3 +711,97 @@ def q_bounce_rate(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
     nb = np.int64(parts["n_bounce"].sum())
     return pd.DataFrame({"n_sessions": [ns], "n_bounce": [nb],
                          "bounce_rate": [np.float64(nb) / np.float64(ns)]})
+
+
+def q_user_simpson_diversity(sf_dir: str) -> pd.DataFrame:
+    """Simpson diversity of each user's event mix (1 - sum p_i^2) — the
+    collision-probability complement to Shannon entropy, and the one
+    diversity index that needs NO logarithm: it closes over exact
+    integer counts as 1 - sum(c^2)/n^2, so the only float work is one
+    stated division — bit-exact unrounded. Mergeable (user, type) count
+    partials, closed inside whole-user buckets."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["user_id", "event_type"], as_index=False)
+                  .size().rename(columns={"size": "n"}))
+
+    def simpson(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c["sq"] = c["n"].to_numpy(np.int64) ** 2
+        a = c.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), sq=("sq", "sum"))
+        n = a["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": a["user_id"].to_numpy(),
+            "n_events": n,
+            "simpson": 1.0 - (a["sq"].to_numpy(np.float64)
+                              / (n * n).astype(np.float64))})
+
+    out = bucketed_group_apply(ev, "user_id", simpson, num_buckets=4,
+                               partial_fn=partial).to_pandas()
+    return (out.astype({"n_events": "int64"})
+               .sort_values("user_id").reset_index(drop=True))
+
+
+def q_weighted_avg_price(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted average price per return flag: integer
+    cents x integer quantities sum exactly (order-free), and the
+    weighted mean is the stated two-step division at the close —
+    bit-exact unrounded at partial-aggregate wire cost."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        q = df["l_quantity"].to_numpy(np.int64)
+        return (pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                              "wc": cents * q, "w": q})
+                .groupby("l_returnflag", as_index=False).sum())
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    a = parts.groupby("l_returnflag", as_index=False).sum()
+    return (pd.DataFrame({
+        "l_returnflag": a["l_returnflag"],
+        "w_avg_price": (a["wc"].to_numpy(np.float64) / 100.0)
+                       / a["w"].to_numpy(np.float64),
+        "total_qty": a["w"].astype("int64")})
+        .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid (the one-step k-means / class-mean
+    statistic) in LONG form (label, dim, n, mean_v): each batch stacks
+    its vectors once, splits by the label column, and emits
+    per-(label, dim) (count, float64 sum) partials — |labels| x 64 dims
+    of mergeable rows per batch, no join and no shuffle. Means round to
+    4 (dim sums are thousands of |v|<=1 terms; order noise ~1e-13
+    cannot reach the 4th decimal); float32 -> float64 upcast happens
+    BEFORE any arithmetic, matching the oracle's ::DOUBLE."""
+    from ..functions.numeric import round_half_away
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        labels = df["label"].to_numpy()
+        frames = []
+        for name in pd.unique(labels):
+            sub = m[labels == name]
+            frames.append(pd.DataFrame({
+                "label": np.int64(name),
+                "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "n": np.int64(len(sub)),
+                "s": sub.sum(axis=0)}))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    a = parts.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    return (pd.DataFrame({
+        "label": a["label"].astype("int64"),
+        "dim": a["dim"].astype("int64"),
+        "n": a["n"].astype("int64"),
+        "mean_v": round_half_away((a["s"] / a["n"]).to_numpy(), 4)})
+        .sort_values(["label", "dim"]).reset_index(drop=True))
