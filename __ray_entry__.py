@@ -878,6 +878,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label embedding centroids (long form): per-(label, dim)
         # mergeable float64-sum partials — no join, no shuffle
         "label_centroids": AN2.q_label_centroids,
+        # 3-sigma outliers with NO float mean/std: the cross-multiplied
+        # integer moment inequality, stated casts both sides
+        "outlier_counts": AN2.q_outlier_counts,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1644,6 +1647,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "outlier_counts": """
+            -- |v - mean| > 3*sigma cross-multiplied by n^2 into exact
+            -- integer sums; cast order stated (n*ss overflows BIGINT)
+            WITH c AS (SELECT event_type,
+                              CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                       FROM events),
+            m AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+                         SUM(v)::BIGINT AS s,
+                         SUM(v * v)::BIGINT AS ss
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type,
+                   SUM(CASE WHEN CAST(m.n * c.v - m.s AS DOUBLE)
+                                 * CAST(m.n * c.v - m.s AS DOUBLE)
+                               > 9.0 * (CAST(m.n AS DOUBLE)
+                                        * CAST(m.ss AS DOUBLE)
+                                        - CAST(m.s AS DOUBLE)
+                                        * CAST(m.s AS DOUBLE))
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM c JOIN m USING (event_type)
+            GROUP BY c.event_type ORDER BY c.event_type
         """,
         "user_simpson_diversity": """
             WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n

@@ -805,3 +805,52 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
         "n": a["n"].astype("int64"),
         "mean_v": round_half_away((a["s"] / a["n"]).to_numpy(), 4)})
         .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
+def q_outlier_counts(sf_dir: str) -> pd.DataFrame:
+    """3-sigma outlier counts per event type WITHOUT a float mean/std:
+    the test |v - mean| > 3*sigma cross-multiplies by n^2 into
+    (n*c - s)^2 > 9*(n*ss - s^2) over integer cents and their exact
+    int64 sums — the left side is an exact int64 difference cast once to
+    double, the right side a stated double expression of the exact sums
+    (n*ss overflows int64, so BOTH engines state the cast-then-multiply
+    order) — no engine-ordered float summation anywhere, so the count
+    compares exactly. Two streaming passes: moments, then the gate."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                              "n": np.int64(1), "s": c, "ss": c * c})
+                .groupby("event_type", as_index=False).sum())
+
+    m = (ev.map_batches(moments, batch_format="pandas").to_pandas()
+           .groupby("event_type", as_index=False).sum())
+    mref = ray.put({r.event_type: (int(r.n), int(r.s), int(r.ss))
+                    for r in m.itertuples()})
+
+    class Gate:
+        def __init__(self):
+            self.m = ray.get(mref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+            t = df["event_type"].to_numpy()
+            out = []
+            for name, (n, s, ss) in self.m.items():
+                sub = c[t == name]
+                lhs = (n * sub - s).astype(np.float64)
+                rhs = 9.0 * (np.float64(n) * np.float64(ss)
+                             - np.float64(s) * np.float64(s))
+                out.append(pd.DataFrame({
+                    "event_type": [name],
+                    "n_outliers": [np.int64(int((lhs * lhs > rhs).sum()))]}))
+            return pd.concat(out, ignore_index=True)
+
+    parts = ev.map_batches(Gate, batch_format="pandas",
+                           concurrency=(1, 4)).to_pandas()
+    out = parts.groupby("event_type", as_index=False)["n_outliers"].sum()
+    return (out.astype({"n_outliers": "int64"})
+               .sort_values("event_type").reset_index(drop=True))
