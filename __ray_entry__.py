@@ -881,6 +881,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 3-sigma outliers with NO float mean/std: the cross-multiplied
         # integer moment inequality, stated casts both sides
         "outlier_counts": AN2.q_outlier_counts,
+        # k-means E-step: one matmul per batch against the broadcast
+        # centroid matrix (rows-only: brute-force parity pytest-pinned)
+        "centroid_assignment": AN2.q_centroid_assignment,
+        # exact-dup family-size histogram: count-of-counts rows merge
+        # as integer sums (the dedup diagnostic)
+        "dup_family_histogram": CU.q_dup_family_histogram,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1647,6 +1653,12 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "dup_family_histogram": """
+            WITH fam AS (SELECT text, COUNT(*)::BIGINT AS family_size
+                         FROM documents GROUP BY text)
+            SELECT family_size, COUNT(*)::BIGINT AS n_families
+            FROM fam GROUP BY 1 ORDER BY 1
         """,
         "outlier_counts": """
             -- |v - mean| > 3*sigma cross-multiplied by n^2 into exact

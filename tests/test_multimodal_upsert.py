@@ -253,3 +253,34 @@ def test_count_min_overestimate_bound_and_merge(ray_session):
         assert r["est_count"] >= true
         assert r["est_count"] <= true + (2 / 2048) * n_total * 4
     assert est.equals(em.queries()["cm_frequency_probe"](sf))
+
+
+def test_centroid_assignment_matches_brute_force(ray_session):
+    """The matmul E-step assignment equals an independent brute-force
+    distance loop, and is deterministic run to run."""
+    import duckdb
+
+    from vbpl_web_crawl_ray.pipelines.analytics2 import (
+        q_centroid_assignment,
+        q_label_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_centroid_assignment(sf)
+    cent = q_label_centroids(sf)
+    k = cent["label"].nunique()
+    C = (cent.sort_values(["label", "dim"])["mean_v"]
+         .to_numpy(np.float64).reshape(k, -1))
+    labels_sorted = np.sort(cent["label"].unique())
+    emb = duckdb.sql(
+        f"SELECT label, embedding FROM '{sf}/embeddings.parquet'").df()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    want = {}
+    for xi, lab in zip(X, emb["label"].to_numpy()):
+        d = ((C - xi) ** 2).sum(axis=1)
+        a = labels_sorted[int(np.argmin(d))]
+        want[(int(lab), int(a))] = want.get((int(lab), int(a)), 0) + 1
+    got_map = {(int(r.label), int(r.assigned)): int(r.n)
+               for r in got.itertuples()}
+    assert got_map == want
+    assert got.equals(q_centroid_assignment(sf))

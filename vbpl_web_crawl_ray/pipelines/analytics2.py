@@ -854,3 +854,43 @@ def q_outlier_counts(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("event_type", as_index=False)["n_outliers"].sum()
     return (out.astype({"n_outliers": "int64"})
                .sort_values("event_type").reset_index(drop=True))
+
+
+def q_centroid_assignment(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid assignment (the k-means E-step) over the label
+    centroids: the (|labels| x 64) centroid matrix broadcasts once, each
+    batch computes all distances in ONE matmul (||x-c||^2 = ||x||^2 -
+    2x.c + ||c||^2, the ||x||^2 term dropped as argmin-invariant) and
+    emits (true label, assigned label) confusion counts. Rows-only: the
+    assignment parity vs an independent brute-force distance loop and
+    run-to-run determinism are pytest-pinned."""
+    import ray
+
+    cent = q_label_centroids(sf_dir)
+    k = int(cent["label"].nunique())
+    c = (cent.sort_values(["label", "dim"])  # (k, 64) row-major
+             ["mean_v"].to_numpy(np.float64).reshape(k, -1))
+    labels_sorted = np.sort(cent["label"].unique())
+    cref = ray.put((c, labels_sorted))
+
+    class Assign:
+        def __init__(self):
+            self.c, self.labels = ray.get(cref)
+            self.half_c2 = 0.5 * (self.c * self.c).sum(axis=1)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            score = x @ self.c.T - self.half_c2    # argmax == nearest
+            a = self.labels[np.argmax(score, axis=1)]
+            return (pd.DataFrame({"label": df["label"].to_numpy(),
+                                  "assigned": a})
+                    .groupby(["label", "assigned"], as_index=False)
+                    .size().rename(columns={"size": "n"}))
+
+    parts = (_read(sf_dir, "embeddings", ["label", "embedding"])
+             .map_batches(Assign, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas())
+    out = parts.groupby(["label", "assigned"], as_index=False)["n"].sum()
+    return (out.astype({"label": "int64", "assigned": "int64",
+                        "n": "int64"})
+               .sort_values(["label", "assigned"]).reset_index(drop=True))

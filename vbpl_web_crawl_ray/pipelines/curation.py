@@ -421,3 +421,28 @@ def q_contrastive_pairs(sf_dir: str) -> pd.DataFrame:
                           "neg_doc_id": neg})
             .astype({"neg_doc_id": "int64"})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_dup_family_histogram(sf_dir: str) -> pd.DataFrame:
+    """Histogram of exact-duplicate family sizes — the dedup diagnostic
+    (how much of the corpus sits in 2x families vs 50x blobs?): family
+    sizes resolve inside text-hash buckets, the COUNT-OF-COUNTS rows
+    (one per distinct family size) merge as integer sums — the same
+    wire-frugal shape as the key-skew histogram."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        fam = (g.groupby("text", as_index=False).size()
+                .rename(columns={"size": "family_size"}))
+        return (fam.groupby("family_size", as_index=False)
+                   .size().rename(columns={"size": "n_families"}))
+
+    parts = bucketed_group_apply(docs, "text", sizes,
+                                 num_buckets=8).to_pandas()
+    out = (parts.groupby("family_size", as_index=False)
+                ["n_families"].sum())
+    return (out.astype({"family_size": "int64", "n_families": "int64"})
+               .sort_values("family_size").reset_index(drop=True))
