@@ -887,6 +887,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-dup family-size histogram: count-of-counts rows merge
         # as integer sums (the dedup diagnostic)
         "dup_family_histogram": CU.q_dup_family_histogram,
+        # PMI collocations over document-level co-occurrence: ragged
+        # in-doc pair explosion, libm log, rounded-score tie-broken cut
+        "token_pmi_topk": CP.q_token_pmi_topk,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1653,6 +1656,24 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "token_pmi_topk": """
+            WITH u AS (SELECT DISTINCT doc_id,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            p AS (SELECT a.w AS wa, b.w AS wb, COUNT(*)::BIGINT AS n
+                  FROM u a JOIN u b
+                    ON a.doc_id = b.doc_id AND a.w < b.w
+                  GROUP BY 1, 2),
+            d AS (SELECT w, COUNT(*)::BIGINT AS df FROM u GROUP BY w),
+            nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+            SELECT p.wa AS word_a, p.wb AS word_b, p.n AS n_docs_both,
+                   ROUND(LN(CAST(p.n * nd.n_docs AS DOUBLE)
+                            / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+            FROM p JOIN d da ON p.wa = da.w
+                   JOIN d db ON p.wb = db.w
+                   CROSS JOIN nd
+            ORDER BY pmi DESC, word_a, word_b LIMIT 20
         """,
         "dup_family_histogram": """
             WITH fam AS (SELECT text, COUNT(*)::BIGINT AS family_size

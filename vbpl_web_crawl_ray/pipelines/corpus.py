@@ -554,3 +554,63 @@ def q_source_kl_divergence(sf_dir: str) -> pd.DataFrame:
         "source": out["source"],
         "kl_divergence": round_half_away(out["t"].to_numpy(), 6)}) \
         .sort_values("source").reset_index(drop=True)
+
+
+def q_token_pmi_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k word pairs by pointwise mutual information over
+    DOCUMENT-level co-occurrence — the collocation-mining pass behind
+    phrase induction: each batch dedups (doc, word), explodes each doc's
+    sorted distinct words into unordered pairs with the ragged
+    vectorized arange (bounded by the largest doc's vocabulary, never
+    the corpus), and pair/doc-frequency count partials merge as integers
+    (the pair table is vocabulary-bounded). PMI = ln(n_ab*N / (n_a*n_b))
+    evaluates through libm on exact integer products; ranking uses the
+    ROUNDED score with a (word_a, word_b) tie break, so the top-k cut is
+    deterministic in both engines."""
+    import math
+
+    from ..functions.numeric import round_half_away
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["doc_id", "text"]].copy()
+        e["w"] = e.pop("text").str.split(" ")
+        e = (e.explode("w").drop_duplicates(["doc_id", "w"])
+              .sort_values(["doc_id", "w"], kind="mergesort"))
+        m = e.groupby("doc_id", sort=False)["w"].transform("size").to_numpy()
+        pos = e.groupby("doc_id", sort=False).cumcount().to_numpy()
+        cnt = m - pos - 1
+        a_idx = np.repeat(np.arange(len(e)), cnt)
+        starts = np.cumsum(cnt) - cnt
+        b_idx = (np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
+                 + np.repeat(np.arange(len(e)) + 1, cnt))
+        words = e["w"].to_numpy()
+        p = pd.DataFrame({"wa": words[a_idx], "wb": words[b_idx]})
+        return (p.groupby(["wa", "wb"], as_index=False)
+                 .size().rename(columns={"size": "n"}))
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["doc_id", "text"]].copy()
+        e["w"] = e.pop("text").str.split(" ")
+        u = e.explode("w").drop_duplicates(["doc_id", "w"])
+        return (u.groupby("w", as_index=False).size()
+                 .rename(columns={"size": "df"}))
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    pairs = (docs.map_batches(pair_partial, batch_format="pandas")
+             .to_pandas().groupby(["wa", "wb"], as_index=False)["n"].sum())
+    wdf = (docs.map_batches(df_partial, batch_format="pandas")
+           .to_pandas().groupby("w")["df"].sum())
+    n_docs = np.int64(docs.count())
+
+    cab = pairs["n"].to_numpy(np.int64)
+    na = pairs["wa"].map(wdf).to_numpy(np.int64)
+    nb = pairs["wb"].map(wdf).to_numpy(np.int64)
+    ratio = (cab * n_docs).astype(np.float64) / (na * nb).astype(np.float64)
+    pmi = np.fromiter((math.log(v) for v in ratio),
+                      dtype=np.float64, count=len(ratio))
+    out = pd.DataFrame({"word_a": pairs["wa"], "word_b": pairs["wb"],
+                        "n_docs_both": cab,
+                        "pmi": round_half_away(pmi, 6)})
+    return (out.sort_values(["pmi", "word_a", "word_b"],
+                            ascending=[False, True, True])
+               .head(k).reset_index(drop=True))
