@@ -890,6 +890,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PMI collocations over document-level co-occurrence: ragged
         # in-doc pair explosion, libm log, rounded-score tie-broken cut
         "token_pmi_topk": CP.q_token_pmi_topk,
+        # fact<->dim referential audit: orphans + childless in ONE
+        # tagged-union membership shuffle, three integers out
+        "referential_integrity": R3.q_referential_integrity,
+        # star-schema rollup through the 3-hop dim chain: composed
+        # broadcast lookups, one fact pass, integer cents
+        "revenue_by_nation": R3.q_revenue_by_nation,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1656,6 +1662,30 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "referential_integrity": """
+            WITH a AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            b AS (SELECT l_orderkey AS k, COUNT(*)::BIGINT AS n
+                  FROM lineitem GROUP BY 1)
+            SELECT (SELECT COALESCE(SUM(n), 0) FROM b
+                    WHERE k NOT IN (SELECT k FROM a))::BIGINT
+                       AS orphan_lineitems,
+                   (SELECT COUNT(*) FROM a
+                    WHERE k NOT IN (SELECT k FROM b))::BIGINT
+                       AS childless_orders,
+                   (SELECT COUNT(*) FROM a
+                    WHERE k IN (SELECT k FROM b))::BIGINT
+                       AS linked_orders
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name AS nation,
+                   SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                       ::BIGINT AS revenue_cents,
+                   COUNT(*)::BIGINT AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "token_pmi_topk": """
             WITH u AS (SELECT DISTINCT doc_id,

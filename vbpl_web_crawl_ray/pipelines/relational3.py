@@ -328,3 +328,92 @@ def q_lorenz_curve(sf_dir: str) -> pd.DataFrame:
                      np.float64(cum[cut]) / np.float64(total)))
     return pd.DataFrame(rows, columns=["top_pct", "n_customers",
                                        "cum_cents", "share"])
+
+
+def q_referential_integrity(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit between fact and dimension — the
+    consistency check a store runs after every ingest: how many lineitem
+    rows reference a missing order (orphans), and how many orders have
+    no lineitem at all (childless)? One tagged-union bucketed shuffle of
+    per-key count partials resolves both directions at once (the
+    full-outer membership shape): each bucket ORs the side bits per key
+    and emits three integers. No joined rows materialize."""
+    o = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def cnt(col, side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[col].value_counts()
+            return pd.DataFrame({"key": c.index.to_numpy(),
+                                 "n": c.to_numpy(np.int64),
+                                 "side": np.int8(side)})
+        return f
+
+    tagged = (o.map_batches(cnt("o_orderkey", 0), batch_format="pandas")
+               .union(li.map_batches(cnt("l_orderkey", 1),
+                                     batch_format="pandas")))
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g[g["side"] == 0].groupby("key")["n"].sum())
+        b = (g[g["side"] == 1].groupby("key")["n"].sum())
+        orphan_keys = b.index.difference(a.index)
+        return pd.DataFrame({
+            "orphan_lineitems": [np.int64(int(b[orphan_keys].sum()))],
+            "childless_orders": [np.int64(len(a.index.difference(b.index)))],
+            "linked_orders": [np.int64(len(a.index.intersection(b.index)))]})
+
+    parts = bucketed_group_apply(tagged, "key", audit,
+                                 num_buckets=8).to_pandas()
+    return pd.DataFrame({c: [np.int64(parts[c].sum())]
+                         for c in ("orphan_lineitems", "childless_orders",
+                                   "linked_orders")})
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Revenue rollup through the THREE-hop dimension chain (region ->
+    nation -> customer -> orders): the star-schema traversal where every
+    dimension is broadcast-sized — nation/region ride as one composed
+    lookup dict, customers map to nations in a pruned scan, and the fact
+    table is touched once emitting per-nation integer-cents partials.
+    Zero all-to-alls; everything integer until no division at all."""
+    import ray
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nref = ray.put(nmap)
+
+    class CustNation:
+        def __init__(self):
+            self.n = ray.get(nref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"].to_numpy(),
+                "nation": df["c_nationkey"].map(self.n).to_numpy()})
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(CustNation, batch_format="pandas",
+                         concurrency=(1, 4)).to_pandas())
+    cref = ray.put(dict(zip(cust["c_custkey"], cust["nation"])))
+
+    class Rollup:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            return (pd.DataFrame({
+                "nation": df["o_custkey"].map(self.c).to_numpy(),
+                "cents": cents, "n": np.int64(1)})
+                .groupby("nation", as_index=False).sum())
+
+    parts = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+             .map_batches(Rollup, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas())
+    out = parts.groupby("nation", as_index=False).sum()
+    return (pd.DataFrame({"nation": out["nation"],
+                          "revenue_cents": out["cents"].astype("int64"),
+                          "n_orders": out["n"].astype("int64")})
+            .sort_values("nation").reset_index(drop=True))
