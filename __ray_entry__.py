@@ -896,6 +896,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # star-schema rollup through the 3-hop dim chain: composed
         # broadcast lookups, one fact pass, integer cents
         "revenue_by_nation": R3.q_revenue_by_nation,
+        # character-level corpus entropy: one np.bincount per batch over
+        # the concatenated ASCII buffer; libm close over the alphabet
+        "char_entropy": CP.q_char_entropy,
+        # Gini coefficient of per-user activity: exact int64 sums over
+        # the stated ascending order, three stated float ops at the end
+        "activity_gini": AN2.q_activity_gini,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1662,6 +1668,30 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "char_entropy": """
+            WITH ch AS (SELECT unnest(string_split(text, '')) AS ch
+                        FROM documents),
+            c AS (SELECT ch, COUNT(*)::BIGINT AS n FROM ch GROUP BY ch),
+            t AS (SELECT SUM(n)::BIGINT AS n FROM c)
+            SELECT t.n AS n_chars,
+                   (SELECT COUNT(*) FROM c)::BIGINT AS n_symbols,
+                   ROUND(-SUM((c.n / t.n) * LN(c.n / t.n)), 6) AS entropy
+            FROM c CROSS JOIN t GROUP BY t.n
+        """,
+        "activity_gini": """
+            WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY 1),
+            r AS (SELECT n,
+                    ROW_NUMBER() OVER (ORDER BY n, user_id) AS i
+                  FROM c),
+            s AS (SELECT COUNT(*)::BIGINT AS m, SUM(n)::BIGINT AS tot,
+                         SUM(i * n)::BIGINT AS num
+                  FROM r)
+            SELECT m AS n_users, tot AS total_events,
+                   CAST(2 * num AS DOUBLE) / CAST(m * tot AS DOUBLE)
+                   - CAST(m + 1 AS DOUBLE) / CAST(m AS DOUBLE) AS gini
+            FROM s
         """,
         "referential_integrity": """
             WITH a AS (SELECT DISTINCT o_orderkey AS k FROM orders),

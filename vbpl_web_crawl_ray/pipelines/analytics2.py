@@ -894,3 +894,32 @@ def q_centroid_assignment(sf_dir: str) -> pd.DataFrame:
     return (out.astype({"label": "int64", "assigned": "int64",
                         "n": "int64"})
                .sort_values(["label", "assigned"]).reset_index(drop=True))
+
+
+def q_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-user activity — the inequality scalar
+    beside the Lorenz curve: per-user event counts are mergeable
+    partials; over counts sorted ascending with the stated (count,
+    user_id) order, G = (2 * sum(i * c_i)) / (n * sum(c)) - (n + 1) / n
+    closes over exact int64 sums with a stated three-operation float
+    chain — bit-exact unrounded. Driver holds one row per user (the
+    count-of-counts histogram is the stated selection-scale path)."""
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["user_id"].value_counts()
+        return pd.DataFrame({"user_id": c.index.to_numpy(),
+                             "n": c.to_numpy(np.int64)})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    c = (parts.groupby("user_id", as_index=False)["n"].sum()
+              .sort_values(["n", "user_id"], kind="mergesort"))
+    counts = c["n"].to_numpy(np.int64)
+    n = np.int64(len(counts))
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = np.int64((i * counts).sum())
+    tot = np.int64(counts.sum())
+    gini = (np.float64(2 * num) / np.float64(n * tot)
+            - np.float64(n + 1) / np.float64(n))
+    return pd.DataFrame({"n_users": [n], "total_events": [tot],
+                         "gini": [gini]})

@@ -614,3 +614,34 @@ def q_token_pmi_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return (out.sort_values(["pmi", "word_a", "word_b"],
                             ascending=[False, True, True])
                .head(k).reset_index(drop=True))
+
+
+def q_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Character-level Shannon entropy of the corpus — the alphabet
+    statistic compression and tokenizer design start from: per-batch
+    byte counts come from ONE np.bincount over the batch's concatenated
+    ASCII buffer (no per-char Python), merge as integer sums over the
+    bounded alphabet, and the entropy closes on the driver through libm
+    (round 6 bounds the ~alphabet-sized sum's order noise)."""
+    import math
+
+    from ..functions.numeric import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        buf = np.frombuffer("".join(df["text"]).encode("ascii"), np.uint8)
+        cnt = np.bincount(buf, minlength=128)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"ch": [chr(c) for c in nz],
+                             "n": cnt[nz].astype(np.int64)})
+
+    parts = (_docs(sf_dir, ("doc_id", "text"))
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    c = parts.groupby("ch", as_index=False)["n"].sum()
+    cc = c["n"].to_numpy(np.float64)
+    n = cc.sum()
+    terms = (cc / n) * np.fromiter(
+        (math.log(v) for v in cc / n), dtype=np.float64, count=len(cc))
+    return pd.DataFrame({
+        "n_chars": [np.int64(int(n))],
+        "n_symbols": [np.int64(len(c))],
+        "entropy": [round_half_away(-float(terms.sum()), 6)]})
