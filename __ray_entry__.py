@@ -482,6 +482,29 @@ def _cm_frequency_probe(sf_dir: str):
         probe_values=["click", "error", "purchase", "signup", "view"])
 
 
+def _doc_bfs_depths(sf_dir: str):
+    """BFS depths from the first crawled doc over the citation graph —
+    distributed frontier expansion, one vectorized edge pass per round
+    (rows-only: brute-force parity is pytest-pinned)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vbpl_web_crawl_ray.stages.graph import bfs_depths
+
+    out = _run_crawl_cached(sf_dir, dict(n_hosts=2, pages_per_host=2,
+                                         docs_per_page=4),
+                            fetch_concurrency=(1, 2),
+                            parse_concurrency=(1, 2))
+    files = sorted(glob.glob(f"{out}/edges/round=*/*.parquet")) \
+        + sorted(glob.glob(f"{out}/doc_map/round=*/*.parquet"))
+    frames = [pq.read_table(f, columns=["src", "dst"]).to_pandas()
+              for f in files]
+    edges = pd.concat(frames, ignore_index=True).drop_duplicates()
+    return bfs_depths(edges, seed="0")
+
+
 def _doc_kcore(sf_dir: str):
     """K-core backbone of the crawl citation graph — distributed
     iterative peeling (rows-only: planted-structure and brute-force
@@ -902,6 +925,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gini coefficient of per-user activity: exact int64 sums over
         # the stated ascending order, three stated float ops at the end
         "activity_gini": AN2.q_activity_gini,
+        # running COUNT(DISTINCT) per user: cumulative first-occurrence
+        # flags (sorted dedup + cumsum in whole-user buckets)
+        "running_distinct_types": R3.q_running_distinct_types,
+        # keyset (cursor) pagination: tuple-comparison filter + local
+        # heads, driver merges batches x page rows at most
+        "keyset_page": R3.q_keyset_page,
+        # BFS depths from the crawl seed over the citation graph
+        # (rows-only: frontier-expansion loop; brute parity pinned)
+        "doc_bfs_depths": _doc_bfs_depths,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1668,6 +1700,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "running_distinct_types": """
+            WITH f AS (SELECT event_id, user_id, ts,
+                         CASE WHEN ROW_NUMBER() OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) = 1
+                              THEN 1 ELSE 0 END AS first
+                       FROM events)
+            SELECT event_id,
+                   SUM(first) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT
+                       AS n_types_seen
+            FROM f ORDER BY event_id
+        """,
+        "keyset_page": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_totalprice > 50000.0
+               OR (o_totalprice = 50000.0 AND o_orderkey > 0)
+            ORDER BY o_totalprice, o_orderkey LIMIT 25
         """,
         "char_entropy": """
             WITH ch AS (SELECT unnest(string_split(text, '')) AS ch

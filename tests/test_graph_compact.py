@@ -104,3 +104,31 @@ def test_k_core_planted_clique(ray_session):
     # k above the clique degree: empty core, empty frame with schema
     empty = k_core(edges, k=7)
     assert len(empty) == 0 and list(empty.columns) == ["node", "degree"]
+
+
+def test_bfs_depths_matches_brute_force(ray_session):
+    """Distributed frontier BFS == reference BFS on a seeded random
+    graph; unreachable nodes absent."""
+    from collections import deque
+
+    from vbpl_web_crawl_ray.stages.graph import bfs_depths
+
+    rng = np.random.RandomState(11)
+    edges = pd.DataFrame({"src": rng.randint(0, 30, 60),
+                          "dst": rng.randint(0, 30, 60)})
+    got = bfs_depths(edges, seed="3")
+    adj: dict = {}
+    for a, b in zip(edges["src"], edges["dst"]):
+        a, b = str(a), str(b)
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = {"3": 0}
+    dq = deque(["3"])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert dict(zip(got["node"], got["depth"])) == want

@@ -417,3 +417,52 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
                           "revenue_cents": out["cents"].astype("int64"),
                           "n_orders": out["n"].astype("int64")})
             .sort_values("nation").reset_index(drop=True))
+
+
+def q_running_distinct_types(sf_dir: str) -> pd.DataFrame:
+    """Running COUNT(DISTINCT event_type) per user over event time — the
+    cumulative-novelty window no engine's frames express directly: a
+    row's value is the number of distinct types the user has seen so
+    far, which decomposes as a cumulative sum of FIRST-OCCURRENCE flags
+    (one sorted dedup + cumsum inside whole-user buckets, all integer).
+    The oracle states the same decomposition with ROW_NUMBER = 1."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = ~g.duplicated(["user_id", "event_type"])
+        run = (first.astype(np.int64)
+               .groupby(g["user_id"].to_numpy()).cumsum())
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "n_types_seen": run.to_numpy(np.int64)})
+
+    out = bucketed_group_apply(ev, "user_id", running,
+                               num_buckets=4).to_pandas()
+    return (out.astype({"n_types_seen": "int64"})
+               .sort_values("event_id").reset_index(drop=True))
+
+
+def q_keyset_page(sf_dir: str, after_price: float = 50000.0,
+                  after_key: int = 0, page: int = 25) -> pd.DataFrame:
+    """Keyset (cursor) pagination — the stable paging API a store exposes
+    instead of OFFSET: the next page is the first ``page`` rows with
+    (o_totalprice, o_orderkey) strictly beyond the cursor tuple, in that
+    order. Each batch pre-filters by the tuple comparison and keeps its
+    local head (mergeable top-k partials), so the driver merges at most
+    batches x page rows however large the table. Raw pass-throughs."""
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["o_totalprice"] > after_price) \
+            | ((df["o_totalprice"] == after_price)
+               & (df["o_orderkey"] > after_key))
+        return (df[keep]
+                .sort_values(["o_totalprice", "o_orderkey"],
+                             kind="mergesort")
+                .head(page))
+
+    parts = o.map_batches(local, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["o_totalprice", "o_orderkey"],
+                              kind="mergesort")
+                 .head(page).reset_index(drop=True))

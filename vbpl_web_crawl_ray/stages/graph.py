@@ -572,3 +572,61 @@ def k_core(edges, k: int = 3, src: str = "src", dst: str = "dst",
     return (deg.rename(columns={"d": "degree"})
                .astype({"degree": "int64"})
                .sort_values("node").reset_index(drop=True))
+
+
+def bfs_depths(edges, seed: str, src: str = "src", dst: str = "dst",
+               num_buckets: int = 8, max_depth: int = 64) -> pd.DataFrame:
+    """Distributed BFS from a seed over an undirected edge set: classic
+    frontier expansion — each round ONE vectorized pass over the edge
+    dataset marks neighbours of the current frontier (broadcast as a
+    set via ray.put; a frontier too large for ray.put becomes a bucketed
+    semi-join on the endpoint, same loop), visited nodes accumulate, and
+    the loop ends when a frontier comes back empty. Edges canonicalize
+    and dedup once up front; rounds = graph diameter. Returns (node,
+    depth) for every reachable node."""
+    import ray
+    import ray.data as rd
+
+    from .shuffle import bucketed_group_apply
+
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges[[src, dst]])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].astype(str).to_numpy()
+        b = df[dst].astype(str).to_numpy()
+        out = pd.DataFrame({"u": a, "v": b})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    ded = bucketed_group_apply(
+        edges.map_batches(canon, batch_format="pandas"), "u",
+        lambda g: g.drop_duplicates(["u", "v"]),
+        num_buckets=num_buckets).materialize()
+
+    visited = {str(seed): 0}
+    frontier = {str(seed)}
+    for depth in range(1, max_depth + 1):
+        fref = ray.put(frontier)
+
+        class Expand:
+            def __init__(self):
+                self.f = ray.get(fref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                u_in = df["u"].isin(self.f).to_numpy()
+                v_in = df["v"].isin(self.f).to_numpy()
+                nxt = np.concatenate([df["v"].to_numpy()[u_in],
+                                      df["u"].to_numpy()[v_in]])
+                return pd.DataFrame({"node": pd.unique(nxt)})
+
+        nxt = (ded.map_batches(Expand, batch_format="pandas",
+                               concurrency=(1, 4)).to_pandas())
+        frontier = set(nxt["node"]) - set(visited)
+        if not frontier:
+            break
+        for nd in frontier:
+            visited[nd] = depth
+    return (pd.DataFrame({"node": list(visited),
+                          "depth": np.fromiter(visited.values(), np.int64,
+                                               len(visited))})
+            .sort_values(["depth", "node"]).reset_index(drop=True))
