@@ -934,6 +934,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BFS depths from the crawl seed over the citation graph
         # (rows-only: frontier-expansion loop; brute parity pinned)
         "doc_bfs_depths": _doc_bfs_depths,
+        # pairwise histogram-intersection similarity between sources:
+        # integer count partials, exact-integer-division p's, MIN is
+        # order-free; the overlap matrix beside KL
+        "source_similarity": CP.q_source_similarity,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1700,6 +1704,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "source_similarity": """
+            -- min(p_a, p_b) is zero unless BOTH hold the word, so the
+            -- inner join on w is the full sum
+            WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            c AS (SELECT source, w, COUNT(*)::BIGINT AS c FROM u
+                  GROUP BY 1, 2),
+            t AS (SELECT source AS s, SUM(c)::BIGINT AS n FROM c
+                  GROUP BY 1)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   ROUND(SUM(LEAST(a.c / ta.n, b.c / tb.n)), 6)
+                       AS similarity
+            FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+            JOIN t ta ON ta.s = a.source
+            JOIN t tb ON tb.s = b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "running_distinct_types": """
             WITH f AS (SELECT event_id, user_id, ts,

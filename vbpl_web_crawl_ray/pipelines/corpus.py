@@ -645,3 +645,40 @@ def q_char_entropy(sf_dir: str) -> pd.DataFrame:
         "n_chars": [np.int64(int(n))],
         "n_symbols": [np.int64(len(c))],
         "entropy": [round_half_away(-float(terms.sum()), 6)]})
+
+
+def q_source_similarity(sf_dir: str) -> pd.DataFrame:
+    """Pairwise histogram-intersection similarity between sources
+    (sum over words of min(p_a, p_b)) — the distribution-overlap matrix
+    a mixture designer reads next to KL: per-(source, word) integer
+    count partials over the bounded vocabulary, then the tiny
+    driver-side pair close; every p is an exact-integer division and
+    MIN is order-free, so only the final ~vocab-sized sum needs the
+    round-6 guard."""
+    import itertools
+
+    from ..functions.numeric import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["source", "text"]].copy()
+        e["w"] = e.pop("text").str.split(" ")
+        e = e.explode("w")
+        return (e.groupby(["source", "w"], as_index=False)
+                 .size().rename(columns={"size": "c"}))
+
+    parts = (_docs(sf_dir, ("source", "text"))
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    c = parts.groupby(["source", "w"], as_index=False)["c"].sum()
+    piv = (c.pivot(index="w", columns="source", values="c")
+            .fillna(0).astype(np.int64))
+    totals = piv.sum(axis=0).to_numpy(np.float64)
+    sources = list(piv.columns)
+    rows = []
+    for i, j in itertools.combinations(range(len(sources)), 2):
+        pa = piv.iloc[:, i].to_numpy(np.float64) / totals[i]
+        pb = piv.iloc[:, j].to_numpy(np.float64) / totals[j]
+        rows.append((sources[i], sources[j],
+                     round_half_away(float(np.minimum(pa, pb).sum()), 6)))
+    return (pd.DataFrame(rows, columns=["source_a", "source_b",
+                                        "similarity"])
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))
