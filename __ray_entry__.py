@@ -938,6 +938,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer count partials, exact-integer-division p's, MIN is
         # order-free; the overlap matrix beside KL
         "source_similarity": CP.q_source_similarity,
+        # (ISO weekday x hour) activity heatmap: bounded 7x24 count grid
+        "hour_dow_heatmap": AN2.q_hour_dow_heatmap,
+        # per-doc novelty: fraction of bigram TYPES unique to the doc
+        # (memorization audit); one exact-integer division per doc
+        "doc_novelty": CP.q_doc_novelty,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1704,6 +1709,30 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "hour_dow_heatmap": """
+            SELECT ISODOW(ts)::BIGINT AS dow, HOUR(ts)::BIGINT AS hour,
+                   COUNT(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_novelty": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            b AS (SELECT doc_id,
+                         unnest([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))]) AS bigram
+                  FROM t),
+            d AS (SELECT doc_id, bigram, COUNT(*)::BIGINT AS n
+                  FROM b GROUP BY 1, 2),
+            g AS (SELECT bigram, SUM(n)::BIGINT AS gn FROM d
+                  GROUP BY bigram)
+            SELECT d.doc_id, COUNT(*)::BIGINT AS n_types,
+                   SUM(CASE WHEN d.n = g.gn THEN 1 ELSE 0 END)::BIGINT
+                       AS n_unique,
+                   CAST(SUM(CASE WHEN d.n = g.gn THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+            FROM d JOIN g USING (bigram)
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "source_similarity": """
             -- min(p_a, p_b) is zero unless BOTH hold the word, so the

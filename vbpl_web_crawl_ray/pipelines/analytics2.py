@@ -923,3 +923,22 @@ def q_activity_gini(sf_dir: str) -> pd.DataFrame:
             - np.float64(n + 1) / np.float64(n))
     return pd.DataFrame({"n_users": [n], "total_events": [tot],
                          "gini": [gini]})
+
+
+def q_hour_dow_heatmap(sf_dir: str) -> pd.DataFrame:
+    """Activity heatmap over (ISO weekday x hour) — the seasonality grid
+    behind load forecasting: pure mergeable count partials over a
+    bounded 7x24 key space, everything integer."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dow = df["ts"].dt.dayofweek.to_numpy() + 1    # == SQL ISODOW
+        hr = df["ts"].dt.hour.to_numpy()
+        return (pd.DataFrame({"dow": dow, "hour": hr})
+                .groupby(["dow", "hour"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["dow", "hour"], as_index=False)["n"].sum()
+    return (out.astype({"dow": "int64", "hour": "int64", "n": "int64"})
+               .sort_values(["dow", "hour"]).reset_index(drop=True))

@@ -682,3 +682,67 @@ def q_source_similarity(sf_dir: str) -> pd.DataFrame:
     return (pd.DataFrame(rows, columns=["source_a", "source_b",
                                         "similarity"])
             .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+
+
+def q_doc_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's bigram TYPES that
+    appear in no other document (global type count == the doc's own
+    count) — the memorization/leakage audit next to the familiarity
+    score. Per-(doc, bigram-type) counts close in-batch (docs never
+    straddle batches), global type counts broadcast once
+    (vocabulary-bounded; the unbounded path is one bucketed join on the
+    bigram), and novelty is ONE exact-integer division per doc."""
+    import ray
+
+    def _doc_types(df: pd.DataFrame):
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        if len(flat) < 2:
+            return None
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        last = np.cumsum(lens) - 1
+        keep[last[:-1]] = False
+        big = (pd.Series(flat[:-1], dtype=object)
+               + " " + pd.Series(flat[1:], dtype=object))[keep]
+        docs = np.repeat(df["doc_id"].to_numpy(), lens)[:-1][keep]
+        return (pd.DataFrame({"doc_id": docs, "bigram": big})
+                .groupby(["doc_id", "bigram"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    def train(df: pd.DataFrame) -> pd.DataFrame:
+        t = _doc_types(df)
+        if t is None:
+            return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        return t.groupby("bigram", as_index=False)["n"].sum()
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    model = (docs.map_batches(train, batch_format="pandas").to_pandas()
+                 .groupby("bigram")["n"].sum())
+    ref = ray.put(model.to_dict())
+
+    class Novelty:
+        def __init__(self):
+            self.g = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            t = _doc_types(df)
+            if t is None:
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "n_types": pd.Series(dtype=np.int64),
+                    "n_unique": pd.Series(dtype=np.int64),
+                    "novelty": pd.Series(dtype=np.float64)})
+            own = t["n"].to_numpy(np.int64)
+            glob = t["bigram"].map(self.g).to_numpy(np.int64)
+            t = t.assign(u=(own == glob).astype(np.int64))
+            a = t.groupby("doc_id", as_index=False).agg(
+                n_types=("u", "size"), n_unique=("u", "sum"))
+            return a.assign(novelty=a["n_unique"].to_numpy(np.float64)
+                            / a["n_types"].to_numpy(np.float64))
+
+    out = (docs.map_batches(Novelty, batch_format="pandas",
+                            concurrency=(1, 4)).to_pandas())
+    return (out.astype({"n_types": "int64", "n_unique": "int64"})
+               .sort_values("doc_id").reset_index(drop=True))
