@@ -943,6 +943,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc novelty: fraction of bigram TYPES unique to the doc
         # (memorization audit); one exact-integer division per doc
         "doc_novelty": CP.q_doc_novelty,
+        # per-type decile boundaries (long form): nine order statistics
+        # from ONE in-bucket sort, quantile_cont lerp stated both sides
+        "type_deciles": AN2.q_type_deciles,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1709,6 +1712,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "type_deciles": """
+            WITH q AS (SELECT event_type,
+                         QUANTILE_CONT(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                               0.6, 0.7, 0.8, 0.9]) AS qs
+                       FROM events GROUP BY event_type)
+            SELECT event_type,
+                   generate_subscripts(qs, 1)::BIGINT AS decile,
+                   ROUND(UNNEST(qs), 4) AS value
+            FROM q ORDER BY event_type, decile
         """,
         "hour_dow_heatmap": """
             SELECT ISODOW(ts)::BIGINT AS dow, HOUR(ts)::BIGINT AS hour,

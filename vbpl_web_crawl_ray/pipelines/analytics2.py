@@ -942,3 +942,36 @@ def q_hour_dow_heatmap(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby(["dow", "hour"], as_index=False)["n"].sum()
     return (out.astype({"dow": "int64", "hour": "int64", "n": "int64"})
                .sort_values(["dow", "hour"]).reset_index(drop=True))
+
+
+def q_type_deciles(sf_dir: str) -> pd.DataFrame:
+    """Per-type decile boundaries of the value column in LONG form
+    (event_type, decile, value) — the per-key multi-quantile: types are
+    few and bounded, so each co-locates whole in a hash bucket and all
+    nine order statistics resolve from ONE in-bucket sort, interpolating
+    as DuckDB's quantile_cont (rn = q*(n-1); v_lo +
+    (rn-floor(rn))*(v_hi-v_lo)); the engine's internal lerp differs in
+    the last ulp, so both sides round to 4 — the decile_boundaries
+    precedent."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def deciles(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for name, gg in g.groupby("event_type", sort=False):
+            v = np.sort(gg["value"].to_numpy())
+            n = len(v)
+            for k in range(1, 10):
+                rn = (k / 10) * (n - 1)
+                f = int(np.floor(rn))
+                c = int(np.ceil(rn))
+                x = v[f] if c == f else v[f] + (rn - f) * (v[c] - v[f])
+                outs.append((name, np.int64(k),
+                             round_half_away(float(x), 4)))
+        return pd.DataFrame(outs, columns=["event_type", "decile",
+                                           "value"])
+
+    out = bucketed_group_apply(ev, "event_type", deciles,
+                               num_buckets=4).to_pandas()
+    return (out.astype({"decile": "int64"})
+               .sort_values(["event_type", "decile"])
+               .reset_index(drop=True))
