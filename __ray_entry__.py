@@ -946,6 +946,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-type decile boundaries (long form): nine order statistics
         # from ONE in-bucket sort, quantile_cont lerp stated both sides
         "type_deciles": AN2.q_type_deciles,
+        # supplier balance rollup through nation -> region (closes full
+        # 10-table coverage): composed dim broadcast, integer cents
+        "supplier_balance_by_region": R3.q_supplier_balance_by_region,
+        # top-k suppliers by shipped quantity: integer partials, names
+        # attach only for the winners
+        "top_suppliers_by_volume": R3.q_top_suppliers_by_volume,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1712,6 +1718,28 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "supplier_balance_by_region": """
+            SELECT r.r_name AS region,
+                   SUM(CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT))
+                       ::BIGINT AS total_cents,
+                   COUNT(*)::BIGINT AS n_suppliers,
+                   MAX(CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT))
+                       ::BIGINT AS max_cents
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "top_suppliers_by_volume": """
+            WITH a AS (SELECT l_suppkey AS s_suppkey,
+                         SUM(CAST(l_quantity AS BIGINT))::BIGINT
+                             AS total_qty,
+                         COUNT(*)::BIGINT AS n_items
+                       FROM lineitem GROUP BY 1)
+            SELECT a.s_suppkey, s.s_name, a.total_qty, a.n_items
+            FROM a JOIN supplier s USING (s_suppkey)
+            ORDER BY a.total_qty DESC, a.s_suppkey LIMIT 10
         """,
         "type_deciles": """
             WITH q AS (SELECT event_type,

@@ -466,3 +466,74 @@ def q_keyset_page(sf_dir: str, after_price: float = 50000.0,
     return (parts.sort_values(["o_totalprice", "o_orderkey"],
                               kind="mergesort")
                  .head(page).reset_index(drop=True))
+
+
+def q_supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
+    """Supplier account-balance rollup through nation -> region (closes
+    full 10-table coverage): both dims ride as one composed broadcast
+    lookup, the supplier table is touched once emitting per-region
+    integer-cents partials (acctbal is 2-decimal), max is order-free."""
+    import ray
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+    n2r = {k: rmap[v] for k, v in zip(nation["n_nationkey"],
+                                      nation["n_regionkey"])}
+    ref = ray.put(n2r)
+
+    class Partial:
+        def __init__(self):
+            self.n2r = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(df["s_acctbal"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            return (pd.DataFrame({
+                "region": df["s_nationkey"].map(self.n2r).to_numpy(),
+                "cents": cents, "n": np.int64(1), "mx": cents})
+                .groupby("region", as_index=False)
+                .agg(cents=("cents", "sum"), n=("n", "sum"),
+                     mx=("mx", "max")))
+
+    parts = (_read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+             .map_batches(Partial, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas())
+    out = parts.groupby("region", as_index=False).agg(
+        total_cents=("cents", "sum"), n_suppliers=("n", "sum"),
+        max_cents=("mx", "max"))
+    return (out.astype({"total_cents": "int64", "n_suppliers": "int64",
+                        "max_cents": "int64"})
+               .sort_values("region").reset_index(drop=True))
+
+
+def q_top_suppliers_by_volume(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k suppliers by shipped quantity — the fact-side supplier
+    rollup: per-supplier integer quantity partials merge, names attach
+    from the broadcast supplier dim only for the k winners, ties break
+    on the supplier key. All integers."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(np.int64)
+        return (pd.DataFrame({"s_suppkey": df["l_suppkey"].to_numpy(),
+                              "qty": q, "n": np.int64(1)})
+                .groupby("s_suppkey", as_index=False).sum())
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = (parts.groupby("s_suppkey", as_index=False).sum()
+                .sort_values(["qty", "s_suppkey"],
+                             ascending=[False, True], kind="mergesort")
+                .head(k))
+    names = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+    out = agg.merge(names, on="s_suppkey", how="left")
+    return (pd.DataFrame({"s_suppkey": out["s_suppkey"].astype("int64"),
+                          "s_name": out["s_name"],
+                          "total_qty": out["qty"].astype("int64"),
+                          "n_items": out["n"].astype("int64")})
+            .reset_index(drop=True))
