@@ -952,6 +952,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k suppliers by shipped quantity: integer partials, names
         # attach only for the winners
         "top_suppliers_by_volume": R3.q_top_suppliers_by_volume,
+        # type-token ratio per doc (lexical diversity): in-batch close,
+        # one exact-integer division, zero shuffles
+        "type_token_ratio": CP.q_type_token_ratio,
+        # session entry/exit type matrix: first/last per island from one
+        # in-bucket sort; integer pair-count partials
+        "session_entry_exit": AN2.q_session_entry_exit,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1718,6 +1724,49 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "type_token_ratio": """
+            WITH u AS (SELECT doc_id,
+                              len(string_split(text, ' '))::BIGINT
+                                  AS n_tokens
+                       FROM documents),
+            d AS (SELECT doc_id, COUNT(DISTINCT w)::BIGINT AS n_types
+                  FROM (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                  GROUP BY doc_id)
+            SELECT u.doc_id, u.n_tokens, d.n_types,
+                   CAST(d.n_types AS DOUBLE) / CAST(u.n_tokens AS DOUBLE)
+                       AS ttr
+            FROM u JOIN d USING (doc_id) ORDER BY u.doc_id
+        """,
+        "session_entry_exit": """
+            WITH o AS (SELECT user_id, event_type, ts, event_id,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM events),
+            g AS (SELECT user_id, event_type, ts, event_id,
+                    SUM(CASE WHEN pts IS NULL
+                              OR ts > pts + INTERVAL 1800 SECOND
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            r AS (SELECT user_id, sid, event_type,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                       ORDER BY ts, event_id) AS rn_a,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                       ORDER BY ts DESC, event_id DESC)
+                        AS rn_z
+                  FROM g),
+            s AS (SELECT user_id, sid,
+                    MAX(CASE WHEN rn_a = 1 THEN event_type END)
+                        AS entry_type,
+                    MAX(CASE WHEN rn_z = 1 THEN event_type END)
+                        AS exit_type
+                  FROM r GROUP BY 1, 2)
+            SELECT entry_type, exit_type, COUNT(*)::BIGINT AS n_sessions
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "supplier_balance_by_region": """
             SELECT r.r_name AS region,

@@ -975,3 +975,38 @@ def q_type_deciles(sf_dir: str) -> pd.DataFrame:
     return (out.astype({"decile": "int64"})
                .sort_values(["event_type", "decile"])
                .reset_index(drop=True))
+
+
+def q_session_entry_exit(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Session entry/exit analysis: which event type OPENS a session and
+    which CLOSES it, counted over all 30-minute-gap sessions — the
+    landing/abandon matrix product analytics reads. Gaps-and-islands in
+    whole-user buckets; each island's first/last rows resolve from the
+    same sort (ties on the microsecond break on event_id, stated in the
+    oracle); per-(entry, exit) count partials merge as integers."""
+    gap_us = gap_s * 1_000_000
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new = (~g["user_id"].eq(g["user_id"].shift(1)).to_numpy()) \
+            | (t - np.roll(t, 1) > gap_us)
+        sid = np.cumsum(new)
+        d = pd.DataFrame({"sid": sid,
+                          "event_type": g["event_type"].to_numpy()})
+        f = d.groupby("sid")["event_type"].first()
+        z = d.groupby("sid")["event_type"].last()
+        return (pd.DataFrame({"entry_type": f.to_numpy(),
+                              "exit_type": z.to_numpy()})
+                .groupby(["entry_type", "exit_type"], as_index=False)
+                .size().rename(columns={"size": "n_sessions"}))
+
+    parts = bucketed_group_apply(ev, "user_id", pairs,
+                                 num_buckets=4).to_pandas()
+    out = (parts.groupby(["entry_type", "exit_type"], as_index=False)
+                ["n_sessions"].sum())
+    return (out.astype({"n_sessions": "int64"})
+               .sort_values(["entry_type", "exit_type"])
+               .reset_index(drop=True))

@@ -746,3 +746,24 @@ def q_doc_novelty(sf_dir: str) -> pd.DataFrame:
                             concurrency=(1, 4)).to_pandas())
     return (out.astype({"n_types": "int64", "n_unique": "int64"})
                .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_type_token_ratio(sf_dir: str) -> pd.DataFrame:
+    """Type-token ratio per document (lexical diversity — the quality
+    signal next to stopword ratios): token and distinct-type counts
+    close in-batch (docs never straddle batches), the ratio is ONE
+    exact-integer division. No shuffle at all."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n_tok = toks.str.len().to_numpy(np.int64)
+        n_typ = np.fromiter((len(set(t)) for t in toks),
+                            dtype=np.int64, count=len(toks))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": n_tok, "n_types": n_typ,
+            "ttr": n_typ.astype(np.float64) / n_tok.astype(np.float64)})
+
+    out = (_docs(sf_dir, ("doc_id", "text"))
+           .map_batches(partial, batch_format="pandas").to_pandas())
+    return (out.astype({"n_tokens": "int64", "n_types": "int64"})
+               .sort_values("doc_id").reset_index(drop=True))
