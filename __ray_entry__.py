@@ -958,6 +958,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session entry/exit type matrix: first/last per island from one
         # in-bucket sort; integer pair-count partials
         "session_entry_exit": AN2.q_session_entry_exit,
+        # revenue/volume by discount level: bounded discrete domain,
+        # integer cents partials
+        "discount_revenue_levels": R3.q_discount_revenue_levels,
+        # busiest minute per type: argmax over merged per-minute counts,
+        # earliest-minute tie break stated both sides
+        "peak_minute_per_type": R3.q_peak_minute_per_type,
         # rows-only actor-state stream (displaced by the oracle-backed
         # session windows above; still pinned by batch-equivalence tests)
         "stream_user_state": _stream_user_state,
@@ -1724,6 +1730,28 @@ def oracle_sql() -> dict[str, str]:
                    MIN(tw)::BIGINT AS total_qty
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "discount_revenue_levels": """
+            SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+                       AS discount_pct,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                       ::BIGINT AS revenue_cents,
+                   SUM(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "peak_minute_per_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(date_trunc('minute', ts) AS TIMESTAMP)
+                                  AS minute,
+                              COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, minute, n,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY n DESC, minute) AS rk
+                  FROM c)
+            SELECT event_type, minute AS peak_minute, n AS n_events
+            FROM r WHERE rk = 1 ORDER BY event_type
         """,
         "type_token_ratio": """
             WITH u AS (SELECT doc_id,

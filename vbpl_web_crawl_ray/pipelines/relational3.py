@@ -537,3 +537,59 @@ def q_top_suppliers_by_volume(sf_dir: str, k: int = 10) -> pd.DataFrame:
                           "total_qty": out["qty"].astype("int64"),
                           "n_items": out["n"].astype("int64")})
             .reset_index(drop=True))
+
+
+def q_discount_revenue_levels(sf_dir: str) -> pd.DataFrame:
+    """Revenue and volume by discount level — the pricing-elasticity
+    table: l_discount is a bounded discrete domain (the synth writes
+    2-decimal levels), so per-level integer-cents partials merge over a
+    handful of keys; everything integer."""
+    li = _read(sf_dir, "lineitem",
+               ["l_discount", "l_extendedprice", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        lvl = np.round(df["l_discount"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        return (pd.DataFrame({"discount_pct": lvl, "cents": cents,
+                              "qty": df["l_quantity"].to_numpy(np.int64),
+                              "n": np.int64(1)})
+                .groupby("discount_pct", as_index=False).sum())
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("discount_pct", as_index=False).sum()
+    return (out.astype({c: "int64" for c in
+                        ("discount_pct", "cents", "qty", "n")})
+               .rename(columns={"cents": "revenue_cents",
+                                "qty": "total_qty", "n": "n_items"})
+               .sort_values("discount_pct").reset_index(drop=True))
+
+
+def q_peak_minute_per_type(sf_dir: str) -> pd.DataFrame:
+    """Busiest minute per event type (argmax over the per-minute count,
+    ties to the EARLIEST minute — stated in both engines): per-(type,
+    minute) count partials merge, the argmax closes inside whole-type
+    buckets; all integers and raw timestamps."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                              "minute": df["ts"].dt.floor("min")})
+                .groupby(["event_type", "minute"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    def peak(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["event_type", "minute"], as_index=False)["n"].sum()
+              .sort_values(["event_type", "n", "minute"],
+                           ascending=[True, False, True],
+                           kind="mergesort"))
+        return c.groupby("event_type", as_index=False).first()
+
+    out = bucketed_group_apply(ev, "event_type", peak, num_buckets=4,
+                               partial_fn=partial).to_pandas()
+    return (out.rename(columns={"minute": "peak_minute",
+                                "n": "n_events"})
+               .astype({"n_events": "int64"})
+               [["event_type", "peak_minute", "n_events"]]
+               .sort_values("event_type").reset_index(drop=True))
