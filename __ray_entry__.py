@@ -26,6 +26,7 @@ from vbpl_web_crawl_ray.pipelines import analytics as AN  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import analytics2 as AN2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational3 as R3  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational4 as R4  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 
@@ -1101,6 +1102,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": CU.q_decontaminate,
         "rollup_revenue": CP.q_rollup_revenue,
         "cube_revenue": CP.q_cube_revenue,
+        # TPC-H Q10 shape: fact->fact->dim revenue rollup, winners-only attach
+        "returned_item_customers": R4.q_returned_item_customers,
+        # TPC-H Q14 shape: pct-of-total per month, broadcast classifier
+        "promo_revenue_share": R4.q_promo_revenue_share,
+        # TPC-H Q22 shape: cross-multiplied mean gate + anti-join, by nation
+        "idle_balance_by_nation": R4.q_idle_balance_by_nation,
     }
 
 
@@ -3019,6 +3026,56 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(value), 4) AS max_value,
                    ROUND(SUM(value), 4) AS total_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "returned_item_customers": """
+            WITH r AS (
+              SELECT o.o_custkey AS c_custkey,
+                     SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+                         ::BIGINT AS revenue_u4
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+              GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.revenue_u4
+            FROM r JOIN customer c USING (c_custkey)
+                   JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY r.revenue_u4 DESC, c.c_custkey LIMIT 20
+        """,
+        "promo_revenue_share": """
+            WITH m AS (
+              SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+                     SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                              ELSE 0 END)::BIGINT AS promo_u4,
+                     SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                         ::BIGINT AS total_u4
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1)
+            SELECT month, promo_u4, total_u4,
+                   ROUND(100.0 * promo_u4 / total_u4, 6) AS promo_share_pct
+            FROM m ORDER BY month
+        """,
+        "idle_balance_by_nation": """
+            WITH pos AS (
+              SELECT COUNT(*)::BIGINT AS n_pos,
+                     SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+                         ::BIGINT AS sum_pos
+              FROM customer WHERE c_acctbal > 0.0),
+            idle AS (
+              SELECT c.c_nationkey,
+                     CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS cents
+              FROM customer c, pos
+              WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * pos.n_pos
+                        > pos.sum_pos
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderpriority = '1-URGENT'))
+            SELECT n.n_name AS nation, COUNT(*)::BIGINT AS n_customers,
+                   SUM(cents)::BIGINT AS total_cents
+            FROM idle c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -1,0 +1,193 @@
+"""Session-4 relational operators — the three remaining classic TPC-H
+query SHAPES the surface did not yet exercise, each with a DuckDB oracle
+twin and a stated 100-TB plan:
+
+- q_returned_item_customers (Q10 shape): fact-side revenue rollup keyed
+  by a dimension reached THROUGH another fact (lineitem -> orders ->
+  customer) with names attached only for the k winners;
+- q_promo_revenue_share (Q14 shape): a percentage-of-total per calendar
+  bucket where the classifier is a broadcast dimension attribute;
+- q_idle_balance_by_nation (Q22 shape): a global-aggregate-derived
+  filter (balance above the positive mean) composed with an anti-join
+  (customers with no orders) — the mean comparison cross-multiplies into
+  exact integers so no engine-ordered float sum can move the boundary.
+
+All money stays integer (cents, or 1e-4-dollar units for the
+price x (1 - discount) product: 2-decimal price cents x integer
+(100 - discount-pct) is exact int64) until the single stated division,
+so every aggregate is order-free and bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_returned_item_customers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10's shape: which customers returned the most revenue.
+    lineitem (returnflag = 'R') is the only big scan; the orderkey ->
+    custkey map rides as ONE ray.put broadcast (size-gated: orders'
+    key pair is ~16 bytes/row — past ~64 MB this hop becomes a bucketed
+    join on o_orderkey, same partials), per-customer integer revenue
+    units (cents x (100 - disc_pct), exact int64) merge on the driver,
+    and names/nations attach only for the k winners. Ties break on the
+    customer key in both engines."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    o2c = ray.put(dict(zip(orders["o_orderkey"], orders["o_custkey"])))
+
+    class Partial:
+        def __init__(self):
+            self.o2c = ray.get(o2c)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_returnflag"] == "R"]
+            ep = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            d = np.round(df["l_discount"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            return (pd.DataFrame({
+                "c_custkey": df["l_orderkey"].map(self.o2c).to_numpy(),
+                "revenue_u4": ep * (100 - d)})
+                .groupby("c_custkey", as_index=False).sum())
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_returnflag",
+                    "l_extendedprice", "l_discount"])
+             .map_batches(Partial, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas())
+    agg = (parts.groupby("c_custkey", as_index=False).sum()
+                .sort_values(["revenue_u4", "c_custkey"],
+                             ascending=[False, True], kind="mergesort")
+                .head(k))
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    out = agg.merge(cust, on="c_custkey", how="left")
+    return (pd.DataFrame({"c_custkey": out["c_custkey"].astype("int64"),
+                          "c_name": out["c_name"],
+                          "nation": out["c_nationkey"].map(nmap),
+                          "revenue_u4": out["revenue_u4"].astype("int64")})
+            .reset_index(drop=True))
+
+
+def q_promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14's shape: the monthly share of revenue coming from PROMO
+    parts. The partkey -> is-promo classifier broadcasts once (bounded
+    by |part|; past the broadcast gate it becomes a bucketed semi-join
+    key set), lineitem is touched once emitting per-month (promo, total)
+    integer-unit partials, and the close is ONE stated float chain per
+    month — ROUND(100.0 * promo / total, 6), identical IEEE ops in both
+    engines (the u4 sums stay < 2^53, so the int -> double casts are
+    exact)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = ray.put(
+        set(part.loc[part["p_type"] == "PROMO", "p_partkey"].tolist()))
+
+    class Partial:
+        def __init__(self):
+            self.promo = ray.get(promo)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ep = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            d = np.round(df["l_discount"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            u4 = ep * (100 - d)
+            is_promo = df["l_partkey"].isin(self.promo).to_numpy()
+            month = df["l_shipdate"].dt.to_period("M").dt.to_timestamp()
+            return (pd.DataFrame({"month": month,
+                                  "promo_u4": np.where(is_promo, u4, 0),
+                                  "total_u4": u4})
+                    .groupby("month", as_index=False).sum())
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_partkey", "l_shipdate",
+                    "l_extendedprice", "l_discount"])
+             .map_batches(Partial, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas())
+    out = parts.groupby("month", as_index=False).sum()
+    share = round_half_away(
+        (100.0 * out["promo_u4"].to_numpy(np.float64))
+        / out["total_u4"].to_numpy(np.float64), 6)
+    return (pd.DataFrame({"month": out["month"],
+                          "promo_u4": out["promo_u4"].astype("int64"),
+                          "total_u4": out["total_u4"].astype("int64"),
+                          "promo_share_pct": share})
+            .sort_values("month").reset_index(drop=True))
+
+
+def q_idle_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22's shape: per nation, the count and balance of
+    above-average-balance customers who never placed an URGENT order
+    (the synth gives every customer orders, so the lapsed segment is
+    "no 1-URGENT order" — the anti-join is unchanged in shape). The
+    "above the positive mean" gate cross-multiplies into exact integers
+    (cents x n_pos > sum_pos_cents), so no float mean exists anywhere;
+    the anti-join probes a broadcast set of urgent-order custkeys
+    (bounded by |customer|; past the gate this is exactly
+    q_bloom_anti_users' distributed-filter shape). Customer is scanned
+    twice (tiny global partials, then the gated filter); per-nation
+    integer-cents partials close on the driver."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"n_pos": [np.int64(len(pos))],
+                             "sum_pos": [pos.sum(dtype=np.int64)]})
+
+    pos = cust.map_batches(pos_partial, batch_format="pandas").to_pandas()
+    n_pos = int(pos["n_pos"].sum())
+    sum_pos = int(pos["sum_pos"].sum())
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        urgent = df.loc[df["o_orderpriority"] == "1-URGENT", "o_custkey"]
+        return pd.DataFrame({"k": urgent.unique()})
+
+    has_urgent = set(_read(sf_dir, "orders",
+                           ["o_custkey", "o_orderpriority"])
+                     .map_batches(key_partial, batch_format="pandas")
+                     .to_pandas()["k"])
+    href = ray.put(has_urgent)
+
+    class Idle:
+        def __init__(self):
+            self.has = ray.get(href)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(df["c_acctbal"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            keep = (cents * n_pos > sum_pos) \
+                & ~df["c_custkey"].isin(self.has).to_numpy()
+            d = df[keep]
+            return (pd.DataFrame({"c_nationkey": d["c_nationkey"].to_numpy(),
+                                  "cents": cents[keep], "n": np.int64(1)})
+                    .groupby("c_nationkey", as_index=False).sum())
+
+    parts = cust.map_batches(Idle, batch_format="pandas",
+                             concurrency=(1, 4)).to_pandas()
+    if parts.empty:  # fully-filtered store: keep the schema stable
+        parts = pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                              "cents": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+    agg = parts.groupby("c_nationkey", as_index=False).sum()
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    return (pd.DataFrame({"nation": agg["c_nationkey"].map(nmap),
+                          "n_customers": agg["n"].astype("int64"),
+                          "total_cents": agg["cents"].astype("int64")})
+            .sort_values("nation").reset_index(drop=True))
