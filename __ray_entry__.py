@@ -1108,6 +1108,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": R4.q_promo_revenue_share,
         # TPC-H Q22 shape: cross-multiplied mean gate + anti-join, by nation
         "idle_balance_by_nation": R4.q_idle_balance_by_nation,
+        # hapax-legomena rate per source: vocab-bounded integer type counts
+        "hapax_rate": CP.q_hapax_rate,
+        # log-log rank-frequency least-squares slope per source (Zipf fit)
+        "zipf_slope": CP.q_zipf_slope,
+        # market-basket lift: pair/single/basket integer partials, one division
+        "brand_pair_lift": AN.q_brand_pair_lift,
     }
 
 
@@ -3076,6 +3082,53 @@ def oracle_sql() -> dict[str, str]:
                    SUM(cents)::BIGINT AS total_cents
             FROM idle c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "hapax_rate": """
+            WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            c AS (SELECT source, w, COUNT(*)::BIGINT AS n FROM w GROUP BY 1, 2)
+            SELECT source, COUNT(*)::BIGINT AS n_types,
+                   COUNT(*) FILTER (WHERE n = 1)::BIGINT AS n_hapax,
+                   CAST(COUNT(*) FILTER (WHERE n = 1) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS hapax_rate
+            FROM c GROUP BY source ORDER BY source
+        """,
+        "zipf_slope": """
+            WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            c AS (SELECT source, w, COUNT(*)::BIGINT AS n FROM w GROUP BY 1, 2),
+            r AS (SELECT source, n,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY n DESC, w) AS rk
+                  FROM c),
+            t AS (SELECT source, LN(CAST(rk AS DOUBLE)) AS x,
+                         LN(CAST(n AS DOUBLE)) AS y
+                  FROM r WHERE rk <= 100)
+            SELECT source, COUNT(*)::BIGINT AS n_points,
+                   ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                         / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)),
+                         6) AS zipf_slope
+            FROM t GROUP BY source ORDER BY source
+        """,
+        "brand_pair_lift": """
+            WITH m AS (SELECT DISTINCT l.l_orderkey AS okey,
+                                       p.p_brand AS brand
+                       FROM lineitem l JOIN part p
+                         ON l.l_partkey = p.p_partkey),
+            pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+                          COUNT(*)::BIGINT AS n_both
+                   FROM m a JOIN m b
+                     ON a.okey = b.okey AND a.brand < b.brand
+                   GROUP BY 1, 2),
+            s AS (SELECT brand, COUNT(*)::BIGINT AS n FROM m GROUP BY 1),
+            no AS (SELECT COUNT(DISTINCT okey)::BIGINT AS n_orders FROM m)
+            SELECT pr.brand_a, pr.brand_b, pr.n_both,
+                   CAST(pr.n_both * no.n_orders AS DOUBLE)
+                       / CAST(sa.n * sb.n AS DOUBLE) AS lift
+            FROM pr JOIN s sa ON pr.brand_a = sa.brand
+                    JOIN s sb ON pr.brand_b = sb.brand
+                    CROSS JOIN no
+            ORDER BY pr.brand_a, pr.brand_b
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

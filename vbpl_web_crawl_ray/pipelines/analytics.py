@@ -488,3 +488,73 @@ def q_rolling_avg_rows(sf_dir: str) -> pd.DataFrame:
     out = bucketed_group_apply(ev, "user_id", roll,
                                num_buckets=4).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_brand_pair_lift(sf_dir: str) -> pd.DataFrame:
+    """Market-basket LIFT per unordered brand pair — the association
+    strength behind q_brand_pair_counts' raw co-occurrence:
+    lift = (n_both * n_orders) / (n_a * n_b). One okey-bucketed pass
+    emits all three count families as integer partials (pair rows, the
+    diagonal as per-brand basket counts, and a sentinel row counting the
+    bucket's distinct orders — buckets own disjoint orders, so all three
+    merge as sums); the close is one division of exact int64 products
+    (< 2^53, so the int -> double casts and the division are identical
+    IEEE in both engines — unrounded). Output is bounded by the brand
+    vocabulary, never the fact table."""
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    class ToBrand:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return (pd.DataFrame({"okey": df["l_orderkey"].to_numpy(),
+                                  "brand": df["l_partkey"].map(self.lookup)})
+                    .drop_duplicates())
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+          .map_batches(ToBrand, batch_format="pandas", concurrency=(1, 4)))
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["okey", "brand"])
+              .sort_values(["okey", "brand"], kind="mergesort"))
+        m = d.groupby("okey", sort=False)["brand"].transform("size").to_numpy()
+        pos = d.groupby("okey", sort=False).cumcount().to_numpy()
+        cnt = m - pos - 1
+        a_idx = np.repeat(np.arange(len(d)), cnt)
+        starts = np.cumsum(cnt) - cnt
+        b_idx = (np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
+                 + np.repeat(np.arange(len(d)) + 1, cnt))
+        brands = d["brand"].to_numpy()
+        p = (pd.DataFrame({"brand_a": brands[a_idx],
+                           "brand_b": brands[b_idx]})
+             .groupby(["brand_a", "brand_b"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        s = (d.groupby("brand", as_index=False).size()
+              .rename(columns={"size": "n"}))
+        singles = pd.DataFrame({"brand_a": s["brand"],
+                                "brand_b": s["brand"], "n": s["n"]})
+        sentinel = pd.DataFrame({"brand_a": [""], "brand_b": [""],
+                                 "n": [d["okey"].nunique()]})
+        return pd.concat([p, singles, sentinel], ignore_index=True)
+
+    parts = bucketed_group_apply(li, "okey", stats,
+                                 num_buckets=8).to_pandas()
+    agg = parts.groupby(["brand_a", "brand_b"], as_index=False)["n"].sum()
+    n_orders = int(agg.loc[(agg["brand_a"] == "")
+                           & (agg["brand_b"] == ""), "n"].iloc[0])
+    diag = agg["brand_a"] == agg["brand_b"]
+    singles = dict(zip(agg.loc[diag & (agg["brand_a"] != ""), "brand_a"],
+                       agg.loc[diag & (agg["brand_a"] != ""), "n"]))
+    pairs = agg[~diag].copy()
+    n_both = pairs["n"].to_numpy(np.int64)
+    na = pairs["brand_a"].map(singles).to_numpy(np.int64)
+    nb = pairs["brand_b"].map(singles).to_numpy(np.int64)
+    lift = (n_both * np.int64(n_orders)).astype(np.float64) \
+        / (na * nb).astype(np.float64)
+    return (pd.DataFrame({"brand_a": pairs["brand_a"],
+                          "brand_b": pairs["brand_b"],
+                          "n_both": n_both, "lift": lift})
+            .sort_values(["brand_a", "brand_b"]).reset_index(drop=True))

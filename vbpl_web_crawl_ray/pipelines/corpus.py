@@ -767,3 +767,76 @@ def q_type_token_ratio(sf_dir: str) -> pd.DataFrame:
            .map_batches(partial, batch_format="pandas").to_pandas())
     return (out.astype({"n_tokens": "int64", "n_types": "int64"})
                .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_hapax_rate(sf_dir: str) -> pd.DataFrame:
+    """Hapax legomena rate per source — the vocabulary-health signal a
+    corpus audit runs beside KL/coverage: the fraction of a source's word
+    TYPES that occur exactly once. (source, word) integer count partials
+    merge over the bounded vocabulary (one row per TYPE crosses the
+    wire, never per token); the rate is ONE division of exact integers —
+    identical IEEE both sides, unrounded."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["source", "text"]].copy()
+        e["w"] = e.pop("text").str.split(" ")
+        e = e.explode("w")
+        return (e.groupby(["source", "w"], as_index=False)
+                 .size().rename(columns={"size": "c"}))
+
+    parts = (_docs(sf_dir, ("source", "text"))
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    c = parts.groupby(["source", "w"], as_index=False)["c"].sum()
+    out = c.groupby("source", as_index=False).agg(
+        n_types=("c", "size"), n_hapax=("c", lambda s: int((s == 1).sum())))
+    return (pd.DataFrame({
+        "source": out["source"],
+        "n_types": out["n_types"].astype("int64"),
+        "n_hapax": out["n_hapax"].astype("int64"),
+        "hapax_rate": (out["n_hapax"].to_numpy(np.float64)
+                       / out["n_types"].to_numpy(np.float64))})
+        .sort_values("source").reset_index(drop=True))
+
+
+def q_zipf_slope(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Least-squares slope of the log-log rank-frequency curve per source
+    (the Zipf fit a tokenizer/corpus designer checks): the top-k word
+    types by the stated (count desc, word) order give (ln rank, ln count)
+    points; the closed-form slope (n*Sxy - Sx*Sy)/(n*Sxx - Sx*Sx)
+    evaluates through libm per term with the oracle stating the identical
+    expression; the k-bounded sums keep order noise ~1e-14, so rounding
+    to 6 is safe (the KL-divergence precedent). Wire cost: one integer
+    count row per (source, word TYPE)."""
+    import math
+
+    from ..functions.numeric import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["source", "text"]].copy()
+        e["w"] = e.pop("text").str.split(" ")
+        e = e.explode("w")
+        return (e.groupby(["source", "w"], as_index=False)
+                 .size().rename(columns={"size": "c"}))
+
+    parts = (_docs(sf_dir, ("source", "text"))
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    c = parts.groupby(["source", "w"], as_index=False)["c"].sum()
+    c = c.sort_values(["source", "c", "w"],
+                      ascending=[True, False, True], kind="mergesort")
+    c["rk"] = c.groupby("source", sort=False).cumcount() + 1
+    c = c[c["rk"] <= k]
+    x = np.fromiter((math.log(float(v)) for v in c["rk"]),
+                    dtype=np.float64, count=len(c))
+    y = np.fromiter((math.log(float(v)) for v in c["c"]),
+                    dtype=np.float64, count=len(c))
+    t = pd.DataFrame({"source": c["source"].to_numpy(),
+                      "x": x, "y": y, "xy": x * y, "xx": x * x})
+    g = t.groupby("source", as_index=False).agg(
+        n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+        sxy=("xy", "sum"), sxx=("xx", "sum"))
+    n = g["n"].to_numpy(np.float64)
+    slope = (n * g["sxy"].to_numpy() - g["sx"].to_numpy() * g["sy"].to_numpy()) \
+        / (n * g["sxx"].to_numpy() - g["sx"].to_numpy() * g["sx"].to_numpy())
+    return (pd.DataFrame({"source": g["source"],
+                          "n_points": g["n"].astype("int64"),
+                          "zipf_slope": round_half_away(slope, 6)})
+            .sort_values("source").reset_index(drop=True))
