@@ -1114,6 +1114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": CP.q_zipf_slope,
         # market-basket lift: pair/single/basket integer partials, one division
         "brand_pair_lift": AN.q_brand_pair_lift,
+        # RFM segmentation: exact NTILE(3) per dimension, 27 segment cells
+        "rfm_segments": R4.q_rfm_segments,
+        # YoY monthly revenue growth: y*12+m integer pairing, one division
+        "yoy_growth": R4.q_yoy_growth,
     }
 
 
@@ -3129,6 +3133,41 @@ def oracle_sql() -> dict[str, str]:
                     JOIN s sb ON pr.brand_b = sb.brand
                     CROSS JOIN no
             ORDER BY pr.brand_a, pr.brand_b
+        """,
+        "rfm_segments": """
+            WITH c AS (SELECT o_custkey,
+                              COUNT(*)::BIGINT AS f,
+                              SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                                  ::BIGINT AS m,
+                              MAX(o_orderdate) AS r
+                       FROM orders GROUP BY 1),
+            t AS (SELECT m,
+                         NTILE(3) OVER (ORDER BY r DESC, o_custkey)
+                             ::BIGINT AS r_score,
+                         NTILE(3) OVER (ORDER BY f DESC, o_custkey)
+                             ::BIGINT AS f_score,
+                         NTILE(3) OVER (ORDER BY m DESC, o_custkey)
+                             ::BIGINT AS m_score
+                  FROM c)
+            SELECT r_score, f_score, m_score,
+                   COUNT(*)::BIGINT AS n_customers,
+                   SUM(m)::BIGINT AS total_cents
+            FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "yoy_growth": """
+            WITH m AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                         AS month,
+                     (YEAR(o_orderdate) * 12 + MONTH(o_orderdate))
+                         ::BIGINT AS idx,
+                     SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                         ::BIGINT AS cents
+              FROM orders GROUP BY 1, 2)
+            SELECT a.month, a.cents, b.cents AS prev_cents,
+                   CAST(a.cents AS DOUBLE) / CAST(b.cents AS DOUBLE)
+                       AS yoy_ratio
+            FROM m a JOIN m b ON a.idx = b.idx + 12
+            ORDER BY a.month
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -191,3 +191,88 @@ def q_idle_balance_by_nation(sf_dir: str) -> pd.DataFrame:
                           "n_customers": agg["n"].astype("int64"),
                           "total_cents": agg["cents"].astype("int64")})
             .sort_values("nation").reset_index(drop=True))
+
+
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation — the marketing cut behind curated
+    audience tables: per-customer (recency = latest order, frequency =
+    order count, monetary = integer cents) partials merge from one fact
+    scan; each dimension then gets an exact NTILE(3) score over its
+    stated total order (metric DESC, custkey — the standard first-(n%k)-
+    buckets-take-ceil(n/k) fill, identical in both engines), and the 27
+    (r,f,m) segment cells aggregate counts + cents. The per-customer
+    close is dim-bounded (one row per customer); at store scale the
+    tercile boundaries come from the count-of-counts histogram selection
+    (key_skew_stats' path) instead of a driver sort."""
+    o = _read(sf_dir, "orders",
+              ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        return (pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(),
+                              "f": np.int64(1), "m": cents,
+                              "r": df["o_orderdate"].to_numpy()})
+                .groupby("c_custkey", as_index=False)
+                .agg(f=("f", "sum"), m=("m", "sum"), r=("r", "max")))
+
+    parts = o.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby("c_custkey", as_index=False).agg(
+        f=("f", "sum"), m=("m", "sum"), r=("r", "max"))
+
+    def ntile3(order_key: np.ndarray, custkey: np.ndarray) -> np.ndarray:
+        n = len(order_key)
+        idx = np.lexsort((custkey, order_key))   # key asc, custkey asc
+        base, rem = divmod(n, 3)
+        bounds = np.cumsum([base + (i < rem) for i in range(3)])
+        score = np.empty(n, dtype=np.int64)
+        score[idx] = np.searchsorted(bounds, np.arange(n), side="right") + 1
+        return score
+
+    ck = c["c_custkey"].to_numpy()
+    # DESC metric order == ASC on the negated key
+    r_s = ntile3(-c["r"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                 ck)
+    f_s = ntile3(-c["f"].to_numpy(np.int64), ck)
+    m_s = ntile3(-c["m"].to_numpy(np.int64), ck)
+    seg = pd.DataFrame({"r_score": r_s, "f_score": f_s, "m_score": m_s,
+                        "n": np.int64(1), "cents": c["m"].to_numpy()})
+    out = seg.groupby(["r_score", "f_score", "m_score"],
+                      as_index=False).agg(n_customers=("n", "sum"),
+                                          total_cents=("cents", "sum"))
+    return (out.astype({c_: "int64" for c_ in out.columns})
+               .sort_values(["r_score", "f_score", "m_score"])
+               .reset_index(drop=True))
+
+
+def q_yoy_growth(sf_dir: str) -> pd.DataFrame:
+    """Year-over-year monthly revenue growth: per-month integer-cents
+    partials merge from one fact scan (the calendar is bounded, so the
+    month -> cents map is driver-tiny at any store size); each month
+    pairs with the month exactly 12 back via the integer index
+    y*12 + m (no interval arithmetic, no window), and the growth ratio
+    is ONE division of exact int64 cents — identical IEEE both sides,
+    unrounded. Months without a prior year drop (inner pairing)."""
+    o = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        month = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        return (pd.DataFrame({"month": month, "cents": cents})
+                .groupby("month", as_index=False).sum())
+
+    parts = o.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby("month", as_index=False).sum()
+    idx = (m["month"].dt.year * 12 + m["month"].dt.month).to_numpy(np.int64)
+    cents = dict(zip(idx, m["cents"].to_numpy(np.int64)))
+    keep = np.array([i - 12 in cents for i in idx])
+    cur = m.loc[keep].reset_index(drop=True)
+    prev = np.array([cents[i - 12] for i in idx[keep]], dtype=np.int64)
+    return (pd.DataFrame({
+        "month": cur["month"],
+        "cents": cur["cents"].astype("int64"),
+        "prev_cents": prev,
+        "yoy_ratio": cur["cents"].to_numpy(np.float64)
+        / prev.astype(np.float64)})
+        .sort_values("month").reset_index(drop=True))
