@@ -1118,6 +1118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": R4.q_rfm_segments,
         # YoY monthly revenue growth: y*12+m integer pairing, one division
         "yoy_growth": R4.q_yoy_growth,
+        # cross-modal: caption token/char stats per image aspect bucket
+        "caption_stats_by_aspect": P.q_caption_stats_by_aspect,
+        # per-format dimension profile of the image payload store
+        "format_dim_stats": P.q_format_dim_stats,
     }
 
 
@@ -3168,6 +3172,36 @@ def oracle_sql() -> dict[str, str]:
                        AS yoy_ratio
             FROM m a JOIN m b ON a.idx = b.idx + 12
             ORDER BY a.month
+        """,
+        "caption_stats_by_aspect": """
+            -- synth spec re-derivation (see aspect_bucket_counts): dims
+            -- are doc_id formulas, caption = text[:120]; the twin thus
+            -- cross-checks the joint image+caption payload path
+            WITH p AS (SELECT 48 + doc_id % 33 AS w,
+                              48 + (doc_id * 7) % 33 AS h,
+                              SUBSTRING(text, 1, 120) AS caption
+                       FROM documents)
+            SELECT CASE WHEN w*4 >= h*5 THEN 'wide'
+                        WHEN h*4 >= w*5 THEN 'tall'
+                        ELSE 'square' END AS bucket,
+                   COUNT(*)::BIGINT AS n_images,
+                   SUM(len(string_split(caption, ' ')))::BIGINT AS total_tokens,
+                   SUM(length(caption))::BIGINT AS total_chars,
+                   MAX(len(string_split(caption, ' ')))::BIGINT AS max_tokens
+            FROM p GROUP BY bucket ORDER BY bucket
+        """,
+        "format_dim_stats": """
+            WITH p AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'png'
+                                   ELSE 'jpeg' END AS fmt,
+                              48 + doc_id % 33 AS w,
+                              48 + (doc_id * 7) % 33 AS h
+                       FROM documents)
+            SELECT fmt, COUNT(*)::BIGINT AS n_images,
+                   SUM(w * h)::BIGINT AS total_pixels,
+                   MIN(w)::BIGINT AS min_w, MAX(w)::BIGINT AS max_w,
+                   MIN(h)::BIGINT AS min_h, MAX(h)::BIGINT AS max_h,
+                   COUNT(*) FILTER (WHERE w > h)::BIGINT AS n_wide
+            FROM p GROUP BY fmt ORDER BY fmt
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -438,3 +438,69 @@ def q_mosaic_grid_plan(sf_dir: str) -> pd.DataFrame:
         num_buckets=4).to_pandas()
     return (out.astype({c: "int64" for c in ("mosaic_id", "grid_x", "grid_y")})
                .sort_values("image_id").reset_index(drop=True))
+
+
+def q_caption_stats_by_aspect(sf_dir: str) -> pd.DataFrame:
+    """CROSS-MODAL rollup — caption text statistics per image shape
+    bucket (the axis-A x axis-B audit a captioned-image curator runs to
+    spot caption-poor shapes): token/char counts of the REAL caption
+    column that rode through the payload synth, grouped by the same
+    integer aspect buckets as q_aspect_bucket_counts. All-integer
+    partials per batch; ORACLE-BACKED through the synth spec (dims are
+    a pure function of doc_id, caption = text[:120]), so the twin
+    cross-checks the joint image+caption plumbing end to end."""
+    imgs = payload_table(sf_dir).select_columns(["w", "h", "caption"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        bucket = np.where(w * 4 >= h * 5, "wide",
+                          np.where(h * 4 >= w * 5, "tall", "square"))
+        toks = df["caption"].str.split(" ").str.len().to_numpy(np.int64)
+        chars = df["caption"].str.len().to_numpy(np.int64)
+        return (pd.DataFrame({"bucket": bucket, "toks": toks,
+                              "chars": chars, "mx": toks})
+                .groupby("bucket", as_index=False)
+                .agg(n_images=("toks", "size"), total_tokens=("toks", "sum"),
+                     total_chars=("chars", "sum"), max_tokens=("mx", "max")))
+
+    parts = imgs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("bucket", as_index=False).agg(
+        n_images=("n_images", "sum"), total_tokens=("total_tokens", "sum"),
+        total_chars=("total_chars", "sum"), max_tokens=("max_tokens", "max"))
+    return (out.astype({c: "int64" for c in ("n_images", "total_tokens",
+                                             "total_chars", "max_tokens")})
+               .sort_values("bucket").reset_index(drop=True))
+
+
+def q_format_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-encoding-format dimension profile of the payload store (the
+    format-mix audit before choosing decode pools): count, total pixels,
+    min/max of each axis, and the wide-image count — every aggregate an
+    order-free integer (SUM/MIN/MAX/COUNT), merged from per-batch
+    partials. ORACLE-BACKED through the synth spec (fmt alternates by
+    doc_id parity, dims are doc_id formulas), cross-checking the REAL
+    fmt/w/h metadata that rode through image encode."""
+    imgs = payload_table(sf_dir).select_columns(["fmt", "w", "h"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        return (pd.DataFrame({"fmt": df["fmt"].to_numpy(),
+                              "px": w * h, "w": w, "h": h,
+                              "wide": (w > h).astype(np.int64)})
+                .groupby("fmt", as_index=False)
+                .agg(n_images=("px", "size"), total_pixels=("px", "sum"),
+                     min_w=("w", "min"), max_w=("w", "max"),
+                     min_h=("h", "min"), max_h=("h", "max"),
+                     n_wide=("wide", "sum")))
+
+    parts = imgs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("fmt", as_index=False).agg(
+        n_images=("n_images", "sum"), total_pixels=("total_pixels", "sum"),
+        min_w=("min_w", "min"), max_w=("max_w", "max"),
+        min_h=("min_h", "min"), max_h=("max_h", "max"),
+        n_wide=("n_wide", "sum"))
+    ints = [c for c in out.columns if c != "fmt"]
+    return (out.astype({c: "int64" for c in ints})
+               .sort_values("fmt").reset_index(drop=True))
