@@ -1122,6 +1122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_stats_by_aspect": P.q_caption_stats_by_aspect,
         # per-format dimension profile of the image payload store
         "format_dim_stats": P.q_format_dim_stats,
+        # CUME_DIST per priority: searchsorted numerator, exact-int division
+        "cume_dist_prices": R4.q_cume_dist_prices,
+        # successor-Hamming histogram over 64-bit md5 fingerprints
+        "fingerprint_hamming_histogram": R4.q_fingerprint_hamming_histogram,
     }
 
 
@@ -3202,6 +3206,24 @@ def oracle_sql() -> dict[str, str]:
                    MIN(h)::BIGINT AS min_h, MAX(h)::BIGINT AS max_h,
                    COUNT(*) FILTER (WHERE w > h)::BIGINT AS n_wide
             FROM p GROUP BY fmt ORDER BY fmt
+        """,
+        "cume_dist_prices": """
+            SELECT o_orderkey, o_orderpriority,
+                   CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice) AS cume_dist
+            FROM orders ORDER BY o_orderkey
+        """,
+        "fingerprint_hamming_histogram": """
+            WITH f AS (SELECT doc_id,
+                              CAST(CONCAT('0x', SUBSTRING(md5(text), 1, 16))
+                                   AS UBIGINT) AS fp
+                       FROM documents),
+            s AS (SELECT fp, LEAD(fp) OVER (ORDER BY fp, doc_id) AS nxt
+                  FROM f)
+            SELECT bit_count(xor(fp, nxt))::BIGINT AS hamming,
+                   COUNT(*)::BIGINT AS n_pairs
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -276,3 +276,65 @@ def q_yoy_growth(sf_dir: str) -> pd.DataFrame:
         "yoy_ratio": cur["cents"].to_numpy(np.float64)
         / prev.astype(np.float64)})
         .sort_values("month").reset_index(drop=True))
+
+
+def q_cume_dist_prices(sf_dir: str) -> pd.DataFrame:
+    """CUME_DIST() per order within its priority — the remaining member
+    of the rank-function family (rank/dense_rank/percent_rank/ntile are
+    covered elsewhere): priorities co-locate whole in hash buckets, the
+    numerator is one np.searchsorted(side='right') over the bucket's
+    sorted price array (an exact integer — rows at or below mine), and
+    the value is ONE division of exact integers — identical IEEE both
+    sides, unrounded."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def dist(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, gg in g.groupby("o_orderpriority", sort=False):
+            p = np.sort(gg["o_totalprice"].to_numpy())
+            le = np.searchsorted(p, gg["o_totalprice"].to_numpy(),
+                                 side="right").astype(np.int64)
+            outs.append(pd.DataFrame({
+                "o_orderkey": gg["o_orderkey"].to_numpy(),
+                "o_orderpriority": gg["o_orderpriority"].to_numpy(),
+                "cume_dist": le.astype(np.float64) / np.float64(len(gg))}))
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_apply(o, "o_orderpriority", dist,
+                               num_buckets=4).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_fingerprint_hamming_histogram(sf_dir: str) -> pd.DataFrame:
+    """Hamming-distance histogram between each document's 64-bit md5
+    fingerprint and its successor in fingerprint order — the dedup-health
+    diagnostic (a corpus of unrelated docs concentrates at ~32 bits;
+    mass at small distances exposes near-identical fingerprint families).
+    Fingerprints are per-batch md5 integer partials; the successor scan
+    is the contrastive_pairs md5-ring shape (driver holds ONE uint64 per
+    doc; at store scale the order is range-partitioned by fingerprint
+    prefix and buckets stitch at their boundaries); popcount vectorizes
+    as unpackbits over the xor'd byte view. Output: 65-row-bounded
+    integer histogram."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = np.array([int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                       for t in df["text"]], dtype=np.uint64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "fp": fp})
+
+    f = (_read(sf_dir, "documents", ["doc_id", "text"])
+         .map_batches(partial, batch_format="pandas").to_pandas())
+    f = f.sort_values(["fp", "doc_id"], kind="mergesort")
+    fp = f["fp"].to_numpy(np.uint64)
+    x = fp[:-1] ^ fp[1:]
+    ham = (np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+           .sum(axis=1).astype(np.int64))
+    out = (pd.DataFrame({"hamming": ham, "n": np.int64(1)})
+           .groupby("hamming", as_index=False)["n"].sum()
+           .rename(columns={"n": "n_pairs"}))
+    return (out.astype({"hamming": "int64", "n_pairs": "int64"})
+               .sort_values("hamming").reset_index(drop=True))
