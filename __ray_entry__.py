@@ -1126,6 +1126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_prices": R4.q_cume_dist_prices,
         # successor-Hamming histogram over 64-bit md5 fingerprints
         "fingerprint_hamming_histogram": R4.q_fingerprint_hamming_histogram,
+        # correlated-subquery shape decorrelated: cents*n > sum, no float mean
+        "above_customer_avg_orders": R4.q_above_customer_avg_orders,
+        # two-level distinct rollup: dedup -> in-bucket count -> gate -> dim
+        "supplier_part_breadth": R4.q_supplier_part_breadth,
     }
 
 
@@ -3223,6 +3227,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT bit_count(xor(fp, nxt))::BIGINT AS hamming,
                    COUNT(*)::BIGINT AS n_pairs
             FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "above_customer_avg_orders": """
+            WITH c AS (SELECT o_custkey, COUNT(*)::BIGINT AS n_c,
+                              SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                                  ::BIGINT AS s_c
+                       FROM orders GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   COUNT(*) FILTER (
+                       WHERE CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                                 * c.n_c > c.s_c)::BIGINT AS n_above,
+                   COUNT(*)::BIGINT AS n_orders
+            FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "supplier_part_breadth": """
+            WITH b AS (SELECT l_suppkey,
+                              COUNT(DISTINCT l_partkey)::BIGINT AS n_parts
+                       FROM lineitem GROUP BY 1
+                       HAVING COUNT(DISTINCT l_partkey) >= 5)
+            SELECT n.n_name AS nation, COUNT(*)::BIGINT AS n_suppliers,
+                   SUM(b.n_parts)::BIGINT AS total_parts
+            FROM b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+                   JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:

@@ -338,3 +338,87 @@ def q_fingerprint_hamming_histogram(sf_dir: str) -> pd.DataFrame:
            .rename(columns={"n": "n_pairs"}))
     return (out.astype({"hamming": "int64", "n_pairs": "int64"})
                .sort_values("hamming").reset_index(drop=True))
+
+
+def q_above_customer_avg_orders(sf_dir: str) -> pd.DataFrame:
+    """The classic correlated-subquery shape, decorrelated: per priority,
+    how many orders are STRICTLY above their own customer's mean price.
+    The per-customer (n, sum_cents) partials merge from one fact scan and
+    ride back as a broadcast lookup (customer-bounded; past the gate the
+    second pass becomes a bucketed join on o_custkey), and the mean
+    comparison cross-multiplies into exact integers
+    (cents * n_c > sum_c) — no float mean exists anywhere, so the
+    boundary is unperturbable by sum order."""
+    o = _read(sf_dir, "orders",
+              ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        return (pd.DataFrame({"c": df["o_custkey"].to_numpy(),
+                              "n": np.int64(1), "s": cents})
+                .groupby("c", as_index=False).sum())
+
+    parts = o.map_batches(cust_partial, batch_format="pandas").to_pandas()
+    cstats = parts.groupby("c", as_index=False).sum()
+    nref = ray.put(dict(zip(cstats["c"], cstats["n"])))
+    sref = ray.put(dict(zip(cstats["c"], cstats["s"])))
+
+    class Gate:
+        def __init__(self):
+            self.n = ray.get(nref)
+            self.s = ray.get(sref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            nn = df["o_custkey"].map(self.n).to_numpy(np.int64)
+            ss = df["o_custkey"].map(self.s).to_numpy(np.int64)
+            above = cents * nn > ss
+            return (pd.DataFrame({
+                "o_orderpriority": df["o_orderpriority"].to_numpy(),
+                "n_above": above.astype(np.int64), "n": np.int64(1)})
+                .groupby("o_orderpriority", as_index=False).sum())
+
+    out = (o.map_batches(Gate, batch_format="pandas",
+                         concurrency=(1, 4)).to_pandas()
+            .groupby("o_orderpriority", as_index=False).sum())
+    return (out.astype({"n_above": "int64", "n": "int64"})
+               .rename(columns={"n": "n_orders"})
+               .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_supplier_part_breadth(sf_dir: str, min_parts: int = 5) -> pd.DataFrame:
+    """Suppliers shipping at least ``min_parts`` DISTINCT parts, counted
+    per nation — the two-level distinct rollup (dedup -> count -> gate ->
+    dim rollup): per-batch (suppkey, partkey) dedup shrinks the wire,
+    suppliers co-locate whole in hash buckets so the in-bucket distinct
+    count is exact, the gate keeps only qualifying suppliers, and the
+    nation name attaches from a broadcast dim. All integers."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_suppkey", "l_partkey"])
+
+    def breadth(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_suppkey", "l_partkey"])
+        c = (d.groupby("l_suppkey", as_index=False).size()
+              .rename(columns={"size": "n_parts"}))
+        return c[c["n_parts"] >= min_parts]
+
+    qual = bucketed_group_apply(li.map_batches(pre, batch_format="pandas"),
+                                "l_suppkey", breadth,
+                                num_buckets=4).to_pandas()
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    qual["nation"] = qual["l_suppkey"].map(s2n).map(nmap)
+    out = qual.groupby("nation", as_index=False).agg(
+        n_suppliers=("l_suppkey", "size"), total_parts=("n_parts", "sum"))
+    return (out.astype({"n_suppliers": "int64", "total_parts": "int64"})
+               .sort_values("nation").reset_index(drop=True))
