@@ -27,6 +27,7 @@ from vbpl_web_crawl_ray.pipelines import analytics2 as AN2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational3 as R3  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational4 as R4  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational5 as R5  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 
@@ -1130,6 +1131,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_customer_avg_orders": R4.q_above_customer_avg_orders,
         # two-level distinct rollup: dedup -> in-bucket count -> gate -> dim
         "supplier_part_breadth": R4.q_supplier_part_breadth,
+        # Q4 shape: EXISTS with a both-sides predicate, fact collapsed first
+        "late_ship_orders": R5.q_late_ship_orders,
+        # Q18 shape: HAVING SUM(qty) gate, winners re-attach attributes
+        "large_volume_orders": R5.q_large_volume_orders,
+        # per-customer LAG day-gaps rolled up per market segment
+        "order_interarrival_stats": R5.q_order_interarrival_stats,
+        # Benford leading-digit audit over integer cents
+        "benford_price_digits": R5.q_benford_price_digits,
     }
 
 
@@ -3252,6 +3261,57 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN supplier s ON b.l_suppkey = s.s_suppkey
                    JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "late_ship_orders": """
+            WITH m AS (SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+                       FROM lineitem GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   COUNT(*) FILTER (
+                       WHERE m.max_ship > o.o_orderdate
+                                          + INTERVAL 60 DAY)::BIGINT AS n_late,
+                   COUNT(*)::BIGINT AS n_orders
+            FROM orders o JOIN m ON o.o_orderkey = m.l_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "large_volume_orders": """
+            WITH s AS (SELECT l_orderkey,
+                              SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                                  ::BIGINT AS sum_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) > 150)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_totalprice, s.sum_qty
+            FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        "order_interarrival_stats": """
+            WITH g AS (
+                SELECT c.c_mktsegment AS segment,
+                       CAST(DATEDIFF('day',
+                            LAG(o.o_orderdate) OVER (
+                                PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate),
+                            o.o_orderdate) AS BIGINT) AS gap_days
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT segment, COUNT(*)::BIGINT AS n_gaps,
+                   SUM(gap_days)::BIGINT AS sum_gap_days,
+                   MIN(gap_days)::BIGINT AS min_gap_days,
+                   MAX(gap_days)::BIGINT AS max_gap_days,
+                   SUM(gap_days)::DOUBLE / COUNT(*)::DOUBLE AS avg_gap_days
+            FROM g WHERE gap_days IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "benford_price_digits": """
+            WITH d AS (SELECT CAST(SUBSTR(CAST(
+                           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                       FROM orders)
+            SELECT digit, COUNT(*)::BIGINT AS n_orders,
+                   COUNT(*)::DOUBLE
+                       / (SELECT COUNT(*)::DOUBLE FROM orders) AS share
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -1,0 +1,210 @@
+"""Session-4 wave-2 relational operators — four classic shapes the
+surface did not yet exercise, each with a DuckDB oracle twin and a
+stated 100-TB plan:
+
+- q_late_ship_orders (TPC-H Q4 shape): an EXISTS semi-join where the
+  probe predicate needs a column from BOTH sides (shipdate vs its own
+  order's orderdate + 60 days) — per-orderkey max-shipdate partials
+  collapse the fact side before the one bucketed join;
+- q_large_volume_orders (TPC-H Q18 shape): HAVING SUM(qty) > t over the
+  fact, then winners re-attach order + customer attributes — the
+  gate shrinks the set to ~1/5 before any wide row exists;
+- q_order_interarrival_stats: per-customer LAG day-gaps rolled up per
+  market segment — customers co-locate whole in hash buckets so the
+  in-bucket sort + diff is exact, and only (segment, gap) partials
+  leave the bucket;
+- q_benford_price_digits: leading-digit distribution of price cents —
+  digit extraction on the INTEGER cents text in both engines, so no
+  float formatting is ever compared.
+
+All date math is int64 microseconds (timestamps are midnight-aligned,
+so day diffs divide exactly); quantities are integer-valued and sum to
+int64; the single avg division is one exact int/int float op, stated in
+the same order in both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_late_ship_orders(sf_dir: str, grace_days: int = 60) -> pd.DataFrame:
+    """TPC-H Q4's shape: per order priority, how many orders have at
+    least one lineitem shipped more than ``grace_days`` after the order
+    date. The fact side collapses FIRST (per-batch per-orderkey
+    max-shipdate partials, then an exact in-bucket max), so the bucketed
+    join with orders moves one row per order, not one per lineitem; the
+    EXISTS is then max_shipdate > orderdate + grace, all int64 µs."""
+    from ..stages.shuffle import bucketed_group_apply, bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "max_ship_us": df["l_shipdate"].astype("int64")})
+            .groupby("l_orderkey", as_index=False).max())
+
+    def exact_max(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["max_ship_us"].max()
+
+    per_order = bucketed_group_apply(
+        li.map_batches(partial, batch_format="pandas"),
+        "l_orderkey", exact_max, num_buckets=4)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def order_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "order_us": df["o_orderdate"].astype("int64"),
+            "o_orderpriority": df["o_orderpriority"].to_numpy()})
+
+    joined = bucketed_join(orders.map_batches(order_us, batch_format="pandas"),
+                           per_order, on="o_orderkey",
+                           right_on="l_orderkey", num_buckets=4)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        late = (df["max_ship_us"].to_numpy(np.int64)
+                > df["order_us"].to_numpy(np.int64)
+                + grace_days * _US_PER_DAY)
+        return (pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                              "n_late": late.astype(np.int64),
+                              "n_orders": np.int64(1)})
+                .groupby("o_orderpriority", as_index=False).sum())
+
+    out = (joined.map_batches(rollup, batch_format="pandas").to_pandas()
+           .groupby("o_orderpriority", as_index=False).sum())
+    return (out.astype({"n_late": "int64", "n_orders": "int64"})
+               .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_large_volume_orders(sf_dir: str, min_qty: int = 150,
+                          k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18's shape: orders whose total quantity exceeds
+    ``min_qty``, re-attached to order and customer attributes and ranked
+    by price. Quantities are integer-valued doubles, so the per-order
+    sum is an exact int64; the HAVING gate runs inside the orderkey
+    buckets (suppressing ~4/5 of orders before any wide row exists) and
+    only the ~k survivors' customer names resolve from a broadcast map
+    (customer keys for the winners only — past the gate this attach
+    becomes one more bucketed join). o_totalprice passes through
+    untouched, so the float column is bit-identical by construction."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "sum_qty": np.round(df["l_quantity"].to_numpy())
+            .astype(np.int64)})
+            .groupby("l_orderkey", as_index=False).sum())
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        return s[s["sum_qty"] > min_qty]
+
+    big = bucketed_group_apply(
+        li.map_batches(partial, batch_format="pandas"),
+        "l_orderkey", gate, num_buckets=4).to_pandas()
+
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    out["c_name"] = out["o_custkey"].map(
+        dict(zip(cust["c_custkey"], cust["c_name"])))
+    out = (out.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(k))
+    return pd.DataFrame({
+        "c_name": out["c_name"].to_numpy(),
+        "c_custkey": out["o_custkey"].to_numpy(),
+        "o_orderkey": out["o_orderkey"].to_numpy(),
+        "o_orderdate": out["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(),
+        "o_totalprice": out["o_totalprice"].to_numpy(),
+        "sum_qty": out["sum_qty"].to_numpy(np.int64),
+    }).reset_index(drop=True)
+
+
+def q_order_interarrival_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-market-segment order inter-arrival statistics: each
+    customer's orders sort by date inside their hash bucket (whole
+    customers co-locate, so the LAG is exact), consecutive day-gaps are
+    int64 (midnight-aligned µs divide exactly by 86400e6), and only
+    (segment, n/sum/min/max) partials leave the bucket. The one avg
+    division is a single exact int/int float op, stated last in both
+    engines."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    segref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate"])
+        us = g["o_orderdate"].astype("int64").to_numpy()
+        ck = g["o_custkey"].to_numpy()
+        same = ck[1:] == ck[:-1]
+        gap_days = (us[1:] - us[:-1])[same] // _US_PER_DAY
+        cks = ck[1:][same]
+        seg = pd.Series(cks).map(ray.get(segref)).to_numpy()
+        return (pd.DataFrame({"segment": seg, "n_gaps": np.int64(1),
+                              "sum_gap_days": gap_days,
+                              "min_gap_days": gap_days,
+                              "max_gap_days": gap_days})
+                .groupby("segment", as_index=False)
+                .agg(n_gaps=("n_gaps", "sum"),
+                     sum_gap_days=("sum_gap_days", "sum"),
+                     min_gap_days=("min_gap_days", "min"),
+                     max_gap_days=("max_gap_days", "max")))
+
+    parts = bucketed_group_apply(orders, "o_custkey", gaps,
+                                 num_buckets=4).to_pandas()
+    out = parts.groupby("segment", as_index=False).agg(
+        n_gaps=("n_gaps", "sum"), sum_gap_days=("sum_gap_days", "sum"),
+        min_gap_days=("min_gap_days", "min"),
+        max_gap_days=("max_gap_days", "max"))
+    out = out.astype({c: "int64" for c in
+                      ("n_gaps", "sum_gap_days", "min_gap_days",
+                       "max_gap_days")})
+    out["avg_gap_days"] = (out["sum_gap_days"].to_numpy(np.float64)
+                           / out["n_gaps"].to_numpy(np.float64))
+    return out.sort_values("segment").reset_index(drop=True)
+
+
+def q_benford_price_digits(sf_dir: str) -> pd.DataFrame:
+    """Benford audit: leading-digit distribution of order price CENTS.
+    The digit is the leading decimal digit of the int64 cents value —
+    repeated integer division here, a decimal-text prefix in SQL, never
+    float formatting — so the classifier is exact; per-batch (digit, n)
+    partials mean nine tiny rows leave each block. The share division is
+    one exact int/int float op."""
+    o = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        digit = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        while (digit >= 10).any():  # <=12 vectorized passes, no float log
+            digit = np.where(digit >= 10, digit // 10, digit)
+        return (pd.DataFrame({"digit": digit, "n_orders": np.int64(1)})
+                .groupby("digit", as_index=False).sum())
+
+    out = (o.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("digit", as_index=False).sum())
+    total = int(out["n_orders"].sum())
+    out = out.astype({"digit": "int64", "n_orders": "int64"})
+    out["share"] = out["n_orders"].to_numpy(np.float64) / np.float64(total)
+    return out.sort_values("digit").reset_index(drop=True)
