@@ -1139,6 +1139,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_interarrival_stats": R5.q_order_interarrival_stats,
         # Benford leading-digit audit over integer cents
         "benford_price_digits": R5.q_benford_price_digits,
+        # bag-of-words canonical dedup with planted rotated twins
+        "canonical_token_dedup": CU.q_canonical_token_dedup,
+        # seedless md5 shard router balance audit
+        "consistent_hash_shards": SO.q_consistent_hash_shards,
+        # multi-resolution tiling plan over the image payload store
+        "tile_pyramid_plan": P.q_tile_pyramid_plan,
+        # letterbox pad-waste histogram over the image payload store
+        "letterbox_pad_plan": P.q_letterbox_pad_plan,
     }
 
 
@@ -3312,6 +3320,55 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::DOUBLE
                        / (SELECT COUNT(*)::DOUBLE FROM orders) AS share
             FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "canonical_token_dedup": """
+            WITH planted AS (
+                SELECT source, text FROM documents
+                UNION ALL
+                SELECT source,
+                       array_to_string(list_append(
+                           (string_split(text, ' '))[2:],
+                           (string_split(text, ' '))[1]), ' ') AS text
+                FROM documents WHERE doc_id % 10 = 0)
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT md5(text))::BIGINT AS n_exact,
+                   COUNT(DISTINCT md5(array_to_string(
+                       list_sort(string_split(text, ' ')), ' ')))::BIGINT
+                       AS n_bags
+            FROM planted GROUP BY 1 ORDER BY 1
+        """,
+        "consistent_hash_shards": """
+            SELECT CAST(CONCAT('0x', SUBSTR(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 16 AS shard,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_chars)::BIGINT AS sum_chars,
+                   MIN(doc_id)::BIGINT AS min_doc,
+                   MAX(doc_id)::BIGINT AS max_doc
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "tile_pyramid_plan": """
+            WITH d AS (SELECT 48 + doc_id % 33 AS w,
+                              48 + (doc_id * 7) % 33 AS h
+                       FROM documents),
+            lv AS (SELECT 0 AS level, w, h FROM d
+                   UNION ALL SELECT 1, w // 2, h // 2 FROM d
+                   UNION ALL SELECT 2, w // 4, h // 4 FROM d
+                   UNION ALL SELECT 3, w // 8, h // 8 FROM d)
+            SELECT level::BIGINT AS level, COUNT(*)::BIGINT AS n_images,
+                   SUM(((w + 15) // 16) * ((h + 15) // 16))::BIGINT
+                       AS total_tiles
+            FROM lv WHERE LEAST(w, h) >= 16
+            GROUP BY 1 ORDER BY 1
+        """,
+        "letterbox_pad_plan": """
+            WITH d AS (SELECT 48 + doc_id % 33 AS w,
+                              48 + (doc_id * 7) % 33 AS h
+                       FROM documents)
+            SELECT (224 - (w * 224) // GREATEST(w, h))::BIGINT AS pad_x,
+                   (224 - (h * 224) // GREATEST(w, h))::BIGINT AS pad_y,
+                   COUNT(*)::BIGINT AS n_images
+            FROM d GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

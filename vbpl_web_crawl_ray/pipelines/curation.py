@@ -446,3 +446,72 @@ def q_dup_family_histogram(sf_dir: str) -> pd.DataFrame:
                 ["n_families"].sum())
     return (out.astype({"family_size": "int64", "n_families": "int64"})
                .sort_values("family_size").reset_index(drop=True))
+
+
+def q_canonical_token_dedup(sf_dir: str) -> pd.DataFrame:
+    """Bag-of-words canonical dedup — the canonicalization that catches
+    token-REORDERED near-copies exact dedup misses: each doc fingerprints
+    as md5 of its space-joined SORTED token list, so any permutation of
+    the same token multiset collapses to one family. Every 10th doc gets
+    a rotated twin planted (tokens shifted by one — a different exact
+    hash, the same bag), and the report counts, per source, raw docs vs
+    distinct exact-text families vs distinct bag families. Each distinct
+    count is its own hash-bucketed shuffle (a canonical key IS a
+    partitioning key: dedup under a new canonicalization costs one new
+    shuffle, never a driver set) moving only (source, 16-byte hash)
+    pairs; the per-row md5+sort is the fingerprint codec's inherent
+    per-doc unit, run batched inside map_batches."""
+    import hashlib
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = _docs(sf_dir)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        extra = df[df["doc_id"] % 10 == 0].copy()
+        toks = extra["text"].str.split(" ")
+        extra["text"] = [" ".join(t[1:] + t[:1]) for t in toks]
+        extra["doc_id"] = extra["doc_id"] + 10_000_000
+        return pd.concat([df, extra], ignore_index=True)
+
+    def fingerprints(df: pd.DataFrame) -> pd.DataFrame:
+        ex, bag = [], []
+        for t in df["text"]:
+            ex.append(hashlib.md5(t.encode()).hexdigest())
+            bag.append(hashlib.md5(
+                " ".join(sorted(t.split(" "))).encode()).hexdigest())
+        return pd.DataFrame({"source": df["source"].to_numpy(),
+                             "ex": ex, "bag": bag})
+
+    fp = docs.map_batches(plant, batch_format="pandas") \
+             .map_batches(fingerprints, batch_format="pandas")
+
+    def distinct_per_source(col):
+        def inner(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.drop_duplicates(["source", col])
+            return (d.groupby("source", as_index=False).size()
+                     .rename(columns={"size": "n"}))
+        return inner
+
+    n_docs = (fp.map_batches(
+        lambda df: (df.groupby("source", as_index=False).size()
+                      .rename(columns={"size": "n_docs"})),
+        batch_format="pandas").to_pandas()
+        .groupby("source", as_index=False).sum())
+    n_ex = (bucketed_group_apply(
+        fp.map_batches(lambda df: df.drop_duplicates(["source", "ex"]),
+                       batch_format="pandas"),
+        "ex", distinct_per_source("ex"), num_buckets=4).to_pandas()
+        .groupby("source", as_index=False)["n"].sum()
+        .rename(columns={"n": "n_exact"}))
+    n_bag = (bucketed_group_apply(
+        fp.map_batches(lambda df: df.drop_duplicates(["source", "bag"]),
+                       batch_format="pandas"),
+        "bag", distinct_per_source("bag"), num_buckets=4).to_pandas()
+        .groupby("source", as_index=False)["n"].sum()
+        .rename(columns={"n": "n_bags"}))
+
+    out = n_docs.merge(n_ex, on="source").merge(n_bag, on="source")
+    return (out.astype({"n_docs": "int64", "n_exact": "int64",
+                        "n_bags": "int64"})
+               .sort_values("source").reset_index(drop=True))

@@ -504,3 +504,64 @@ def q_format_dim_stats(sf_dir: str) -> pd.DataFrame:
     ints = [c for c in out.columns if c != "fmt"]
     return (out.astype({c: "int64" for c in ints})
                .sort_values("fmt").reset_index(drop=True))
+
+
+def q_tile_pyramid_plan(sf_dir: str, tile: int = 16) -> pd.DataFrame:
+    """Multi-resolution tiling PLAN over the payload store — the pyramid
+    a vision indexer materializes per image: halve (w, h) per level while
+    the short side still holds a full tile, and count ceil-division tiles
+    at each level. Pure integer geometry over the REAL (w, h) metadata
+    that rode through image encode (the oracle re-derives dims from the
+    synth spec, cross-checking the image plumbing end to end, the
+    aspect_bucket_counts pattern); per-batch (level, n, tiles) partials
+    are all that leave a block."""
+    imgs = payload_table(sf_dir).select_columns(["w", "h"])
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        rows = []
+        level = 0
+        while True:
+            wl, hl = w >> level, h >> level
+            keep = np.minimum(wl, hl) >= tile
+            if not keep.any():
+                break
+            tiles = ((wl[keep] + tile - 1) // tile) \
+                * ((hl[keep] + tile - 1) // tile)
+            rows.append({"level": np.int64(level),
+                         "n_images": np.int64(int(keep.sum())),
+                         "total_tiles": np.int64(int(tiles.sum()))})
+            level += 1
+        return pd.DataFrame(rows)
+
+    out = (imgs.map_batches(plan, batch_format="pandas").to_pandas()
+           .groupby("level", as_index=False).sum())
+    return (out.astype({c: "int64" for c in out.columns})
+               .sort_values("level").reset_index(drop=True))
+
+
+def q_letterbox_pad_plan(sf_dir: str, target: int = 224) -> pd.DataFrame:
+    """Letterbox geometry PLAN: aspect-preserving resize of the long side
+    to ``target`` with integer floor scaling (new = dim * target //
+    long_side — exact, no float scale factor exists), then the pad each
+    side needs to reach target x target. The report groups images by
+    their (pad_x, pad_y) cell — the padding-waste histogram a batching
+    loader uses to pick bucket shapes. Integer geometry over the REAL
+    (w, h) metadata; the oracle re-derives dims from the synth spec."""
+    imgs = payload_table(sf_dir).select_columns(["w", "h"])
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        m = np.maximum(w, h)
+        nw = (w * target) // m
+        nh = (h * target) // m
+        return (pd.DataFrame({"pad_x": target - nw, "pad_y": target - nh,
+                              "n_images": np.int64(1)})
+                .groupby(["pad_x", "pad_y"], as_index=False).sum())
+
+    out = (imgs.map_batches(plan, batch_format="pandas").to_pandas()
+           .groupby(["pad_x", "pad_y"], as_index=False).sum())
+    return (out.astype({c: "int64" for c in out.columns})
+               .sort_values(["pad_x", "pad_y"]).reset_index(drop=True))

@@ -507,3 +507,38 @@ def q_table_profile(sf_dir: str) -> pd.DataFrame:
         n_distinct=("n_distinct", "sum"), n_nulls=("n_nulls", "sum"))
     return (out.astype({"n_distinct": "int64", "n_nulls": "int64"})
                .sort_values("col").reset_index(drop=True))
+
+
+def q_consistent_hash_shards(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
+    """Shard-assignment audit — the placement map a 256-node store
+    publishes: every document routes to md5(doc_id-text) % n_shards (a
+    SEEDLESS, engine-independent router: any writer in any language
+    re-derives the same shard), and the report shows docs/chars/key-range
+    per shard, i.e. whether the router balances load. Per-batch (shard,
+    n, chars, min, max) partials are the only thing that leaves a block —
+    the shard column never materializes table-wide. The per-row md5 is
+    the router's inherent unit, run batched inside map_batches."""
+    import hashlib
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        shard = np.array([int(hashlib.md5(str(i).encode())
+                              .hexdigest()[:4], 16) % n_shards
+                          for i in df["doc_id"]], dtype=np.int64)
+        g = pd.DataFrame({"shard": shard,
+                          "n_docs": np.int64(1),
+                          "sum_chars": df["n_chars"].to_numpy(np.int64),
+                          "min_doc": df["doc_id"].to_numpy(np.int64),
+                          "max_doc": df["doc_id"].to_numpy(np.int64)})
+        return g.groupby("shard", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+            min_doc=("min_doc", "min"), max_doc=("max_doc", "max"))
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("shard", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+        min_doc=("min_doc", "min"), max_doc=("max_doc", "max"))
+    return (out.astype({c: "int64" for c in out.columns})
+               .sort_values("shard").reset_index(drop=True))
