@@ -1147,6 +1147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid_plan": P.q_tile_pyramid_plan,
         # letterbox pad-waste histogram over the image payload store
         "letterbox_pad_plan": P.q_letterbox_pad_plan,
+        # rolling 4-row MEDIAN per type, lerp stated as DuckDB's
+        "rolling_median_value": R5.q_rolling_median_value,
+        # top-k-with-OTHER taxonomy capping per month
+        "topk_types_with_other": R5.q_topk_types_with_other,
+        # (discount, tax) pricing grid in exact u6 integer units
+        "discount_tax_grid": R5.q_discount_tax_grid,
+        # near-zero sparsity audit per embedding label
+        "embedding_sparsity_by_label": AN.q_embedding_sparsity_by_label,
     }
 
 
@@ -3369,6 +3377,46 @@ def oracle_sql() -> dict[str, str]:
                    (224 - (h * 224) // GREATEST(w, h))::BIGINT AS pad_y,
                    COUNT(*)::BIGINT AS n_images
             FROM d GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rolling_median_value": """
+            SELECT event_id,
+                   MEDIAN(value) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS median_w4
+            FROM events ORDER BY event_id
+        """,
+        "topk_types_with_other": """
+            WITH t AS (SELECT event_type, COUNT(*) AS n FROM events
+                       GROUP BY 1 ORDER BY n DESC, event_type LIMIT 3)
+            SELECT strftime(ts, '%Y-%m') AS month,
+                   CASE WHEN event_type IN (SELECT event_type FROM t)
+                        THEN event_type ELSE 'OTHER' END AS event_type,
+                   COUNT(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "discount_tax_grid": """
+            SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+                   CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax_pct,
+                   COUNT(*)::BIGINT AS n_items,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                       * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)))
+                       ::DOUBLE / 1e6 AS revenue
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "embedding_sparsity_by_label": """
+            WITH u AS (SELECT label, vec_id, unnest(embedding)::DOUBLE AS x
+                       FROM embeddings)
+            SELECT label::BIGINT AS label,
+                   COUNT(DISTINCT vec_id)::BIGINT AS n_vecs,
+                   COUNT(*)::BIGINT AS n_dims,
+                   COUNT(*) FILTER (WHERE ABS(x) < 0.1)::BIGINT
+                       AS n_near_zero,
+                   COUNT(*) FILTER (WHERE ABS(x) < 0.1)::DOUBLE
+                       / COUNT(*)::DOUBLE AS near_zero_share
+            FROM u GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

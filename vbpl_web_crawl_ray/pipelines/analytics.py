@@ -558,3 +558,31 @@ def q_brand_pair_lift(sf_dir: str) -> pd.DataFrame:
                           "brand_b": pairs["brand_b"],
                           "n_both": n_both, "lift": lift})
             .sort_values(["brand_a", "brand_b"]).reset_index(drop=True))
+
+
+def q_embedding_sparsity_by_label(sf_dir: str,
+                                  eps: float = 0.1) -> pd.DataFrame:
+    """Near-zero sparsity audit per label — the quantization-readiness
+    check a compression pass runs: what fraction of each label's
+    embedding mass sits inside (-eps, eps)? Comparisons happen on
+    float32 values upcast to float64 (exactly the oracle's cast), so the
+    boundary is a deterministic predicate, and everything that moves is
+    an integer (n_vecs, n_dims, n_near_zero partials per batch). The one
+    share division is a single exact int/int float op."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        nz = (np.abs(m) < eps).sum(axis=1).astype(np.int64)
+        return (pd.DataFrame({"label": df["label"].to_numpy(np.int64),
+                              "n_vecs": np.int64(1),
+                              "n_dims": np.int64(m.shape[1]),
+                              "n_near_zero": nz})
+                .groupby("label", as_index=False).sum())
+
+    out = (emb.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("label", as_index=False).sum())
+    out = out.astype({c: "int64" for c in out.columns})
+    out["near_zero_share"] = (out["n_near_zero"].to_numpy(np.float64)
+                              / out["n_dims"].to_numpy(np.float64))
+    return out.sort_values("label").reset_index(drop=True)

@@ -208,3 +208,113 @@ def q_benford_price_digits(sf_dir: str) -> pd.DataFrame:
     out = out.astype({"digit": "int64", "n_orders": "int64"})
     out["share"] = out["n_orders"].to_numpy(np.float64) / np.float64(total)
     return out.sort_values("digit").reset_index(drop=True)
+
+
+def q_rolling_median_value(sf_dir: str, window: int = 4) -> pd.DataFrame:
+    """Rolling MEDIAN over a 4-row window per event type — the robust
+    smoother beside rolling_avg's mean. Whole types co-locate in hash
+    buckets and sort once by (ts, event_id); the window median is
+    computed VECTORIZED from 4 shifted columns (np.sort rowwise, NaNs
+    pad the warm-up rows to the end), and the even-window interpolation
+    is stated as (lo + hi) * 0.5 — measured to be DuckDB's DOUBLE MEDIAN
+    formula bitwise (sum-then-halve, NOT the QUANTILE_CONT lerp) — so
+    the only float op matches the oracle. Values pass through
+    untouched; odd windows reduce to (x + x) * 0.5 = x exactly."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, t in g.groupby("event_type", sort=False):
+            t = t.sort_values(["ts", "event_id"])
+            v = t["value"].to_numpy(np.float64)
+            n = len(v)
+            cols = [v]
+            for lag in range(1, window):
+                sh = np.full(n, np.nan)
+                sh[lag:] = v[:-lag]
+                cols.append(sh)
+            m = np.sort(np.column_stack(cols), axis=1)  # NaNs sort last
+            k = np.minimum(np.arange(n) + 1, window)
+            rows = np.arange(n)
+            lo = m[rows, (k - 1) // 2]
+            hi = m[rows, k // 2]
+            out.append(pd.DataFrame({
+                "event_id": t["event_id"].to_numpy(),
+                "median_w4": (lo + hi) * 0.5}))
+        return pd.concat(out, ignore_index=True)
+
+    out = bucketed_group_apply(ev, "event_type", med,
+                               num_buckets=4).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_topk_types_with_other(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k-with-OTHER taxonomy capping — the cardinality clamp every
+    dashboard rollup applies: the k globally-busiest event types keep
+    their names per month, everything else folds into 'OTHER'. Two
+    passes: per-batch (type, n) partials pick the winners (ties break on
+    the type name in both engines), the winner set broadcasts, and the
+    monthly rollup relabels inside map_batches — the second pass
+    shuffles k+1 labels per month, never the raw type cardinality."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    totals = (ev.map_batches(
+        lambda df: (df.groupby("event_type", as_index=False).size()
+                      .rename(columns={"size": "n"})),
+        batch_format="pandas").to_pandas()
+        .groupby("event_type", as_index=False).sum())
+    top = set(totals.sort_values(["n", "event_type"],
+                                 ascending=[False, True])
+              .head(k)["event_type"])
+    topref = ray.put(top)
+
+    class Relabel:
+        def __init__(self):
+            self.top = ray.get(topref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            month = df["ts"].dt.strftime("%Y-%m")
+            label = df["event_type"].where(
+                df["event_type"].isin(self.top), "OTHER")
+            return (pd.DataFrame({"month": month, "event_type": label,
+                                  "n_events": np.int64(1)})
+                    .groupby(["month", "event_type"], as_index=False)
+                    .sum())
+
+    out = (ev.map_batches(Relabel, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas()
+           .groupby(["month", "event_type"], as_index=False).sum())
+    return (out.astype({"n_events": "int64"})
+               .sort_values(["month", "event_type"]).reset_index(drop=True))
+
+
+def q_discount_tax_grid(sf_dir: str) -> pd.DataFrame:
+    """Two-factor pricing grid: lineitem counts and charged revenue per
+    (discount-pct, tax-pct) cell. The charge price x (1-d) x (1+t)
+    compounds as INTEGER u6 units — 2-decimal cents x (100-d_pct) x
+    (100+t_pct) is exact int64 — so the grid's sums are order-free and
+    the single display division by 1e6 is one exact op per cell.
+    Per-batch grid partials (at most 11x9 cells) leave each block."""
+    li = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        d = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        t = np.round(df["l_tax"].to_numpy() * 100.0).astype(np.int64)
+        return (pd.DataFrame({"discount_pct": d, "tax_pct": t,
+                              "n_items": np.int64(1),
+                              "revenue_u6": cents * (100 - d) * (100 + t)})
+                .groupby(["discount_pct", "tax_pct"], as_index=False)
+                .sum())
+
+    out = (li.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["discount_pct", "tax_pct"], as_index=False).sum())
+    out = out.astype({c: "int64" for c in out.columns})
+    out["revenue"] = out["revenue_u6"].to_numpy(np.float64) / 1e6
+    return (out.drop(columns=["revenue_u6"])
+               .sort_values(["discount_pct", "tax_pct"])
+               .reset_index(drop=True))
