@@ -1155,6 +1155,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_tax_grid": R5.q_discount_tax_grid,
         # near-zero sparsity audit per embedding label
         "embedding_sparsity_by_label": AN.q_embedding_sparsity_by_label,
+        # Q7 shape: nation-pair trade volume per ship year, one fact scan
+        "nation_pair_trade": R5.q_nation_pair_trade,
+        # Q15 shape: windowed argmax with ALL ties kept
+        "top_supplier_quarter": R5.q_top_supplier_quarter,
+        # per-customer priority LAG transition matrix
+        "order_priority_migration": R5.q_order_priority_migration,
+        # exact-dup families spanning source pairs (contamination audit)
+        "cross_source_leakage": CU.q_cross_source_leakage,
     }
 
 
@@ -3417,6 +3425,63 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE ABS(x) < 0.1)::DOUBLE
                        / COUNT(*)::DOUBLE AS near_zero_share
             FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "nation_pair_trade": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                       AS ship_year,
+                   COUNT(*)::BIGINT AS n_items,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                     AS BIGINT)))::DOUBLE / 1e4 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "top_supplier_quarter": """
+            WITH r AS (SELECT l_suppkey,
+                              SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                                       AS BIGINT)
+                                  * (100 - CAST(ROUND(l_discount * 100, 0)
+                                                AS BIGINT)))::BIGINT AS u4
+                       FROM lineitem
+                       WHERE l_shipdate >= DATE '1996-01-01'
+                         AND l_shipdate < DATE '1996-04-01'
+                       GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name,
+                   r.u4::DOUBLE / 1e4 AS total_revenue
+            FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.u4 = (SELECT MAX(u4) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        "order_priority_migration": """
+            WITH s AS (SELECT o_custkey, o_orderpriority,
+                              LAG(o_orderpriority) OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                                  AS prev_priority
+                       FROM orders)
+            SELECT prev_priority, o_orderpriority AS next_priority,
+                   COUNT(*)::BIGINT AS n_transitions
+            FROM s WHERE prev_priority IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cross_source_leakage": """
+            WITH planted AS (
+                SELECT source, text FROM documents
+                UNION ALL
+                SELECT source || '_mirror', text FROM documents
+                WHERE doc_id % 7 = 0),
+            d AS (SELECT DISTINCT text, source FROM planted)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*)::BIGINT AS n_shared_texts
+            FROM d a JOIN d b
+                 ON a.text = b.text AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

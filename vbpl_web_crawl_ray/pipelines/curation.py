@@ -515,3 +515,55 @@ def q_canonical_token_dedup(sf_dir: str) -> pd.DataFrame:
     return (out.astype({"n_docs": "int64", "n_exact": "int64",
                         "n_bags": "int64"})
                .sort_values("source").reset_index(drop=True))
+
+
+def q_cross_source_leakage(sf_dir: str) -> pd.DataFrame:
+    """Cross-source duplicate leakage — the contamination audit a
+    mixture-weighted corpus needs: which SOURCE PAIRS share identical
+    documents (so reweighting one source silently reweights the other)?
+    The corpus itself has no cross-source copies, so every 7th doc gets
+    a MIRROR twin planted (same text, source + '_mirror', shifted id —
+    the re-hosted-corpus case; the oracle re-derives the plant). Exact-
+    text families resolve inside text-hash buckets; each family with >1
+    distinct source emits its sorted source pairs (fan-out bounded by
+    the source count, not the corpus), and pair counts merge as integer
+    sums."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = _docs(sf_dir, ("doc_id", "source", "text"))
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        extra = df[df["doc_id"] % 7 == 0].copy()
+        extra["source"] = extra["source"] + "_mirror"
+        extra["doc_id"] = extra["doc_id"] + 20_000_000
+        return pd.concat([df, extra], ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["text", "source"])
+        rows = []
+        for _, fam in d.groupby("text", sort=False):
+            if len(fam) < 2:
+                continue
+            srcs = sorted(fam["source"])
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    rows.append((srcs[i], srcs[j]))
+        if not rows:
+            return pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                                 "source_b": pd.Series(dtype="object"),
+                                 "n_shared_texts": pd.Series(dtype="int64")})
+        return (pd.DataFrame(rows, columns=["source_a", "source_b"])
+                .assign(n_shared_texts=np.int64(1))
+                .groupby(["source_a", "source_b"], as_index=False).sum())
+
+    out = bucketed_group_apply(
+        docs.map_batches(plant, batch_format="pandas"),
+        "text", pairs, num_buckets=8).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                             "source_b": pd.Series(dtype="object"),
+                             "n_shared_texts": pd.Series(dtype="int64")})
+    out = out.groupby(["source_a", "source_b"], as_index=False).sum()
+    return (out.astype({"n_shared_texts": "int64"})
+               .sort_values(["source_a", "source_b"])
+               .reset_index(drop=True))

@@ -318,3 +318,137 @@ def q_discount_tax_grid(sf_dir: str) -> pd.DataFrame:
     return (out.drop(columns=["revenue_u6"])
                .sort_values(["discount_pct", "tax_pct"])
                .reset_index(drop=True))
+
+
+def q_nation_pair_trade(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7's shape: trade volume between (supplier nation, customer
+    nation) pairs per ship year. ONE lineitem scan computes everything:
+    the supplier->nation map is a true broadcast dim, the orderkey->
+    custkey hop rides as a ray.put lookup (size-gated — ~16 bytes/order;
+    past ~64 MB this hop becomes a bucketed join on l_orderkey emitting
+    the same partials), and per-batch (supp_nation, cust_nation, year,
+    rev_u4, n) partials are all that move. Revenue compounds as exact
+    int64 u4 units (cents x (100 - disc_pct)); the display division by
+    1e4 is one exact op per cell."""
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    s2n = {k: nmap[v] for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])}
+    c2n = {k: nmap[v] for k, v in zip(cust["c_custkey"], cust["c_nationkey"])}
+    o2n = {o: c2n[c] for o, c in zip(orders["o_orderkey"], orders["o_custkey"])}
+    sref, oref = ray.put(s2n), ray.put(o2n)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    class Partial:
+        def __init__(self):
+            self.s2n = ray.get(sref)
+            self.o2n = ray.get(oref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            d = np.round(df["l_discount"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            return (pd.DataFrame({
+                "supp_nation": df["l_suppkey"].map(self.s2n).to_numpy(),
+                "cust_nation": df["l_orderkey"].map(self.o2n).to_numpy(),
+                "ship_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+                "n_items": np.int64(1),
+                "rev_u4": cents * (100 - d)})
+                .groupby(["supp_nation", "cust_nation", "ship_year"],
+                         as_index=False).sum())
+
+    out = (li.map_batches(Partial, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas()
+           .groupby(["supp_nation", "cust_nation", "ship_year"],
+                    as_index=False).sum())
+    out = out.astype({"ship_year": "int64", "n_items": "int64",
+                      "rev_u4": "int64"})
+    out["revenue"] = out["rev_u4"].to_numpy(np.float64) / 1e4
+    return (out.drop(columns=["rev_u4"])
+               .sort_values(["supp_nation", "cust_nation", "ship_year"])
+               .reset_index(drop=True))
+
+
+def q_top_supplier_quarter(sf_dir: str, start: str = "1996-01-01",
+                           end: str = "1996-04-01") -> pd.DataFrame:
+    """TPC-H Q15's shape: the supplier(s) with the MAXIMUM revenue in a
+    date window — an argmax that must keep ALL ties, so no LIMIT can
+    stand in for it. The date filter prunes at the scan, per-supplier
+    u4-integer partials merge (order-free), the global max is exact, and
+    every max-holder re-attaches its name from the broadcast supplier
+    dim. Revenue displays via one exact /1e4 division."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo = np.datetime64(start, "us").astype(np.int64)
+    hi = np.datetime64(end, "us").astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["l_shipdate"].astype("int64").to_numpy()
+        df = df[(us >= lo) & (us < hi)]
+        if df.empty:
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
+                                 "rev_u4": pd.Series(dtype="int64")})
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        d = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return (pd.DataFrame({"l_suppkey": df["l_suppkey"].to_numpy(),
+                              "rev_u4": cents * (100 - d)})
+                .groupby("l_suppkey", as_index=False).sum())
+
+    per_supp = (li.map_batches(partial, batch_format="pandas").to_pandas()
+                .groupby("l_suppkey", as_index=False).sum())
+    best = int(per_supp["rev_u4"].max())
+    win = per_supp[per_supp["rev_u4"] == best].copy()
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    win["s_name"] = win["l_suppkey"].map(
+        dict(zip(sup["s_suppkey"], sup["s_name"])))
+    return pd.DataFrame({
+        "s_suppkey": win["l_suppkey"].to_numpy(np.int64),
+        "s_name": win["s_name"].to_numpy(),
+        "total_revenue": win["rev_u4"].to_numpy(np.float64) / 1e4,
+    }).sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q_order_priority_migration(sf_dir: str) -> pd.DataFrame:
+    """Priority migration matrix: for each customer's consecutive orders
+    (by date, orderkey breaking ties — a total order both engines
+    state), count prev-priority -> next-priority transitions. Whole
+    customers co-locate in hash buckets, the LAG is a vectorized
+    shift-compare inside the bucket, and only the bounded 5x5 matrix of
+    integer counts leaves it."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey",
+                    "o_orderpriority"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        ck = g["o_custkey"].to_numpy()
+        pr = g["o_orderpriority"].to_numpy()
+        same = ck[1:] == ck[:-1]
+        return (pd.DataFrame({"prev_priority": pr[:-1][same],
+                              "next_priority": pr[1:][same],
+                              "n": np.int64(1)})
+                .groupby(["prev_priority", "next_priority"],
+                         as_index=False).sum())
+
+    out = (bucketed_group_apply(orders, "o_custkey", trans,
+                                num_buckets=4).to_pandas()
+           .groupby(["prev_priority", "next_priority"], as_index=False)
+           .sum())
+    return (out.astype({"n": "int64"})
+               .rename(columns={"n": "n_transitions"})
+               .sort_values(["prev_priority", "next_priority"])
+               .reset_index(drop=True))
