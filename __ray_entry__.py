@@ -204,6 +204,56 @@ def _stream_tumbling_watermark(sf_dir: str):
     return out
 
 
+def _stream_dedup_gate(sf_dir: str):
+    """Exactly-once idempotency gate over an at-least-once stream: every
+    13th event is RE-DELIVERED 120 s later (same event_id — the retry a
+    flaky producer emits), and the gate must drop each re-delivery while
+    holding only horizon-bounded state. Ids hash to gate actors, so one
+    id's dedup decision is local. The oracle states the same plant:
+    delivered = all originals, dups = the planted retries."""
+    import pandas as pd
+    import ray.data as rd
+    from vbpl_web_crawl_ray.stages.streaming import run_dedup_gate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        extra = df[df["event_id"] % 13 == 0].copy()
+        extra["ts"] = extra["ts"] + pd.Timedelta(seconds=120)
+        return pd.concat([df, extra], ignore_index=True)
+
+    out, metrics = run_dedup_gate(ds.map_batches(plant,
+                                                 batch_format="pandas"),
+                                  horizon_s=3600.0)
+    assert metrics["dups_dropped"] == int(out["n_dups"].sum())
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out
+
+
+def _crawl_depth_histogram(sf_dir: str):
+    """Frontier depth histogram from the crawl log — the BFS-shape
+    telemetry a tiered crawler publishes (how much of the fetch budget
+    each hop consumed): per depth, pages fetched and distinct hosts
+    touched. Reads only the crawl_log side table the workers wrote
+    (rows-only: the sim-web crawl is not SQL-visible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out_dir = _run_crawl_cached(sf_dir, dict(n_hosts=3, pages_per_host=2,
+                                             docs_per_page=4))
+    t = pq.read_table(
+        sorted(glob.glob(f"{out_dir}/crawl_log/round=*/part-*.parquet")),
+        columns=["depth", "host"]).to_pandas()
+    out = t.groupby("depth", as_index=False).agg(
+        n_urls=("host", "size"), n_hosts=("host", "nunique"))
+    return (out.astype({"depth": "int64", "n_urls": "int64",
+                        "n_hosts": "int64"})
+               .sort_values("depth").reset_index(drop=True))
+
+
 def _stream_user_state(sf_dir: str):
     """Actor-held incremental per-user state (count/sum/EMA) over the
     ts-ordered events log (rows-only: EMA is not SQL-expressible)."""
@@ -1163,6 +1213,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_migration": R5.q_order_priority_migration,
         # exact-dup families spanning source pairs (contamination audit)
         "cross_source_leakage": CU.q_cross_source_leakage,
+        # exactly-once gate over an at-least-once stream (planted retries)
+        "stream_dedup_gate": _stream_dedup_gate,
+        # frontier depth histogram from the crawl log (rows-only)
+        "crawl_depth_histogram": _crawl_depth_histogram,
+        # repeat-purchase rate per segment (per-entity count -> gate -> dim)
+        "repeat_purchase_rate": R5.q_repeat_purchase_rate,
+        # Q12 shape: fact classifier vs broadcast order attribute
+        "linestatus_priority_counts": R5.q_linestatus_priority_counts,
     }
 
 
@@ -3482,6 +3540,34 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
                  ON a.text = b.text AND a.source < b.source
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_dedup_gate": """
+            -- the plant re-delivers every 13th event once; the gate must
+            -- deliver each original exactly once and drop each retry
+            SELECT event_type, COUNT(*)::BIGINT AS n_events,
+                   COUNT(*) FILTER (WHERE event_id % 13 = 0)::BIGINT
+                       AS n_dups
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "repeat_purchase_rate": """
+            WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                       GROUP BY 1)
+            SELECT cu.c_mktsegment AS segment,
+                   COUNT(*)::BIGINT AS n_customers,
+                   COUNT(*) FILTER (WHERE c.n >= 2)::BIGINT AS n_repeat,
+                   COUNT(*) FILTER (WHERE c.n >= 2)::DOUBLE
+                       / COUNT(*)::DOUBLE AS repeat_share
+            FROM c JOIN customer cu ON c.o_custkey = cu.c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "linestatus_priority_counts": """
+            SELECT l.l_linestatus,
+                   COUNT(*) FILTER (WHERE o.o_orderpriority IN
+                       ('1-URGENT', '2-HIGH'))::BIGINT AS n_high,
+                   COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH'))::BIGINT AS n_low
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

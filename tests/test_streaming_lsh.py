@@ -439,3 +439,61 @@ def test_hopping_window_overlap_and_late_drop():
     out = ray.get(a.flush.remote())
     w35 = out[out["win_start"].isin([0, 10, 20, 30])]
     assert (w35["n"] == 1).all()              # the straggler never landed
+
+
+def test_dedup_gate_drops_in_horizon_retry_and_evicts_past_horizon():
+    """The exactly-once contract AND its stated bound: a retry inside
+    the horizon is dropped; once the watermark advances past horizon,
+    the id evicts (bounded state) so a later replay is redelivered."""
+    import ray
+    from vbpl_web_crawl_ray.stages.streaming import DedupGate
+
+    g = DedupGate.remote(horizon_s=100.0)
+    t0 = pd.Timestamp("2024-01-01")
+
+    def feed(rows):
+        ray.get(g.feed.remote(pd.DataFrame(rows)))
+
+    feed([{"event_id": 1, "event_type": "a", "ts": t0}])
+    # retry 50 s later: inside horizon -> dropped
+    feed([{"event_id": 1, "event_type": "a",
+           "ts": t0 + pd.Timedelta(seconds=50)}])
+    m = ray.get(g.metrics.remote())
+    assert m["dups_dropped"] == 1
+    # advance watermark far past the horizon -> id 1 evicts
+    feed([{"event_id": 2, "event_type": "a",
+           "ts": t0 + pd.Timedelta(seconds=500)}])
+    assert ray.get(g.metrics.remote())["ids_held"] == 1  # only id 2
+    # replay of id 1 after eviction is DELIVERED (the documented bound)
+    feed([{"event_id": 1, "event_type": "a",
+           "ts": t0 + pd.Timedelta(seconds=501)}])
+    out = ray.get(g.flush.remote())
+    assert int(out["n_events"].sum()) == 3
+    assert int(out["n_dups"].sum()) == 1
+
+
+def test_dedup_gate_ordered_stream_equals_batch_distinct(sf_dir):
+    """Planted retries over the real events table: the gate's per-type
+    delivered counts must equal the batch COUNT(*) per type, and drops
+    must equal the plant size."""
+    import ray.data as rd
+    from vbpl_web_crawl_ray.stages.streaming import run_dedup_gate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts"])
+    base = ds.to_pandas()
+
+    def plant(df):
+        extra = df[df["event_id"] % 13 == 0].copy()
+        extra["ts"] = extra["ts"] + pd.Timedelta(seconds=120)
+        return pd.concat([df, extra], ignore_index=True)
+
+    out, metrics = run_dedup_gate(
+        ds.map_batches(plant, batch_format="pandas"), horizon_s=3600.0)
+    want = (base.groupby("event_type", as_index=False).size()
+                .rename(columns={"size": "n_events"}))
+    got = out[["event_type", "n_events"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("event_type").reset_index(drop=True),
+        check_dtype=False)
+    assert metrics["dups_dropped"] == int((base["event_id"] % 13 == 0).sum())

@@ -452,3 +452,74 @@ def q_order_priority_migration(sf_dir: str) -> pd.DataFrame:
                .rename(columns={"n": "n_transitions"})
                .sort_values(["prev_priority", "next_priority"])
                .reset_index(drop=True))
+
+
+def q_repeat_purchase_rate(sf_dir: str) -> pd.DataFrame:
+    """Repeat-purchase rate per market segment — the funnel KPI behind
+    every retention dashboard: of the customers who ordered at all, how
+    many ordered twice or more? Per-batch per-customer count partials
+    merge exactly inside custkey buckets, the >=2 gate reduces each
+    customer to one bit, and only (segment, n, n_repeat) integers leave
+    the bucket (segment attaches from the broadcast customer dim). The
+    share is one exact int/int division."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    segref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", as_index=False).size()
+                  .rename(columns={"size": "n"}))
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("o_custkey", as_index=False)["n"].sum()
+        seg = c["o_custkey"].map(ray.get(segref)).to_numpy()
+        return (pd.DataFrame({
+            "segment": seg, "n_customers": np.int64(1),
+            "n_repeat": (c["n"].to_numpy() >= 2).astype(np.int64)})
+            .groupby("segment", as_index=False).sum())
+
+    out = (bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas"),
+        "o_custkey", gate, num_buckets=4).to_pandas()
+        .groupby("segment", as_index=False).sum())
+    out = out.astype({"n_customers": "int64", "n_repeat": "int64"})
+    out["repeat_share"] = (out["n_repeat"].to_numpy(np.float64)
+                           / out["n_customers"].to_numpy(np.float64))
+    return out.sort_values("segment").reset_index(drop=True)
+
+
+def q_linestatus_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12's shape: a fact-side classifier counted against an
+    order attribute reached through the key — per linestatus, how many
+    items belong to urgent/high-priority orders vs the rest. The
+    orderkey -> priority map rides as ONE ray.put broadcast (2 bytes of
+    payload per order after the high/low bit is precomputed driver-side;
+    past ~64 MB this becomes a bucketed join emitting the same
+    partials); per-batch (status, high, low) integer cells are all that
+    move."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    high = orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    href = ray.put(dict(zip(orders["o_orderkey"], high)))
+
+    class Partial:
+        def __init__(self):
+            self.high = ray.get(href)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hi = df["l_orderkey"].map(self.high).to_numpy(bool)
+            return (pd.DataFrame({
+                "l_linestatus": df["l_linestatus"].to_numpy(),
+                "n_high": hi.astype(np.int64),
+                "n_low": (~hi).astype(np.int64)})
+                .groupby("l_linestatus", as_index=False).sum())
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
+    out = (li.map_batches(Partial, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas()
+           .groupby("l_linestatus", as_index=False).sum())
+    return (out.astype({"n_high": "int64", "n_low": "int64"})
+               .sort_values("l_linestatus").reset_index(drop=True))

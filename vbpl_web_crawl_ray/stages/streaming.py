@@ -579,3 +579,91 @@ def run_hopping_windows(ds: rd.Dataset, key_col: str,
     out = (pd.concat(outs, ignore_index=True)
              .sort_values(["key", "win_start"]).reset_index(drop=True))
     return out, metrics
+
+
+@ray.remote(num_cpus=0)
+class DedupGate:
+    """Exactly-once idempotency gate — the at-least-once-delivery repair
+    every streaming ingest needs: a re-delivered event (same event_id)
+    inside the dedup horizon is DROPPED and counted; ids older than
+    watermark - horizon EVICT, so state is bounded by the horizon's
+    event volume, never by stream length. Event-time arithmetic is int64
+    microseconds throughout (the event_gap EPOCH lesson). One gate per
+    id-hash bucket: the same id always routes to the same actor, so the
+    dedup decision needs no cross-actor coordination."""
+
+    def __init__(self, horizon_s: float = 3600.0):
+        self.horizon = int(round(horizon_s * 1e6))
+        self.seen: dict = {}          # event_id -> first-seen ts (us)
+        self.counts: dict = {}        # event_type -> delivered count
+        self.drops: dict = {}         # event_type -> duplicates dropped
+        self.watermark = None
+        self.dropped = 0
+
+    def feed(self, batch: pd.DataFrame) -> int:
+        ts = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ids = batch["event_id"].to_numpy()
+        types = batch["event_type"].to_numpy()
+        for i, t, ty in zip(ids, ts, types):
+            if i in self.seen:
+                self.dropped += 1
+                self.drops[ty] = self.drops.get(ty, 0) + 1
+                continue
+            self.seen[int(i)] = int(t)
+            self.counts[ty] = self.counts.get(ty, 0) + 1
+        if len(ts):
+            wm = int(ts.max())
+            self.watermark = (wm if self.watermark is None
+                              else max(self.watermark, wm))
+            frontier = self.watermark - self.horizon
+            if self.seen:
+                self.seen = {i: t for i, t in self.seen.items()
+                             if t >= frontier}
+        return len(batch)
+
+    def flush(self) -> pd.DataFrame:
+        rows = [(ty, n, self.drops.get(ty, 0))
+                for ty, n in sorted(self.counts.items())]
+        return pd.DataFrame(rows,
+                            columns=["event_type", "n_events", "n_dups"])
+
+    def metrics(self) -> dict:
+        return {"dups_dropped": self.dropped,
+                "ids_held": len(self.seen),
+                "watermark": self.watermark}
+
+
+def run_dedup_gate(ds: rd.Dataset, horizon_s: float = 3600.0,
+                   num_buckets: int = 4,
+                   feed_batch_rows: int = 2048,
+                   arrival_order=("ts", "event_id")):
+    """Feed an events Dataset (which may contain re-deliveries) through
+    DedupGate actors in arrival order. Ids hash to buckets, so each
+    gate's view of one id is total. Returns (per-type delivered counts,
+    metrics with the global dups_dropped)."""
+    actors = [DedupGate.remote(horizon_s) for _ in range(num_buckets)]
+    pending: list = []
+    for batch in (ds.sort(list(arrival_order))
+                    .iter_batches(batch_format="pandas",
+                                  batch_size=feed_batch_rows)):
+        b = bucket_of(batch["event_id"].to_numpy(), num_buckets)
+        for bid in np.unique(b):
+            pending.append(actors[bid].feed.remote(batch[b == bid]))
+        if len(pending) >= 64:
+            ray.get(pending)
+            pending = []
+    ray.get(pending)
+    outs = [o for o in ray.get([a.flush.remote() for a in actors]) if len(o)]
+    mets = ray.get([a.metrics.remote() for a in actors])
+    metrics = {"dups_dropped": sum(m["dups_dropped"] for m in mets),
+               "ids_held": sum(m["ids_held"] for m in mets)}
+    if not outs:
+        return (pd.DataFrame({"event_type": pd.Series(dtype=object),
+                              "n_events": pd.Series(dtype=np.int64),
+                              "n_dups": pd.Series(dtype=np.int64)}),
+                metrics)
+    out = (pd.concat(outs, ignore_index=True)
+             .groupby("event_type", as_index=False)
+             .agg(n_events=("n_events", "sum"), n_dups=("n_dups", "sum"))
+             .sort_values("event_type").reset_index(drop=True))
+    return out, metrics
