@@ -1221,6 +1221,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_purchase_rate": R5.q_repeat_purchase_rate,
         # Q12 shape: fact classifier vs broadcast order attribute
         "linestatus_priority_counts": R5.q_linestatus_priority_counts,
+        # Q19 shape: OR of attribute-conjunction branches, per-branch cells
+        "disjunctive_revenue": R5.q_disjunctive_revenue,
+        # Q21 shape: sole strictly-latest supplier in multi-supplier orders
+        "sole_late_supplier": R5.q_sole_late_supplier,
+        # Morton-interleave locality audit over (custkey, orderkey)
+        "zorder_clustering_audit": R5.q_zorder_clustering_audit,
+        # BIT_OR month bitmap per priority (order-free integer merge)
+        "priority_month_bitmap": R5.q_priority_month_bitmap,
     }
 
 
@@ -3568,6 +3576,67 @@ def oracle_sql() -> dict[str, str]:
                        ('1-URGENT', '2-HIGH'))::BIGINT AS n_low
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "disjunctive_revenue": """
+            WITH j AS (SELECT p.p_type, p.p_size,
+                              CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS qty,
+                              CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                              * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                            AS BIGINT)) AS u4
+                       FROM lineitem l JOIN part p
+                            ON l.l_partkey = p.p_partkey),
+            b AS (
+                SELECT 'A' AS branch, COUNT(*) AS n_items, SUM(u4) AS u4
+                FROM j WHERE p_type = 'PROMO'
+                  AND qty BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 15
+                UNION ALL
+                SELECT 'B', COUNT(*), SUM(u4) FROM j
+                WHERE p_type = 'ECONOMY'
+                  AND qty BETWEEN 10 AND 30 AND p_size BETWEEN 5 AND 30
+                UNION ALL
+                SELECT 'C', COUNT(*), SUM(u4) FROM j
+                WHERE p_type = 'LARGE'
+                  AND qty BETWEEN 20 AND 50 AND p_size BETWEEN 10 AND 50)
+            SELECT branch, n_items::BIGINT AS n_items,
+                   COALESCE(u4, 0)::DOUBLE / 1e4 AS revenue
+            FROM b ORDER BY branch
+        """,
+        "sole_late_supplier": """
+            WITH a AS (SELECT l_orderkey, MAX(l_shipdate) AS mx,
+                              COUNT(DISTINCT l_suppkey) AS ns
+                       FROM lineitem GROUP BY 1),
+            w AS (SELECT l.l_orderkey,
+                         MIN(l.l_suppkey) AS sk,
+                         COUNT(DISTINCT l.l_suppkey) AS nmax
+                  FROM lineitem l JOIN a ON l.l_orderkey = a.l_orderkey
+                                        AND l.l_shipdate = a.mx
+                  WHERE a.ns >= 2 GROUP BY 1),
+            c AS (SELECT sk AS s_suppkey, COUNT(*)::BIGINT AS n_blamed
+                  FROM w WHERE nmax = 1 GROUP BY 1)
+            SELECT c.s_suppkey, s.s_name, c.n_blamed
+            FROM c JOIN supplier s ON c.s_suppkey = s.s_suppkey
+            ORDER BY c.n_blamed DESC, c.s_suppkey LIMIT 20
+        """,
+        "zorder_clustering_audit": """
+            WITH z AS (SELECT list_sum(
+                [(((o_custkey % 65536) >> i) & 1) * (1::BIGINT << (2*i))
+                 + (((o_orderkey % 65536) >> i) & 1) * (1::BIGINT << (2*i+1))
+                 FOR i IN range(0, 16)])::BIGINT AS zv
+                       FROM orders)
+            SELECT (zv >> 22)::BIGINT AS shard,
+                   COUNT(*)::BIGINT AS n_orders,
+                   MIN(zv)::BIGINT AS min_z, MAX(zv)::BIGINT AS max_z
+            FROM z GROUP BY 1 ORDER BY 1
+        """,
+        "priority_month_bitmap": """
+            SELECT o_orderpriority,
+                   BIT_OR(1::BIGINT << CAST(EXTRACT(month FROM o_orderdate)
+                                            AS INTEGER))::BIGINT
+                       AS month_mask,
+                   bit_count(BIT_OR(1::BIGINT
+                       << CAST(EXTRACT(month FROM o_orderdate)
+                               AS INTEGER)))::BIGINT AS n_months
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -523,3 +523,168 @@ def q_linestatus_priority_counts(sf_dir: str) -> pd.DataFrame:
            .groupby("l_linestatus", as_index=False).sum())
     return (out.astype({"n_high": "int64", "n_low": "int64"})
                .sort_values("l_linestatus").reset_index(drop=True))
+
+
+_Q19_BRANCHES = (
+    ("A", "PROMO", 1, 20, 1, 15),       # (name, p_type, qty lo/hi, size lo/hi)
+    ("B", "ECONOMY", 10, 30, 5, 30),
+    ("C", "LARGE", 20, 50, 10, 50),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19's shape: revenue under an OR of attribute-conjunction
+    branches spanning BOTH the fact (quantity) and a dimension (part
+    type/size). The part attributes broadcast ONCE as two ray.put
+    arrays indexed by partkey (6 bytes/part; past ~64 MB the classifier
+    becomes a bucketed join stamping a branch id), every branch
+    evaluates VECTORIZED over the batch, and a row landing in several
+    branches counts in each (the report is per-branch, so the OR is an
+    explicit union of branch cells, not a lost disjunction). Money is
+    exact u4 integers."""
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type", "p_size"])
+    tref = ray.put(dict(zip(part["p_partkey"], part["p_type"])))
+    sref = ray.put(dict(zip(part["p_partkey"], part["p_size"])))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    class Partial:
+        def __init__(self):
+            self.ptype = ray.get(tref)
+            self.psize = ray.get(sref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+            cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            d = np.round(df["l_discount"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            u4 = cents * (100 - d)
+            ptype = df["l_partkey"].map(self.ptype).to_numpy()
+            psize = df["l_partkey"].map(self.psize).to_numpy(np.int64)
+            rows = []
+            for name, typ, qlo, qhi, slo, shi in _Q19_BRANCHES:
+                m = ((ptype == typ) & (qty >= qlo) & (qty <= qhi)
+                     & (psize >= slo) & (psize <= shi))
+                rows.append({"branch": name,
+                             "n_items": np.int64(int(m.sum())),
+                             "rev_u4": np.int64(int(u4[m].sum()))})
+            return pd.DataFrame(rows)
+
+    out = (li.map_batches(Partial, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas()
+           .groupby("branch", as_index=False).sum())
+    out = out.astype({"n_items": "int64", "rev_u4": "int64"})
+    out["revenue"] = out["rev_u4"].to_numpy(np.float64) / 1e4
+    return (out.drop(columns=["rev_u4"])
+               .sort_values("branch").reset_index(drop=True))
+
+
+def q_sole_late_supplier(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q21's shape: in multi-supplier orders, which supplier ALONE
+    owns the strictly-latest ship date (the one everyone else waited
+    on)? Whole orders co-locate in orderkey hash buckets; inside each
+    bucket the per-order max ship date, the supplier-distinct count and
+    the sole-argmax test are vectorized groupby reductions, and only
+    (suppkey, n) integer partials leave. Date ties where two suppliers
+    share the max blame NOBODY — the tie rule is stated identically in
+    the oracle (distinct suppliers at the max must equal 1). Top-k
+    winners attach names from the broadcast supplier dim; ties past k
+    break on suppkey in both engines."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(us=g["l_shipdate"].astype("int64"))
+        agg = g.groupby("l_orderkey").agg(
+            mx=("us", "max"), ns=("l_suppkey", "nunique"))
+        multi = agg[agg["ns"] >= 2]
+        if multi.empty:
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
+                                 "n_blamed": pd.Series(dtype="int64")})
+        m = g.merge(multi, left_on="l_orderkey", right_index=True)
+        atmax = m[m["us"] == m["mx"]]
+        per = atmax.groupby("l_orderkey")["l_suppkey"].agg(["nunique", "min"])
+        sole = per[per["nunique"] == 1]["min"]
+        return (pd.DataFrame({"l_suppkey": sole.to_numpy(np.int64),
+                              "n_blamed": np.int64(1)})
+                .groupby("l_suppkey", as_index=False).sum())
+
+    per_supp = (bucketed_group_apply(li, "l_orderkey", blame,
+                                     num_buckets=4).to_pandas()
+                .groupby("l_suppkey", as_index=False).sum())
+    top = (per_supp.sort_values(["n_blamed", "l_suppkey"],
+                                ascending=[False, True]).head(k))
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    top["s_name"] = top["l_suppkey"].map(
+        dict(zip(sup["s_suppkey"], sup["s_name"])))
+    return pd.DataFrame({
+        "s_suppkey": top["l_suppkey"].to_numpy(np.int64),
+        "s_name": top["s_name"].to_numpy(),
+        "n_blamed": top["n_blamed"].to_numpy(np.int64),
+    }).reset_index(drop=True)
+
+
+def q_zorder_clustering_audit(sf_dir: str, bits: int = 16,
+                              shard_shift: int = 22) -> pd.DataFrame:
+    """Z-order (Morton) clustering audit — the locality report a
+    layout optimizer publishes before re-clustering a table on two keys:
+    every order maps to the interleaved 32-bit z-value of
+    (custkey, orderkey) low 16 bits, shards are the z-space's top
+    1024 ranges, and the per-shard row count + z-extent show how evenly
+    a z-sort would spread load. Pure vectorized bit arithmetic per
+    batch (the oracle states the identical interleave as a list
+    comprehension); only 1024 integer cells leave each block."""
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_custkey"].to_numpy(np.int64) & 0xFFFF
+        y = df["o_orderkey"].to_numpy(np.int64) & 0xFFFF
+        z = np.zeros(len(df), dtype=np.int64)
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        g = pd.DataFrame({"shard": z >> shard_shift, "n_orders": np.int64(1),
+                          "min_z": z, "max_z": z})
+        return g.groupby("shard", as_index=False).agg(
+            n_orders=("n_orders", "sum"), min_z=("min_z", "min"),
+            max_z=("max_z", "max"))
+
+    out = (o.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("shard", as_index=False).agg(
+               n_orders=("n_orders", "sum"), min_z=("min_z", "min"),
+               max_z=("max_z", "max")))
+    return (out.astype({c: "int64" for c in out.columns})
+               .sort_values("shard").reset_index(drop=True))
+
+
+def q_priority_month_bitmap(sf_dir: str) -> pd.DataFrame:
+    """Bitmap-index summary: per order priority, the OR-merged bitmask
+    of calendar months that ever saw such an order, plus its popcount.
+    BIT_OR partials merge in any order on any topology (the XOR-checksum
+    family's OR sibling); the mask and its bit count are pure integers
+    in both engines."""
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].dt.month.to_numpy(np.int64)
+        return (pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                              "mask": np.int64(1) << month})
+                .groupby("o_orderpriority", as_index=False)
+                .agg(mask=("mask", lambda v: np.bitwise_or.reduce(
+                    v.to_numpy(np.int64)))))
+
+    parts = o.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        mask=("mask", lambda v: np.bitwise_or.reduce(
+            v.to_numpy(np.int64))))
+    out["month_mask"] = out["mask"].astype("int64")
+    out["n_months"] = out["mask"].map(
+        lambda v: int(bin(int(v)).count("1"))).astype("int64")
+    return (out.drop(columns=["mask"])
+               .sort_values("o_orderpriority").reset_index(drop=True))
