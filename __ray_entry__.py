@@ -254,6 +254,34 @@ def _crawl_depth_histogram(sf_dir: str):
                .sort_values("depth").reset_index(drop=True))
 
 
+def _crawl_fail_taxonomy(sf_dir: str):
+    """Failure taxonomy off the fails side table the fetch workers wrote
+    — the retry-policy input a production crawler tunes against: per
+    terminal status, how many URLs died and how many hosts were
+    involved. Rows-only (the sim-web outcomes are not SQL-visible);
+    determinism is pinned by the crawl digest."""
+    import glob
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    out_dir = _run_crawl_cached(sf_dir, dict(n_hosts=3, pages_per_host=2,
+                                             docs_per_page=4))
+    files = sorted(glob.glob(f"{out_dir}/fails/round=*/part-*.parquet"))
+    if not files:
+        import pandas as pd
+        return pd.DataFrame({"status": pd.Series(dtype="int64"),
+                             "n_urls": pd.Series(dtype="int64"),
+                             "n_hosts": pd.Series(dtype="int64")})
+    t = pq.read_table(files, columns=["url", "status"]).to_pandas()
+    t["host"] = [urlparse(u).netloc for u in t["url"]]
+    out = t.groupby("status", as_index=False).agg(
+        n_urls=("url", "size"), n_hosts=("host", "nunique"))
+    return (out.astype({"status": "int64", "n_urls": "int64",
+                        "n_hosts": "int64"})
+               .sort_values("status").reset_index(drop=True))
+
+
 def _stream_user_state(sf_dir: str):
     """Actor-held incremental per-user state (count/sum/EMA) over the
     ts-ordered events log (rows-only: EMA is not SQL-expressible)."""
@@ -1229,6 +1257,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_clustering_audit": R5.q_zorder_clustering_audit,
         # BIT_OR month bitmap per priority (order-free integer merge)
         "priority_month_bitmap": R5.q_priority_month_bitmap,
+        # mid-token caption clipping audit (projected-prefix join)
+        "caption_truncation_audit": P.q_caption_truncation_audit,
+        # per-bit phash balance (rows-only; stuck-bit detector)
+        "phash_bit_balance": P.q_phash_bit_balance,
+        # terminal-status failure taxonomy off the fails side table
+        "crawl_fail_taxonomy": _crawl_fail_taxonomy,
     }
 
 
@@ -3637,6 +3671,18 @@ def oracle_sql() -> dict[str, str]:
                        << CAST(EXTRACT(month FROM o_orderdate)
                                AS INTEGER)))::BIGINT AS n_months
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "caption_truncation_audit": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                       AS fmt,
+                   COUNT(*)::BIGINT AS n_images,
+                   COUNT(*) FILTER (WHERE LENGTH(text) > 120
+                       AND SUBSTR(text, 121, 1) != ' ')::BIGINT
+                       AS n_truncated,
+                   COUNT(*) FILTER (WHERE LENGTH(text) > 120
+                       AND SUBSTR(text, 121, 1) != ' ')::DOUBLE
+                       / COUNT(*)::DOUBLE AS truncated_share
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

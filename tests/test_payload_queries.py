@@ -129,3 +129,16 @@ def test_curated_image_pack_contract(sf_dir):
     assert set(a["image_id"]) <= set(fam)
     # per-bucket cap respected
     assert (a.groupby("bucket").size() <= 50).all()
+
+
+def test_phash_bit_balance_shape_and_determinism(sf_dir):
+    from vbpl_web_crawl_ray.pipelines.payloads import q_phash_bit_balance
+
+    a = q_phash_bit_balance(sf_dir)
+    assert list(a["bit"]) == list(range(64))
+    assert (a["n_images"] == a["n_images"].iloc[0]).all()
+    assert ((a["n_set"] >= 0) & (a["n_set"] <= a["n_images"])).all()
+    # no stuck bit on the synth corpus: every position varies
+    assert (a["n_set"] > 0).all() and (a["n_set"] < a["n_images"]).all()
+    b = q_phash_bit_balance(sf_dir)
+    assert a.equals(b)

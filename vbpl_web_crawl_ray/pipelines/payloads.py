@@ -565,3 +565,77 @@ def q_letterbox_pad_plan(sf_dir: str, target: int = 224) -> pd.DataFrame:
            .groupby(["pad_x", "pad_y"], as_index=False).sum())
     return (out.astype({c: "int64" for c in out.columns})
                .sort_values(["pad_x", "pad_y"]).reset_index(drop=True))
+
+
+def q_caption_truncation_audit(sf_dir: str) -> pd.DataFrame:
+    """Caption truncation audit — the data-quality check a captioning
+    pipeline runs on its own clipping rule: the synth caption is
+    text[:120], so a caption whose source text runs past 120 chars AND
+    whose 121st char is not a space ends MID-TOKEN (its last token is a
+    fragment no tokenizer will match). The documents side projects to a
+    121-char prefix BEFORE the one bucketed join (the full text never
+    moves), the REAL caption+fmt columns ride from the payload store,
+    and per-batch (fmt, n, truncated) integers are all that leave. The
+    oracle re-states the clip rule on the documents table, so the audit
+    cross-checks the caption plumbing itself."""
+    from ..stages.shuffle import bucketed_join
+
+    imgs = payload_table(sf_dir).select_columns(["image_id", "fmt",
+                                                 "caption"])
+
+    def img_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["image_id"].str[3:].astype(np.int64),
+            "fmt": df["fmt"].to_numpy(),
+            "cap_len": df["caption"].str.len().to_numpy(np.int64)})
+
+    def doc_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "text_len": df["text"].str.len().to_numpy(np.int64),
+            "ch121": df["text"].str.slice(120, 121).to_numpy()})
+
+    joined = bucketed_join(
+        imgs.map_batches(img_key, batch_format="pandas"),
+        _docs(sf_dir).map_batches(doc_prefix, batch_format="pandas"),
+        on="doc_id", num_buckets=4)
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        trunc = ((df["text_len"].to_numpy(np.int64) > 120)
+                 & (df["ch121"].to_numpy() != " ")
+                 & (df["cap_len"].to_numpy(np.int64) == 120))
+        return (pd.DataFrame({"fmt": df["fmt"].to_numpy(),
+                              "n_images": np.int64(1),
+                              "n_truncated": trunc.astype(np.int64)})
+                .groupby("fmt", as_index=False).sum())
+
+    out = (joined.map_batches(audit, batch_format="pandas").to_pandas()
+           .groupby("fmt", as_index=False).sum())
+    out = out.astype({"n_images": "int64", "n_truncated": "int64"})
+    out["truncated_share"] = (out["n_truncated"].to_numpy(np.float64)
+                              / out["n_images"].to_numpy(np.float64))
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
+def q_phash_bit_balance(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash bit-balance audit (rows-only: phash is computed
+    from decoded pixels, not SQL-visible): per bit position 0..63, how
+    many images set it. A healthy 64-bit phash family keeps every
+    position near 50% — a stuck bit means that band carries no
+    discriminating power for near-dup banding. Vectorized unpackbits
+    over the uint64 view per batch; 64 integer cells leave each block.
+    Determinism + range are pytest-pinned."""
+    imgs = payload_table(sf_dir).select_columns(["phash"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["phash"].to_numpy(np.int64).astype(np.uint64)
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little")
+        return pd.DataFrame({"bit": np.arange(64, dtype=np.int64),
+                             "n_set": bits.sum(axis=0).astype(np.int64),
+                             "n_images": np.int64(len(df))})
+
+    out = (imgs.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("bit", as_index=False).sum())
+    return (out.astype({c: "int64" for c in out.columns})
+               .sort_values("bit").reset_index(drop=True))
