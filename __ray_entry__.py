@@ -1263,6 +1263,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_bit_balance": P.q_phash_bit_balance,
         # terminal-status failure taxonomy off the fails side table
         "crawl_fail_taxonomy": _crawl_fail_taxonomy,
+        # Q6 shape: scan-side what-if aggregate, zero shuffle
+        "forecast_revenue_change": R5.q_forecast_revenue_change,
+        # Q13 shape: count-of-counts INCLUDING the zero-order customers
+        "customer_order_distribution": R5.q_customer_order_distribution,
+        # Q17 shape: below-20%-of-own-part-mean gate, no float mean
+        "small_order_revenue": R5.q_small_order_revenue,
+        # Q8 shape: percent-of-parent (nation within region)
+        "nation_share_of_region": R5.q_nation_share_of_region,
     }
 
 
@@ -3683,6 +3691,54 @@ def oracle_sql() -> dict[str, str]:
                        AND SUBSTR(text, 121, 1) != ' ')::DOUBLE
                        / COUNT(*)::DOUBLE AS truncated_share
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "forecast_revenue_change": """
+            SELECT COUNT(*)::BIGINT AS n_items,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                       ::DOUBLE / 1e4 AS forgone_revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(ROUND(l_quantity, 0) AS BIGINT) < 24
+        """,
+        "customer_order_distribution": """
+            WITH c AS (SELECT cu.c_custkey, COUNT(o.o_orderkey) AS n
+                       FROM customer cu LEFT JOIN orders o
+                            ON cu.c_custkey = o.o_custkey
+                       GROUP BY 1)
+            SELECT n::BIGINT AS n_orders, COUNT(*)::BIGINT AS n_customers
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "small_order_revenue": """
+            WITH p AS (SELECT l_partkey, COUNT(*)::BIGINT AS n,
+                              SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                                  ::BIGINT AS s
+                       FROM lineitem GROUP BY 1)
+            SELECT COUNT(*)::BIGINT AS n_items,
+                   COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                     AS BIGINT)), 0)::DOUBLE / 100.0
+                       AS small_revenue
+            FROM lineitem l JOIN p ON l.l_partkey = p.l_partkey
+            WHERE 5 * CAST(ROUND(l.l_quantity, 0) AS BIGINT) * p.n < p.s
+        """,
+        "nation_share_of_region": """
+            WITH v AS (SELECT n.n_name AS nation, r.r_name AS region,
+                              SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                       AS BIGINT)
+                                  * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                                AS BIGINT)))::BIGINT AS u4
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+                       JOIN nation n ON c.c_nationkey = n.n_nationkey
+                       JOIN region r ON n.n_regionkey = r.r_regionkey
+                       GROUP BY 1, 2)
+            SELECT region, nation, u4::DOUBLE / 1e4 AS revenue,
+                   u4::DOUBLE / (SUM(u4) OVER (PARTITION BY region))::DOUBLE
+                       AS region_share
+            FROM v ORDER BY region, nation
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

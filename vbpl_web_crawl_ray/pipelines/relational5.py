@@ -688,3 +688,172 @@ def q_priority_month_bitmap(sf_dir: str) -> pd.DataFrame:
         lambda v: int(bin(int(v)).count("1"))).astype("int64")
     return (out.drop(columns=["mask"])
                .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_forecast_revenue_change(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6's shape: the what-if aggregate — revenue that would have
+    been retained by dropping discounts in a (year, discount-band,
+    small-quantity) slice. Pure scan-side predicate (no join, no
+    shuffle): every filter column prunes in the same map_batches pass,
+    and the forgone revenue sums as exact u4 integers (cents x
+    disc_pct). One row out; one exact display division."""
+    li = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_quantity",
+                "l_shipdate"])
+    lo = np.datetime64("1997-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["l_shipdate"].astype("int64").to_numpy()
+        d = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        m = ((us >= lo) & (us < hi) & (d >= 5) & (d <= 7) & (qty < 24))
+        cents = np.round(df["l_extendedprice"].to_numpy()[m] * 100.0) \
+            .astype(np.int64)
+        return pd.DataFrame({"n_items": [np.int64(int(m.sum()))],
+                             "u4": [np.int64(int((cents * d[m]).sum()))]})
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    n = np.int64(parts["n_items"].sum())
+    u4 = np.int64(parts["u4"].sum())
+    return pd.DataFrame({"n_items": [n],
+                         "forgone_revenue": [np.float64(u4) / 1e4]})
+
+
+def q_customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13's shape: the customer-by-order-count distribution
+    INCLUDING the zero-order customers a plain fact groupby silently
+    drops. Per-customer counts merge inside custkey buckets and collapse
+    to a bounded count-of-counts there (one row per distinct order
+    count); the zero bucket is total customers minus customers seen in
+    the fact — two scalar counts, no anti-join materializes."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", as_index=False).size()
+                  .rename(columns={"size": "n"}))
+
+    def coc(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("o_custkey", as_index=False)["n"].sum()
+        return (c.groupby("n", as_index=False).size()
+                 .rename(columns={"n": "n_orders", "size": "n_customers"})
+                 .assign(n_cust_seen=lambda d: d["n_customers"]))
+
+    parts = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas"),
+        "o_custkey", coc, num_buckets=4).to_pandas()
+    out = (parts.groupby("n_orders", as_index=False)
+                ["n_customers"].sum())
+    n_total = len(pd.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey"]))
+    n_zero = n_total - int(out["n_customers"].sum())
+    if n_zero > 0:
+        out = pd.concat([pd.DataFrame({"n_orders": [0],
+                                       "n_customers": [n_zero]}), out],
+                        ignore_index=True)
+    return (out.astype({"n_orders": "int64", "n_customers": "int64"})
+               .sort_values("n_orders").reset_index(drop=True))
+
+
+def q_small_order_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17's shape: revenue locked in 'small' lineitems — those
+    with quantity strictly below 20% of their own part's mean quantity.
+    The per-part mean never exists as a float: the gate cross-multiplies
+    to 5 * qty * n_p < sum_p in exact int64 (the above-customer-avg
+    precedent), per-part (n, sum) partials come from one fact scan and
+    ride back as a broadcast lookup (part-bounded; past the gate the
+    second pass becomes a bucketed join on l_partkey), and the one
+    display division closes over exact integer cents."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        return (pd.DataFrame({"p": df["l_partkey"].to_numpy(),
+                              "n": np.int64(1), "s": qty})
+                .groupby("p", as_index=False).sum())
+
+    parts = (li.map_batches(qty_partial, batch_format="pandas").to_pandas()
+             .groupby("p", as_index=False).sum())
+    nref = ray.put(dict(zip(parts["p"], parts["n"])))
+    sref = ray.put(dict(zip(parts["p"], parts["s"])))
+
+    class Gate:
+        def __init__(self):
+            self.n = ray.get(nref)
+            self.s = ray.get(sref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+            nn = df["l_partkey"].map(self.n).to_numpy(np.int64)
+            ss = df["l_partkey"].map(self.s).to_numpy(np.int64)
+            m = 5 * qty * nn < ss
+            cents = np.round(df["l_extendedprice"].to_numpy()[m] * 100.0) \
+                .astype(np.int64)
+            return pd.DataFrame({"n_items": [np.int64(int(m.sum()))],
+                                 "cents": [np.int64(int(cents.sum()))]})
+
+    out = (li.map_batches(Gate, batch_format="pandas",
+                          concurrency=(1, 4)).to_pandas().sum())
+    return pd.DataFrame({
+        "n_items": [np.int64(out["n_items"])],
+        "small_revenue": [np.float64(np.int64(out["cents"])) / 100.0]})
+
+
+def q_nation_share_of_region(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8's percent-of-parent shape: each nation's share of its
+    REGION's revenue. One fact scan produces per-nation exact u4
+    integer partials (customer nation via the size-gated broadcast
+    hop), the region totals close on the bounded nation table, and each
+    share is one exact int/int division — no float revenue ever
+    aggregates."""
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    o2n = {o: c2n[c] for o, c in zip(orders["o_orderkey"],
+                                     orders["o_custkey"])}
+    oref = ray.put(o2n)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    class Partial:
+        def __init__(self):
+            self.o2n = ray.get(oref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            d = np.round(df["l_discount"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            return (pd.DataFrame({
+                "nk": df["l_orderkey"].map(self.o2n).to_numpy(np.int64),
+                "u4": cents * (100 - d)})
+                .groupby("nk", as_index=False).sum())
+
+    per_nation = (li.map_batches(Partial, batch_format="pandas",
+                                 concurrency=(1, 4)).to_pandas()
+                  .groupby("nk", as_index=False).sum())
+    per_nation["nation"] = per_nation["nk"].map(
+        dict(zip(nat["n_nationkey"], nat["n_name"])))
+    rk = per_nation["nk"].map(
+        dict(zip(nat["n_nationkey"], nat["n_regionkey"])))
+    per_nation["region"] = rk.map(
+        dict(zip(reg["r_regionkey"], reg["r_name"])))
+    tot = per_nation.groupby("region")["u4"].transform("sum")
+    out = pd.DataFrame({
+        "region": per_nation["region"],
+        "nation": per_nation["nation"],
+        "revenue": per_nation["u4"].to_numpy(np.float64) / 1e4,
+        "region_share": (per_nation["u4"].to_numpy(np.float64)
+                         / tot.to_numpy(np.float64))})
+    return (out.sort_values(["region", "nation"])
+               .reset_index(drop=True))
