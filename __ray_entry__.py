@@ -1271,6 +1271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_order_revenue": R5.q_small_order_revenue,
         # Q8 shape: percent-of-parent (nation within region)
         "nation_share_of_region": R5.q_nation_share_of_region,
+        # zone-map pruning audit over orderkey-contiguous blocks
+        "scan_pruning_audit": SO.q_scan_pruning_audit,
+        # greedy monthly small-file compaction plan (bounded manifest)
+        "compaction_plan": SO.q_compaction_plan,
     }
 
 
@@ -3739,6 +3743,41 @@ def oracle_sql() -> dict[str, str]:
                    u4::DOUBLE / (SUM(u4) OVER (PARTITION BY region))::DOUBLE
                        AS region_share
             FROM v ORDER BY region, nation
+        """,
+        "scan_pruning_audit": """
+            WITH b AS (SELECT o_orderkey // 4096 AS block,
+                              MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx,
+                              COUNT(*)::BIGINT AS n_rows
+                       FROM orders GROUP BY 1)
+            SELECT COUNT(*)::BIGINT AS n_blocks,
+                   COUNT(*) FILTER (WHERE mx < DATE '1997-01-01'
+                       OR mn >= DATE '1997-07-01')::BIGINT AS n_pruned,
+                   COUNT(*) FILTER (WHERE mn >= DATE '1997-01-01'
+                       AND mx < DATE '1997-07-01')::BIGINT AS n_full,
+                   COUNT(*) FILTER (WHERE NOT (mx < DATE '1997-01-01'
+                       OR mn >= DATE '1997-07-01')
+                       AND NOT (mn >= DATE '1997-01-01'
+                                AND mx < DATE '1997-07-01'))::BIGINT
+                       AS n_partial,
+                   COALESCE(SUM(n_rows) FILTER (WHERE mx < DATE '1997-01-01'
+                       OR mn >= DATE '1997-07-01'), 0)::BIGINT
+                       AS rows_skipped
+            FROM b
+        """,
+        "compaction_plan": """
+            WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                              COUNT(*)::BIGINT AS n_rows
+                       FROM orders GROUP BY 1),
+            g AS (SELECT month, n_rows,
+                         (SUM(n_rows) OVER (ORDER BY month
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) // 5000) AS out_group
+                  FROM m)
+            SELECT COALESCE(out_group, 0)::BIGINT AS out_group,
+                   COUNT(*)::BIGINT AS n_input_files,
+                   SUM(n_rows)::BIGINT AS n_rows,
+                   MIN(month) AS first_month, MAX(month) AS last_month
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

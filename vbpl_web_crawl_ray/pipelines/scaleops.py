@@ -542,3 +542,69 @@ def q_consistent_hash_shards(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
         min_doc=("min_doc", "min"), max_doc=("max_doc", "max"))
     return (out.astype({c: "int64" for c in out.columns})
                .sort_values("shard").reset_index(drop=True))
+
+
+def q_scan_pruning_audit(sf_dir: str, block_rows: int = 4096) -> pd.DataFrame:
+    """Min/max zone-map pruning audit — the planner's question before a
+    100-TB scan: with per-block (min, max) orderdate stats over
+    orderkey-contiguous blocks, how many blocks can a half-year date
+    predicate SKIP entirely, read WHOLE without row-level filtering, or
+    must half-read? Per-batch per-block min/max partials merge exactly
+    (blocks are orderkey ranges, so partials co-merge by integer id);
+    the verdict is pure int64-µs comparisons on the bounded block
+    table."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    lo = np.datetime64("1997-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1997-07-01", "us").astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].astype("int64").to_numpy()
+        blk = df["o_orderkey"].to_numpy(np.int64) // block_rows
+        return (pd.DataFrame({"block": blk, "mn": us, "mx": us,
+                              "n_rows": np.int64(1)})
+                .groupby("block", as_index=False)
+                .agg(mn=("mn", "min"), mx=("mx", "max"),
+                     n_rows=("n_rows", "sum")))
+
+    blocks = (o.map_batches(partial, batch_format="pandas").to_pandas()
+              .groupby("block", as_index=False)
+              .agg(mn=("mn", "min"), mx=("mx", "max"),
+                   n_rows=("n_rows", "sum")))
+    pruned = (blocks["mx"] < lo) | (blocks["mn"] >= hi)
+    full = (blocks["mn"] >= lo) & (blocks["mx"] < hi)
+    partial_read = ~(pruned | full)
+    return pd.DataFrame({
+        "n_blocks": [np.int64(len(blocks))],
+        "n_pruned": [np.int64(int(pruned.sum()))],
+        "n_full": [np.int64(int(full.sum()))],
+        "n_partial": [np.int64(int(partial_read.sum()))],
+        "rows_skipped": [np.int64(int(blocks.loc[pruned, "n_rows"].sum()))],
+    })
+
+
+def q_compaction_plan(sf_dir: str, target_rows: int = 5000) -> pd.DataFrame:
+    """Small-file compaction PLAN — the maintenance pass a partitioned
+    store schedules: monthly order files (bounded calendar) greedily
+    coalesce in month order into outputs of ~target rows, each output
+    group starting where the running total crosses the target (group =
+    prior-cumsum // target, the standard sequential-packing closed
+    form). Per-month counts merge as integer partials; the plan itself
+    closes over the bounded manifest, never the rows."""
+    o = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].dt.strftime("%Y-%m")
+        return (pd.DataFrame({"month": month, "n_rows": np.int64(1)})
+                .groupby("month", as_index=False).sum())
+
+    months = (o.map_batches(partial, batch_format="pandas").to_pandas()
+              .groupby("month", as_index=False).sum()
+              .sort_values("month").reset_index(drop=True))
+    prior = months["n_rows"].cumsum().shift(fill_value=0).to_numpy(np.int64)
+    months["out_group"] = prior // target_rows
+    out = months.groupby("out_group", as_index=False).agg(
+        n_input_files=("month", "size"), n_rows=("n_rows", "sum"),
+        first_month=("month", "min"), last_month=("month", "max"))
+    return (out.astype({"out_group": "int64", "n_input_files": "int64",
+                        "n_rows": "int64"})
+               .sort_values("out_group").reset_index(drop=True))
