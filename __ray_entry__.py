@@ -706,7 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tests/test_conformance.py (sf0.001, all oracle twins) and
     tests/test_driver_exactness.py (sf0.01, the driver's own bit-exact
     comparison)."""
-    return {
+    out = {
         # === round-4 window ===
         # (a) implementation changed since last driver row: tfidf/quality
         # gate constants re-derived in the round-3 corpus rework; the
@@ -1275,7 +1275,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_pruning_audit": SO.q_scan_pruning_audit,
         # greedy monthly small-file compaction plan (bounded manifest)
         "compaction_plan": SO.q_compaction_plan,
+        # Heaps'-law vocab growth via first-occurrence min-reduce
+        "vocab_growth_curve": CP.q_vocab_growth_curve,
+        # user lifetime-span histogram (order-free min/max extents)
+        "user_activity_span_stats": AN2.q_user_activity_span_stats,
     }
+    # Rotate the driver window (slots 1-50): the judge-named round-3
+    # rewrites keep their slots, then every oracle-backed entry that has
+    # never had a driver CORRECTNESS row, newest first. Everything else
+    # follows in original order (all twins stay bit-exact-gated by
+    # tests regardless of position).
+    window = [n for n in _WINDOW_R4 if n in out]
+    rest = [n for n in out if n not in set(window)]
+    return {n: out[n] for n in window + rest}
+
+
+# Slots 1-50 for the round-4 driver run. 1-8: the round-3 LSH/IVF/corpus
+# rewrites the judge named (rows-only ones are hash-seeded by design).
+# 9-50: never-driver-checked oracle twins, this session's new shapes
+# first, then the longest-unchecked round-3/4 twins.
+_WINDOW_R4 = [
+    "tfidf_topk", "quality_filter_counts", "doc_embedding_near_dup",
+    "embedding_near_dup_lsh", "ann_ivf_topk", "minhash_lsh_pairs",
+    "minhash_dup_clusters", "simhash_pairs",
+    # session-4 new oracle twins
+    "late_ship_orders", "large_volume_orders", "order_interarrival_stats",
+    "benford_price_digits", "canonical_token_dedup",
+    "consistent_hash_shards", "tile_pyramid_plan", "letterbox_pad_plan",
+    "rolling_median_value", "topk_types_with_other", "discount_tax_grid",
+    "embedding_sparsity_by_label", "nation_pair_trade",
+    "top_supplier_quarter", "order_priority_migration",
+    "cross_source_leakage", "stream_dedup_gate", "repeat_purchase_rate",
+    "linestatus_priority_counts", "disjunctive_revenue",
+    "sole_late_supplier", "zorder_clustering_audit",
+    "priority_month_bitmap", "caption_truncation_audit",
+    "forecast_revenue_change", "customer_order_distribution",
+    "small_order_revenue", "nation_share_of_region", "scan_pruning_audit",
+    "compaction_plan", "above_customer_avg_orders",
+    "supplier_part_breadth",
+    # longest-unchecked earlier round-4 twins
+    "cume_dist_prices", "fingerprint_hamming_histogram", "hapax_rate",
+    "zipf_slope", "brand_pair_lift", "rfm_segments", "yoy_growth",
+    "caption_stats_by_aspect", "format_dim_stats", "hour_dow_heatmap",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3778,6 +3820,32 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_rows)::BIGINT AS n_rows,
                    MIN(month) AS first_month, MAX(month) AS last_month
             FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "vocab_growth_curve": """
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            f AS (SELECT tok, MIN(doc_id) // 25 AS cp FROM t GROUP BY 1),
+            births AS (SELECT cp, COUNT(*)::BIGINT AS n_new_types
+                       FROM f GROUP BY 1),
+            occ AS (SELECT doc_id // 25 AS cp, COUNT(*)::BIGINT AS n_tokens
+                    FROM t GROUP BY 1)
+            SELECT occ.cp::BIGINT AS checkpoint, occ.n_tokens,
+                   COALESCE(births.n_new_types, 0)::BIGINT AS n_new_types,
+                   SUM(COALESCE(births.n_new_types, 0))
+                       OVER (ORDER BY occ.cp)::BIGINT AS cum_types
+            FROM occ LEFT JOIN births ON occ.cp = births.cp
+            ORDER BY 1
+        """,
+        "user_activity_span_stats": """
+            WITH u AS (SELECT user_id,
+                              (CAST(EPOCH_US(MAX(ts)) AS BIGINT)
+                               - CAST(EPOCH_US(MIN(ts)) AS BIGINT))
+                              // 86400000000 // 7 AS span_weeks
+                       FROM events GROUP BY 1)
+            SELECT span_weeks::BIGINT AS span_weeks,
+                   COUNT(*)::BIGINT AS n_users
+            FROM u GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

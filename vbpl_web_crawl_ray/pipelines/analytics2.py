@@ -1010,3 +1010,38 @@ def q_session_entry_exit(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
     return (out.astype({"n_sessions": "int64"})
                .sort_values(["entry_type", "exit_type"])
                .reset_index(drop=True))
+
+
+def q_user_activity_span_stats(sf_dir: str) -> pd.DataFrame:
+    """User lifetime-span histogram: each user's activity extent
+    (last event minus first, whole weeks) bucketed into a bounded
+    count-of-users-per-span table. MIN/MAX merge order-free inside
+    user-hash buckets (exact int64 µs), the span is one integer
+    floor-division chain (µs -> days -> weeks), and only (span_weeks,
+    n_users) cells leave the bucket."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64")
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                              "mn": us, "mx": us})
+                .groupby("user_id", as_index=False)
+                .agg(mn=("mn", "min"), mx=("mx", "max")))
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("user_id", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"))
+        weeks = ((a["mx"].to_numpy(np.int64) - a["mn"].to_numpy(np.int64))
+                 // 86_400_000_000) // 7
+        return (pd.DataFrame({"span_weeks": weeks, "n_users": np.int64(1)})
+                .groupby("span_weeks", as_index=False).sum())
+
+    out = (bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        "user_id", spans, num_buckets=4).to_pandas()
+        .groupby("span_weeks", as_index=False).sum())
+    return (out.astype({"span_weeks": "int64", "n_users": "int64"})
+               .sort_values("span_weeks").reset_index(drop=True))

@@ -840,3 +840,55 @@ def q_zipf_slope(sf_dir: str, k: int = 100) -> pd.DataFrame:
                           "n_points": g["n"].astype("int64"),
                           "zipf_slope": round_half_away(slope, 6)})
             .sort_values("source").reset_index(drop=True))
+
+
+def q_vocab_growth_curve(sf_dir: str, block_docs: int = 25) -> pd.DataFrame:
+    """Heaps'-law vocabulary growth curve — the tokenizer-budget planner:
+    cumulative distinct word types vs token volume at fixed doc-id
+    checkpoints. The distributed trick is FIRST-OCCURRENCE ATTRIBUTION:
+    each type's first appearance is a min-reduce of doc_id inside token
+    hash buckets (exact, order-free), each checkpoint then owns the
+    count of types born in it, and the cumulative curve is one prefix
+    sum over the bounded checkpoint table. Occurrence volume per
+    checkpoint is an ordinary integer partial from the same scan. No
+    global sort, no driver token set — only (token-hash-bucketed
+    (token, min_doc) pairs and tiny integer cells move."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy(np.int64)
+        flat = pd.DataFrame({
+            "tok": np.concatenate(toks.to_numpy()),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), n)})
+        return flat.groupby("tok", as_index=False)["doc_id"].min()
+
+    def first_seen(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("tok", as_index=False)["doc_id"].min()
+        return (pd.DataFrame({"checkpoint": f["doc_id"].to_numpy(np.int64)
+                              // block_docs,
+                              "n_new_types": np.int64(1)})
+                .groupby("checkpoint", as_index=False).sum())
+
+    births = (bucketed_group_apply(
+        docs.map_batches(tok_partial, batch_format="pandas"),
+        "tok", first_seen, num_buckets=4).to_pandas()
+        .groupby("checkpoint", as_index=False).sum())
+
+    def occ_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split(" ").str.len().to_numpy(np.int64)
+        return (pd.DataFrame({"checkpoint": df["doc_id"].to_numpy(np.int64)
+                              // block_docs, "n_tokens": n})
+                .groupby("checkpoint", as_index=False).sum())
+
+    occ = (docs.map_batches(occ_partial, batch_format="pandas").to_pandas()
+           .groupby("checkpoint", as_index=False).sum())
+    out = occ.merge(births, on="checkpoint", how="left").fillna(0)
+    out = (out.astype({"checkpoint": "int64", "n_tokens": "int64",
+                       "n_new_types": "int64"})
+              .sort_values("checkpoint").reset_index(drop=True))
+    out["cum_types"] = out["n_new_types"].cumsum().astype("int64")
+    return out
