@@ -282,6 +282,37 @@ def _crawl_fail_taxonomy(sf_dir: str):
                .sort_values("status").reset_index(drop=True))
 
 
+def _crawl_politeness_audit(sf_dir: str):
+    """Politeness audit off the crawl log: per host, fetches and the
+    MINIMUM inter-fetch gap in logical fetch-time units — the SLA table
+    proving no host was hammered. Rows-only (the scheduler's clock is
+    not SQL-visible); the audit itself is the pin: a negative or
+    sub-delay min gap is a politeness bug."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    out_dir = _run_crawl_cached(sf_dir, dict(n_hosts=3, pages_per_host=2,
+                                             docs_per_page=4))
+    t = pq.read_table(
+        sorted(glob.glob(f"{out_dir}/crawl_log/round=*/part-*.parquet")),
+        columns=["host", "fetch_time"]).to_pandas()
+    t = t.sort_values(["host", "fetch_time"])
+    same = t["host"].to_numpy()[1:] == t["host"].to_numpy()[:-1]
+    gaps = np.diff(t["fetch_time"].to_numpy())[same]
+    hosts = t["host"].to_numpy()[1:][same]
+    g = (pd.DataFrame({"host": hosts, "gap": gaps})
+         .groupby("host", as_index=False)
+         .agg(n_gaps=("gap", "size"), min_gap=("gap", "min")))
+    n = t.groupby("host", as_index=False).size() \
+         .rename(columns={"size": "n_fetches"})
+    out = n.merge(g, on="host", how="left").fillna(0)
+    return (out.astype({"n_fetches": "int64", "n_gaps": "int64"})
+               .sort_values("host").reset_index(drop=True))
+
+
 def _stream_user_state(sf_dir: str):
     """Actor-held incremental per-user state (count/sum/EMA) over the
     ts-ordered events log (rows-only: EMA is not SQL-expressible)."""
@@ -1279,6 +1310,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_curve": CP.q_vocab_growth_curve,
         # user lifetime-span histogram (order-free min/max extents)
         "user_activity_span_stats": AN2.q_user_activity_span_stats,
+        # pair co-occurrence via bounded bitmask histogram
+        "event_type_cooccurrence": AN2.q_event_type_cooccurrence,
+        # one-pass Gram-matrix PCA, driver-side power iteration
+        "embedding_gram_pca": AN2.q_embedding_gram_pca,
+        # per-host min inter-fetch gap SLA table (rows-only)
+        "crawl_politeness_audit": _crawl_politeness_audit,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -3846,6 +3883,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT span_weeks::BIGINT AS span_weeks,
                    COUNT(*)::BIGINT AS n_users
             FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "event_type_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*)::BIGINT AS n_users
+            FROM d a JOIN d b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

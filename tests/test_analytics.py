@@ -187,3 +187,25 @@ def test_decile_boundaries_match_numpy(ray_session, tmp_path):
     # boundaries are nondecreasing
     row = out.iloc[0].to_numpy()
     assert (np.diff(row) >= 0).all()
+
+
+def test_embedding_gram_pca_matches_eigh(sf_dir):
+    """One-pass Gram + power iteration must agree with numpy's dense
+    eigendecomposition of the same Gram (top eigenpair, sign-fixed)."""
+    import numpy as np
+    import pandas as pd
+
+    from vbpl_web_crawl_ray.pipelines.analytics2 import q_embedding_gram_pca
+
+    out = q_embedding_gram_pca(sf_dir)
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    G = m.T @ m
+    wv, vv = np.linalg.eigh(G)
+    top = vv[:, -1]
+    top = top * (1.0 if top[int(np.argmax(np.abs(top)))] >= 0 else -1.0)
+    assert abs(out["eigenvalue"].iloc[0] - wv[-1]) <= 1e-4 * abs(wv[-1])
+    assert np.max(np.abs(out["loading"].to_numpy() - np.round(top, 6))) \
+        <= 1e-5
+    assert int(out["n_rows"].iloc[0]) == len(m)

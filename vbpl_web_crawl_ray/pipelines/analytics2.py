@@ -1045,3 +1045,96 @@ def q_user_activity_span_stats(sf_dir: str) -> pd.DataFrame:
         .groupby("span_weeks", as_index=False).sum())
     return (out.astype({"span_weeks": "int64", "n_users": "int64"})
                .sort_values("span_weeks").reset_index(drop=True))
+
+
+def q_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Type co-occurrence — for every pair of event types, how many
+    users did BOTH. The distributed trick is the BOUNDED BITMASK
+    HISTOGRAM: each user's type set collapses to one small-int bitmask
+    (BIT_OR merges order-free inside user hash buckets), the masks
+    collapse to a <=2^k-row (mask, n_users) histogram, and every pair
+    count closes on the driver by summing histogram cells whose mask
+    contains both bits — pair counting never touches users again. All
+    integers; the oracle states the same pair semantics via a distinct
+    self-join."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    types = sorted(ev.map_batches(
+        lambda df: df[["event_type"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["event_type"].unique())
+    idx = {t: i for i, t in enumerate(types)}
+    import ray as _ray
+    idxref = _ray.put(idx)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(_ray.get(idxref)).to_numpy(np.int64)
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                              "mask": np.int64(1) << m})
+                .groupby("user_id", as_index=False)
+                .agg(mask=("mask", lambda v: int(np.bitwise_or.reduce(
+                    v.to_numpy(np.int64))))))
+
+    def mask_hist(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False).agg(
+            mask=("mask", lambda v: int(np.bitwise_or.reduce(
+                v.to_numpy(np.int64)))))
+        return (u.groupby("mask", as_index=False).size()
+                 .rename(columns={"size": "n_users"}))
+
+    hist = (bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        "user_id", mask_hist, num_buckets=4).to_pandas()
+        .groupby("mask", as_index=False).sum())
+    masks = hist["mask"].to_numpy(np.int64)
+    counts = hist["n_users"].to_numpy(np.int64)
+    rows = []
+    for i, a in enumerate(types):
+        for j in range(i + 1, len(types)):
+            need = (1 << i) | (1 << j)
+            n = int(counts[(masks & need) == need].sum())
+            if n > 0:   # the oracle's inner join emits no zero pairs
+                rows.append({"type_a": a, "type_b": types[j], "n_users": n})
+    return (pd.DataFrame(rows).astype({"n_users": "int64"})
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+
+
+def q_embedding_gram_pca(sf_dir: str, iters: int = 2000) -> pd.DataFrame:
+    """Distributed PCA, the scale-right way: ONE streaming pass
+    accumulates the d x d Gram matrix (per-batch X^T X partials — d=64,
+    so each block contributes a 32 KB cell regardless of row count) and
+    the driver power-iterates on that bounded matrix for the top
+    component. Rows never revisit; adding components = deflating the
+    same Gram. Rows-only (the Gram partial merge order can drift a
+    float ulp): top eigenvalue + leading loadings are pytest-pinned to
+    numpy's eigh within 1e-6."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+
+    def gram(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        g = m.T @ m
+        return pd.DataFrame({"i": np.repeat(np.arange(g.shape[0]),
+                                            g.shape[1]),
+                             "j": np.tile(np.arange(g.shape[1]),
+                                          g.shape[0]),
+                             "v": g.ravel(), "n": np.int64(len(m))})
+
+    parts = emb.map_batches(gram, batch_format="pandas").to_pandas()
+    d = int(parts["i"].max()) + 1
+    G = np.zeros((d, d))
+    np.add.at(G, (parts["i"].to_numpy(), parts["j"].to_numpy()),
+              parts["v"].to_numpy())
+    n = int(parts[(parts["i"] == 0) & (parts["j"] == 0)]["n"].sum())
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = G @ v
+        v = w / np.linalg.norm(w)
+    eig = float(v @ (G @ v))
+    sign = 1.0 if v[int(np.argmax(np.abs(v)))] >= 0 else -1.0
+    v = v * sign
+    return pd.DataFrame({"component": np.arange(d, dtype=np.int64),
+                         "loading": np.round(v, 6),
+                         "eigenvalue": np.round(eig, 4),
+                         "n_rows": np.int64(n)})
