@@ -1316,6 +1316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram_pca": AN2.q_embedding_gram_pca,
         # per-host min inter-fetch gap SLA table (rows-only)
         "crawl_politeness_audit": _crawl_politeness_audit,
+        # hive-partitioned sink round trip checked by the oracle
+        "partitioned_roundtrip_counts": SO.q_partitioned_roundtrip_counts,
+        # GROUPING-SETS day/week/month/total pyramid from one scan
+        "time_rollup_pyramid": SO.q_time_rollup_pyramid,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -3891,6 +3895,37 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
                  ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "partitioned_roundtrip_counts": """
+            SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "time_rollup_pyramid": """
+            WITH base AS (SELECT o_orderdate AS d,
+                                 CAST(ROUND(o_totalprice * 100, 0)
+                                      AS BIGINT) AS cents
+                          FROM orders),
+            g AS (
+                SELECT 'day' AS granularity,
+                       strftime(d, '%Y-%m-%d') AS bucket,
+                       COUNT(*)::BIGINT AS n_orders,
+                       SUM(cents)::BIGINT AS c
+                FROM base GROUP BY 2
+                UNION ALL
+                SELECT 'week', strftime(date_trunc('week', d), '%Y-%m-%d'),
+                       COUNT(*)::BIGINT, SUM(cents)::BIGINT
+                FROM base GROUP BY 2
+                UNION ALL
+                SELECT 'month', strftime(date_trunc('month', d), '%Y-%m-01'),
+                       COUNT(*)::BIGINT, SUM(cents)::BIGINT
+                FROM base GROUP BY 2
+                UNION ALL
+                SELECT 'total', '*', COUNT(*)::BIGINT, SUM(cents)::BIGINT
+                FROM base)
+            SELECT granularity, bucket, n_orders,
+                   c::DOUBLE / 100.0 AS revenue
+            FROM g ORDER BY granularity, bucket
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

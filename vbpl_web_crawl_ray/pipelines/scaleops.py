@@ -608,3 +608,85 @@ def q_compaction_plan(sf_dir: str, target_rows: int = 5000) -> pd.DataFrame:
     return (out.astype({"out_group": "int64", "n_input_files": "int64",
                         "n_rows": "int64"})
                .sort_values("out_group").reset_index(drop=True))
+
+
+def q_partitioned_roundtrip_counts(sf_dir: str) -> pd.DataFrame:
+    """Resumable-sink round trip UNDER THE ORACLE: orders write to a
+    hive-partitioned parquet store (one directory per priority — the
+    restart-unit layout every long job needs), the store is read BACK,
+    and the per-partition row counts of the re-read data are what the
+    SQL twin checks. A silent drop or duplicate in either the sink or
+    the partitioned read breaks the count — this is the write path's
+    correctness gate, not a computed report. Scratch lives under /tmp
+    keyed by sf so reruns are idempotent (overwrite, never append)."""
+    import shutil
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/vbpl_roundtrip_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    o.write_parquet(out_dir, partition_cols=["o_orderpriority"])
+
+    back = rd.read_parquet(out_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_orderpriority", as_index=False).size()
+                  .rename(columns={"size": "n_rows"}))
+
+    out = (back.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("o_orderpriority", as_index=False).sum())
+    # hive partition values ride URL-encoded in the directory name
+    from urllib.parse import unquote
+    out["o_orderpriority"] = out["o_orderpriority"].astype(str).map(unquote)
+    return (out.astype({"n_rows": "int64"})
+               .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_time_rollup_pyramid(sf_dir: str) -> pd.DataFrame:
+    """GROUPING-SETS pyramid from ONE scan: revenue by day, week, month
+    and grand total, each row labelled with its granularity. The scan
+    emits per-batch PER-DAY integer partials only (the finest grain —
+    bounded by the calendar, ~2.5k rows); week, month and total derive
+    from the merged day table driver-side, so the pyramid costs one
+    pass + bounded arithmetic, not four scans. Buckets are labelled by
+    their ISO start date in both engines; money is exact integer
+    cents."""
+    o = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        day = df["o_orderdate"].astype("int64").to_numpy() \
+            // 86_400_000_000
+        return (pd.DataFrame({"day": day, "cents": cents,
+                              "n_orders": np.int64(1)})
+                .groupby("day", as_index=False).sum())
+
+    days = (o.map_batches(per_day, batch_format="pandas").to_pandas()
+            .groupby("day", as_index=False).sum())
+    d = days["day"].to_numpy(np.int64)
+    stamp = pd.to_datetime(d * 86_400_000_000, unit="us")
+    week = d - ((d + 3) % 7)            # ISO Monday (epoch day 0 = Thu)
+    frames = [
+        pd.DataFrame({"granularity": "day",
+                      "bucket": stamp.strftime("%Y-%m-%d"),
+                      "cents": days["cents"], "n_orders": days["n_orders"]}),
+        pd.DataFrame({"granularity": "week",
+                      "bucket": pd.to_datetime(
+                          week * 86_400_000_000, unit="us")
+                      .strftime("%Y-%m-%d"),
+                      "cents": days["cents"], "n_orders": days["n_orders"]}),
+        pd.DataFrame({"granularity": "month",
+                      "bucket": stamp.strftime("%Y-%m-01"),
+                      "cents": days["cents"], "n_orders": days["n_orders"]}),
+        pd.DataFrame({"granularity": "total", "bucket": "*",
+                      "cents": days["cents"], "n_orders": days["n_orders"]}),
+    ]
+    out = (pd.concat(frames, ignore_index=True)
+           .groupby(["granularity", "bucket"], as_index=False).sum())
+    out = out.astype({"cents": "int64", "n_orders": "int64"})
+    out["revenue"] = out["cents"].to_numpy(np.float64) / 100.0
+    return (out.drop(columns=["cents"])
+               .sort_values(["granularity", "bucket"])
+               .reset_index(drop=True))
