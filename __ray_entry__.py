@@ -1320,6 +1320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_roundtrip_counts": SO.q_partitioned_roundtrip_counts,
         # GROUPING-SETS day/week/month/total pyramid from one scan
         "time_rollup_pyramid": SO.q_time_rollup_pyramid,
+        # point-in-time temporal join vs the SCD2 dimension
+        "scd2_asof_lookup": R3.q_scd2_asof_lookup,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -3926,6 +3928,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT granularity, bucket, n_orders,
                    c::DOUBLE / 100.0 AS revenue
             FROM g ORDER BY granularity, bucket
+        """,
+        "scd2_asof_lookup": """
+            WITH dim AS (SELECT user_id, ts AS valid_from,
+                                LEAD(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                                    AS valid_to,
+                                ROW_NUMBER() OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                    AS version
+                         FROM events WHERE event_type = 'purchase'),
+            f AS (SELECT d.version
+                  FROM events e JOIN dim d
+                       ON e.user_id = d.user_id
+                      AND e.ts >= d.valid_from
+                      AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+                  WHERE e.event_type = 'click')
+            SELECT version::BIGINT AS version,
+                   COUNT(*)::BIGINT AS n_clicks
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

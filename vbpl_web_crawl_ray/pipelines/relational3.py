@@ -593,3 +593,53 @@ def q_peak_minute_per_type(sf_dir: str) -> pd.DataFrame:
                .astype({"n_events": "int64"})
                [["event_type", "peak_minute", "n_events"]]
                .sort_values("event_type").reset_index(drop=True))
+
+
+def q_scd2_asof_lookup(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time TEMPORAL JOIN against the SCD2 dimension: every
+    click resolves the purchase-version of its user that was valid AT
+    the click's timestamp (the last purchase at-or-before it), reported
+    as clicks-served-per-version. The naive form is an interval theta
+    join; here both event types co-locate in whole-user buckets and the
+    lookup closes as TWO global ``np.searchsorted`` calls over a
+    composite (user-code x global-time-rank) int64 key — a click at
+    exactly a purchase's timestamp takes that version, and duplicate
+    purchase timestamps collapse to the last duplicate (its interval is
+    the non-empty one), both stated identically by the oracle's
+    [valid_from, valid_to) join. All integers; versions are counts, so
+    the output is a bounded histogram."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(("click", "purchase"))]
+
+    def lookup(g: pd.DataFrame) -> pd.DataFrame:
+        uidx, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        is_c = (g["event_type"] == "click").to_numpy()
+        pu, pt = uidx[is_p], t[is_p]
+        cu, ct = uidx[is_c], t[is_c]
+        if not len(pt) or not len(ct):
+            return pd.DataFrame({"version": pd.Series(dtype="int64"),
+                                 "n_clicks": pd.Series(dtype="int64")})
+        pts = np.sort(pt)
+        big = np.int64(len(pts) + 2)
+        key_p = np.sort(pu.astype(np.int64) * big
+                        + np.searchsorted(pts, pt, side="right"))
+        key_c = cu.astype(np.int64) * big \
+            + np.searchsorted(pts, ct, side="right")
+        upto = np.searchsorted(key_p, key_c, side="right")
+        start = np.searchsorted(key_p, cu.astype(np.int64) * big,
+                                side="left")
+        ver = (upto - start).astype(np.int64)
+        ver = ver[ver > 0]          # clicks before any purchase drop
+        return (pd.DataFrame({"version": ver, "n_clicks": np.int64(1)})
+                .groupby("version", as_index=False).sum())
+
+    out = (bucketed_group_apply(
+        ev.map_batches(pre, batch_format="pandas"),
+        "user_id", lookup, num_buckets=4).to_pandas()
+        .groupby("version", as_index=False).sum())
+    return (out.astype({"version": "int64", "n_clicks": "int64"})
+               .sort_values("version").reset_index(drop=True))
