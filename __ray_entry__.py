@@ -313,6 +313,42 @@ def _crawl_politeness_audit(sf_dir: str):
                .sort_values("host").reset_index(drop=True))
 
 
+def _crawl_round_delta(sf_dir: str):
+    """Incremental-ingest audit over the multi-round payload store: per
+    crawl round, how many images landed and how many were NEW (first
+    round owning that image_id) — the per-increment ledger a resumable
+    ingest publishes so a re-run can prove it added exactly the delta.
+    First-seen resolves as a min-reduce of round per image_id (the
+    vocab-growth first-occurrence pattern on the store's own output).
+    Rows-only: the sim-web store is not SQL-visible; determinism is
+    digest-pinned."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    out_dir = _run_crawl_cached(sf_dir, dict(n_hosts=3, pages_per_host=2,
+                                             docs_per_page=4))
+    frames = []
+    for f in sorted(glob.glob(f"{out_dir}/payload/round=*/*.parquet")):
+        r = int(f.split("round=")[1].split("/")[0])
+        t = pq.read_table(f, columns=["image_id"]).to_pandas()
+        t["round"] = r
+        frames.append(t)
+    t = pd.concat(frames, ignore_index=True)
+    first = (t.groupby("image_id", as_index=False)["round"].min()
+              .rename(columns={"round": "first_round"}))
+    per_round = (t.groupby("round", as_index=False).size()
+                  .rename(columns={"size": "n_images"}))
+    new = (first.groupby("first_round", as_index=False).size()
+                .rename(columns={"first_round": "round",
+                                 "size": "n_new"}))
+    out = per_round.merge(new, on="round", how="left").fillna(0)
+    return (out.astype({"round": "int64", "n_images": "int64",
+                        "n_new": "int64"})
+               .sort_values("round").reset_index(drop=True))
+
+
 def _stream_user_state(sf_dir: str):
     """Actor-held incremental per-user state (count/sum/EMA) over the
     ts-ordered events log (rows-only: EMA is not SQL-expressible)."""
@@ -1322,6 +1358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_rollup_pyramid": SO.q_time_rollup_pyramid,
         # point-in-time temporal join vs the SCD2 dimension
         "scd2_asof_lookup": R3.q_scd2_asof_lookup,
+        # per-round new-vs-total ingest ledger (rows-only)
+        "crawl_round_delta": _crawl_round_delta,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
