@@ -483,8 +483,14 @@ def q_canonical_token_dedup(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"source": df["source"].to_numpy(),
                              "ex": ex, "bag": bag})
 
+    # three consumers (n_docs, n_exact, n_bags) read this dataset; without
+    # materialize() each consumption re-executes the md5+sort lineage.
+    # The fingerprint table is (source, 2x32-hex) per doc — tiny relative
+    # to the text it replaces — so pinning it in the object store is the
+    # right trade at any scale.
     fp = docs.map_batches(plant, batch_format="pandas") \
-             .map_batches(fingerprints, batch_format="pandas")
+             .map_batches(fingerprints, batch_format="pandas") \
+             .materialize()
 
     def distinct_per_source(col):
         def inner(g: pd.DataFrame) -> pd.DataFrame:
