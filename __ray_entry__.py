@@ -1360,6 +1360,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_asof_lookup": R3.q_scd2_asof_lookup,
         # per-round new-vs-total ingest ledger (rows-only)
         "crawl_round_delta": _crawl_round_delta,
+        # stopword-mass profile per source (list stated in the oracle)
+        "stopword_ratio_by_source": CP.q_stopword_ratio_by_source,
+        # zlib compressibility curation signal (rows-only, real codec)
+        "compression_ratio_by_source": CP.q_compression_ratio_by_source,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -3985,6 +3989,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT version::BIGINT AS version,
                    COUNT(*)::BIGINT AS n_clicks
             FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "stopword_ratio_by_source": """
+            WITH t AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents)
+            SELECT source,
+                   COUNT(*) FILTER (WHERE tok IN
+                       ('a', 'and', 'in', 'is', 'of', 'the', 'to'))
+                       ::BIGINT AS n_stop,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   COUNT(*) FILTER (WHERE tok IN
+                       ('a', 'and', 'in', 'is', 'of', 'the', 'to'))
+                       ::DOUBLE / COUNT(*)::DOUBLE AS stop_share
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -41,3 +41,16 @@ def test_bigram_topk_deterministic_ties(sf_dir):
     # sorted by (n desc, bigram asc) — deterministic under ties
     rows = list(zip(out["n"], out["bigram"]))
     assert rows == sorted(rows, key=lambda r: (-r[0], r[1]))
+
+
+def test_compression_ratio_deterministic_and_sane(sf_dir):
+    from vbpl_web_crawl_ray.pipelines.corpus import (
+        q_compression_ratio_by_source,
+    )
+
+    a = q_compression_ratio_by_source(sf_dir)
+    b = q_compression_ratio_by_source(sf_dir)
+    assert a.equals(b)
+    assert (a["comp_bytes"] > 0).all()
+    # natural-language synth text must compress but not vanish
+    assert ((a["ratio"] > 0.05) & (a["ratio"] < 1.0)).all()

@@ -892,3 +892,65 @@ def q_vocab_growth_curve(sf_dir: str, block_docs: int = 25) -> pd.DataFrame:
               .sort_values("checkpoint").reset_index(drop=True))
     out["cum_types"] = out["n_new_types"].cumsum().astype("int64")
     return out
+
+
+def q_stopword_ratio_by_source(sf_dir: str) -> pd.DataFrame:
+    """Stopword-mass profile per source — the register/quality signal
+    beside hapax rate and type-token ratio: what fraction of each
+    source's token stream is function words? Per-batch (source,
+    stop, total) integer partials only; the 7-word list is stated
+    verbatim in the oracle so the classifier is identical, and the one
+    share division is exact int/int."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    stops = EN_STOPWORDS
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy(np.int64)
+        flat = pd.DataFrame({
+            "source": np.repeat(df["source"].to_numpy(), n),
+            "stop": np.isin(np.concatenate(toks.to_numpy()),
+                            list(stops)).astype(np.int64)})
+        return (flat.assign(n_tokens=np.int64(1))
+                    .groupby("source", as_index=False)
+                    .agg(n_stop=("stop", "sum"),
+                         n_tokens=("n_tokens", "sum")))
+
+    out = (docs.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("source", as_index=False).sum())
+    out = out.astype({"n_stop": "int64", "n_tokens": "int64"})
+    out["stop_share"] = (out["n_stop"].to_numpy(np.float64)
+                         / out["n_tokens"].to_numpy(np.float64))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_compression_ratio_by_source(sf_dir: str) -> pd.DataFrame:
+    """Compressibility audit per source (rows-only: no SQL zlib) — the
+    RefinedWeb-style redundancy signal: highly compressible text is
+    boilerplate/repetition, incompressible text is noise; both tails get
+    cut in curation. zlib level 6 per document inside map_batches (the
+    codec's inherent per-doc unit — a REAL compressor, deterministic
+    across runs and platforms by the DEFLATE spec), per-batch (source,
+    raw, compressed) integer partials, one exact division per source.
+    Determinism + ratio-sanity are pytest-pinned."""
+    import zlib
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        raw = df["text"].str.len().to_numpy(np.int64)
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode(), 6)) for t in df["text"]),
+            dtype=np.int64, count=len(df))
+        return (pd.DataFrame({"source": df["source"].to_numpy(),
+                              "raw_bytes": raw, "comp_bytes": comp})
+                .groupby("source", as_index=False).sum())
+
+    out = (docs.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("source", as_index=False).sum())
+    out = out.astype({"raw_bytes": "int64", "comp_bytes": "int64"})
+    out["ratio"] = (out["comp_bytes"].to_numpy(np.float64)
+                    / out["raw_bytes"].to_numpy(np.float64))
+    return out.sort_values("source").reset_index(drop=True)
