@@ -1364,6 +1364,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_ratio_by_source": CP.q_stopword_ratio_by_source,
         # zlib compressibility curation signal (rows-only, real codec)
         "compression_ratio_by_source": CP.q_compression_ratio_by_source,
+        # whitespace-vs-BPE-regex tokenizer budget multiplier
+        "token_fertility_by_source": CP.q_token_fertility_by_source,
+        # 1-NN label agreement embedding eval (rows-only, brute pinned)
+        "knn_label_agreement": AN.q_knn_label_agreement,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4003,6 +4007,17 @@ def oracle_sql() -> dict[str, str]:
                        ('a', 'and', 'in', 'is', 'of', 'the', 'to'))
                        ::DOUBLE / COUNT(*)::DOUBLE AS stop_share
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "token_fertility_by_source": r"""
+            SELECT source,
+                   SUM(len(string_split(text, ' ')))::BIGINT
+                       AS n_ws_tokens,
+                   SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+                       ::BIGINT AS n_regex_tokens,
+                   SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+                       ::DOUBLE / SUM(len(string_split(text, ' ')))::DOUBLE
+                       AS fertility
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

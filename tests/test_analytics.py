@@ -209,3 +209,24 @@ def test_embedding_gram_pca_matches_eigh(sf_dir):
     assert np.max(np.abs(out["loading"].to_numpy() - np.round(top, 6))) \
         <= 1e-5
     assert int(out["n_rows"].iloc[0]) == len(m)
+
+
+def test_knn_label_agreement_matches_bruteforce(sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from vbpl_web_crawl_ray.pipelines.analytics import q_knn_label_agreement
+
+    out = q_knn_label_agreement(sf_dir)
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    np.fill_diagonal(s, -np.inf)
+    nn = s.argmax(axis=1)
+    lab = e["label"].to_numpy()
+    agree = pd.DataFrame({"label": lab, "a": (lab[nn] == lab).astype(int)})
+    want = agree.groupby("label", as_index=False)["a"].sum()
+    got = out.set_index("label")["n_agree"]
+    for _, r in want.iterrows():
+        assert int(got[r["label"]]) == int(r["a"])

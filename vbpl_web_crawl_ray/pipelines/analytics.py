@@ -586,3 +586,50 @@ def q_embedding_sparsity_by_label(sf_dir: str,
     out["near_zero_share"] = (out["n_near_zero"].to_numpy(np.float64)
                               / out["n_dims"].to_numpy(np.float64))
     return out.sort_values("label").reset_index(drop=True)
+
+
+def q_knn_label_agreement(sf_dir: str) -> pd.DataFrame:
+    """Embedding-quality evaluation: does each vector's nearest
+    neighbour (cosine, self excluded) share its label? Per label:
+    vectors, agreeing neighbours, agreement share. Each batch scores
+    against a ray.put broadcast of the full matrix (one matmul per
+    batch — the brute-force baseline; the IVF/LSH stages are the stated
+    scale path, trading exactness for candidate lists). Rows-only: the
+    64-float dot order differs between engines, so argmax parity is
+    pinned by a brute-force pytest instead of SQL."""
+    import ray as _ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    all_df = emb.to_pandas()
+    m = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = all_df["vec_id"].to_numpy(np.int64)
+    labels = all_df["label"].to_numpy(np.int64)
+    mref = _ray.put((m, ids, labels))
+
+    class NN:
+        def __init__(self):
+            self.m, self.ids, self.labels = _ray.get(mref)
+            self.pos = {int(v): i for i, v in enumerate(self.ids)}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ self.m.T
+            rows = np.array([self.pos[int(v)] for v in df["vec_id"]])
+            sims[np.arange(len(q)), rows] = -np.inf   # exclude self
+            nn = sims.argmax(axis=1)
+            agree = (self.labels[nn]
+                     == df["label"].to_numpy(np.int64)).astype(np.int64)
+            return (pd.DataFrame({"label": df["label"].to_numpy(np.int64),
+                                  "n_vecs": np.int64(1), "n_agree": agree})
+                    .groupby("label", as_index=False).sum())
+
+    out = (emb.map_batches(NN, batch_format="pandas",
+                           concurrency=(1, 4)).to_pandas()
+           .groupby("label", as_index=False).sum())
+    out = out.astype({"label": "int64", "n_vecs": "int64",
+                      "n_agree": "int64"})
+    out["agreement"] = (out["n_agree"].to_numpy(np.float64)
+                        / out["n_vecs"].to_numpy(np.float64))
+    return out.sort_values("label").reset_index(drop=True)

@@ -954,3 +954,31 @@ def q_compression_ratio_by_source(sf_dir: str) -> pd.DataFrame:
     out["ratio"] = (out["comp_bytes"].to_numpy(np.float64)
                     / out["raw_bytes"].to_numpy(np.float64))
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_token_fertility_by_source(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility per source — the budget multiplier between a
+    whitespace word count and the BPE-ish regex tokenization (words +
+    punctuation marks): fertility > 1 means punctuation-heavy text that
+    will cost more subword tokens than its word count suggests. BOTH
+    counts come from the same one pass (vectorized str kernels, the
+    regex identical to the oracle's regexp_extract_all), partials are
+    integers, and the fertility division is exact int/int."""
+    from ..stages.textstats import _BPE_TOKEN
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ws = df["text"].str.split(" ").str.len().astype("int64")
+        bpe = df["text"].str.count(_BPE_TOKEN).astype("int64")
+        return (pd.DataFrame({"source": df["source"].to_numpy(),
+                              "n_ws_tokens": ws, "n_regex_tokens": bpe})
+                .groupby("source", as_index=False).sum())
+
+    out = (docs.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("source", as_index=False).sum())
+    out = out.astype({"n_ws_tokens": "int64", "n_regex_tokens": "int64"})
+    out["fertility"] = (out["n_regex_tokens"].to_numpy(np.float64)
+                        / out["n_ws_tokens"].to_numpy(np.float64))
+    return out.sort_values("source").reset_index(drop=True)
