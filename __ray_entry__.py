@@ -1368,6 +1368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_fertility_by_source": CP.q_token_fertility_by_source,
         # 1-NN label agreement embedding eval (rows-only, brute pinned)
         "knn_label_agreement": AN.q_knn_label_agreement,
+        # input_hint storage contract: Lance-seam write+read under oracle
+        "payload_lance_roundtrip": P.q_payload_lance_roundtrip,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4017,6 +4019,14 @@ def oracle_sql() -> dict[str, str]:
                    SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
                        ::DOUBLE / SUM(len(string_split(text, ' ')))::DOUBLE
                        AS fertility
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "payload_lance_roundtrip": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                       AS fmt,
+                   COUNT(*)::BIGINT AS n_images,
+                   SUM((48 + doc_id % 33)
+                       * (48 + (doc_id * 7) % 33))::BIGINT AS pixels
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:

@@ -639,3 +639,32 @@ def q_phash_bit_balance(sf_dir: str) -> pd.DataFrame:
            .groupby("bit", as_index=False).sum())
     return (out.astype({c: "int64" for c in out.columns})
                .sort_values("bit").reset_index(drop=True))
+
+
+def q_payload_lance_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """The input_hint's storage contract under the oracle: the full
+    image+caption payload table (image_id, bytes, w, h, fmt, caption,
+    phash) writes through the Lance seam (real `lance` when the library
+    exists, the manifest-marked parquet stand-in here), reads BACK
+    through the same seam, and the re-read per-format counts + pixel
+    totals are what the SQL twin checks — a row lost or duplicated by
+    the sink, the manifest, or the partitioned read breaks the count.
+    Scratch is keyed by sf and overwritten, never appended."""
+    from ..sources import lancefmt
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/vbpl_lance_{tag}"
+    lancefmt.write_table(payload_table(sf_dir), path)
+    back = lancefmt.read_table(path, columns=["fmt", "w", "h"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        return (pd.DataFrame({"fmt": df["fmt"].to_numpy(),
+                              "n_images": np.int64(1), "pixels": w * h})
+                .groupby("fmt", as_index=False).sum())
+
+    out = (back.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("fmt", as_index=False).sum())
+    return (out.astype({"n_images": "int64", "pixels": "int64"})
+               .sort_values("fmt").reset_index(drop=True))
