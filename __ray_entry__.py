@@ -1407,7 +1407,8 @@ _WINDOW_R4 = [
     # longest-unchecked earlier round-4 twins
     "cume_dist_prices", "fingerprint_hamming_histogram", "hapax_rate",
     "zipf_slope", "brand_pair_lift", "rfm_segments", "yoy_growth",
-    "caption_stats_by_aspect", "format_dim_stats", "hour_dow_heatmap",
+    "caption_stats_by_aspect", "format_dim_stats",
+    "payload_lance_roundtrip",
 ]
 
 
