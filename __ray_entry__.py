@@ -1370,6 +1370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": AN.q_knn_label_agreement,
         # input_hint storage contract: Lance-seam write+read under oracle
         "payload_lance_roundtrip": P.q_payload_lance_roundtrip,
+        # max-min-fair (water-filling) budget allocation, all integer
+        "fair_crawl_budget": SO.q_fair_crawl_budget,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4029,6 +4031,35 @@ def oracle_sql() -> dict[str, str]:
                    SUM((48 + doc_id % 33)
                        * (48 + (doc_id * 7) % 33))::BIGINT AS pixels
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "fair_crawl_budget": """
+            WITH d AS (SELECT user_id, COUNT(*)::BIGINT AS c
+                       FROM events GROUP BY 1),
+            t AS (SELECT (SUM(c) // 3)::BIGINT AS b,
+                         COUNT(*)::BIGINT AS n FROM d),
+            o AS (SELECT user_id, c,
+                         (ROW_NUMBER() OVER (ORDER BY c, user_id) - 1)
+                             ::BIGINT AS i,
+                         COALESCE(SUM(c) OVER (ORDER BY c, user_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)::BIGINT AS p
+                  FROM d),
+            s AS (SELECT o.*, t.b, t.n,
+                         CASE WHEN o.c * (t.n - o.i) <= t.b - o.p
+                              THEN 1 ELSE 0 END AS sat
+                  FROM o, t),
+            k AS (SELECT SUM(sat)::BIGINT AS k,
+                         COALESCE(SUM(c) FILTER (WHERE sat = 1), 0)
+                             ::BIGINT AS psat
+                  FROM s)
+            SELECT s.user_id, s.c AS demand,
+                   CASE WHEN s.sat = 1 THEN s.c
+                        ELSE ((s.b - k.psat) // (s.n - k.k))
+                             + CASE WHEN s.i - k.k <
+                                        ((s.b - k.psat) % (s.n - k.k))
+                                    THEN 1 ELSE 0 END
+                   END::BIGINT AS allocation
+            FROM s, k ORDER BY s.user_id
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

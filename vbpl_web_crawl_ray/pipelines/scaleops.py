@@ -690,3 +690,49 @@ def q_time_rollup_pyramid(sf_dir: str) -> pd.DataFrame:
     return (out.drop(columns=["cents"])
                .sort_values(["granularity", "bucket"])
                .reset_index(drop=True))
+
+
+def q_fair_crawl_budget(sf_dir: str, budget_div: int = 3) -> pd.DataFrame:
+    """Max-min-fair (water-filling) budget allocation — the scheduler
+    math a budget-capped crawl runs per cycle: give every key as much of
+    its demand as possible without anyone rich starving anyone poor.
+    Demands = events per user; budget = total // 3. In demand order the
+    saturated set is a PREFIX (key i saturated iff c_i * (n - i) <=
+    B - prefix_sum_i — an exact integer test), the rest split the
+    remaining budget evenly, and the integer remainder goes to the
+    first keys among the unsaturated in (demand, key) order. Per-key
+    demand partials merge in buckets; the waterfill itself closes over
+    the bounded demand table (at a scale past driver-sort, the level
+    resolves by binary search over the demand count-of-counts histogram
+    — the selection-quantile machinery — and only the remainder rule
+    needs a rank pass). All integers, so the oracle's window-function
+    restatement is bit-exact."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", as_index=False).size()
+                  .rename(columns={"size": "c"}))
+
+    d = (ev.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby("user_id", as_index=False).sum()
+         .sort_values(["c", "user_id"]).reset_index(drop=True))
+    c = d["c"].to_numpy(np.int64)
+    n = len(c)
+    total = int(c.sum())
+    budget = total // budget_div
+    p = np.concatenate([[0], np.cumsum(c)[:-1]])      # prefix sums
+    sat = c * (n - np.arange(n)) <= budget - p        # monotone prefix
+    k = int(sat.sum())                                # first unsat index
+    alloc = c.copy()
+    if k < n:
+        remaining = budget - int(p[k])
+        m = n - k
+        base = remaining // m
+        rem = remaining % m
+        alloc[k:] = base
+        alloc[k:k + rem] += 1                         # (demand, key) order
+    return pd.DataFrame({
+        "user_id": d["user_id"].to_numpy(),
+        "demand": c,
+        "allocation": alloc.astype(np.int64),
+    }).sort_values("user_id").reset_index(drop=True)
