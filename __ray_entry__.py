@@ -1372,6 +1372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_lance_roundtrip": P.q_payload_lance_roundtrip,
         # max-min-fair (water-filling) budget allocation, all integer
         "fair_crawl_budget": SO.q_fair_crawl_budget,
+        # rendezvous routing with the minimal-disruption rebalance proven
+        "rendezvous_routing": SO.q_rendezvous_routing,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4060,6 +4062,31 @@ def oracle_sql() -> dict[str, str]:
                                     THEN 1 ELSE 0 END
                    END::BIGINT AS allocation
             FROM s, k ORDER BY s.user_id
+        """,
+        "rendezvous_routing": """
+            WITH nodes AS (SELECT unnest(['n0','n1','n2','n3','n4','n5',
+                                          'n6','n7']) AS node),
+            s AS (SELECT d.doc_id, n.node,
+                         CAST(CONCAT('0x', SUBSTR(md5(
+                             CAST(d.doc_id AS VARCHAR) || '|' || n.node),
+                             1, 16)) AS UBIGINT) AS sc
+                  FROM documents d CROSS JOIN nodes n),
+            b AS (SELECT node, COUNT(*)::BIGINT AS n_before
+                  FROM (SELECT doc_id, node, ROW_NUMBER() OVER (
+                            PARTITION BY doc_id
+                            ORDER BY sc DESC, node) AS r FROM s)
+                  WHERE r = 1 GROUP BY 1),
+            a AS (SELECT node, COUNT(*)::BIGINT AS n_after
+                  FROM (SELECT doc_id, node, ROW_NUMBER() OVER (
+                            PARTITION BY doc_id
+                            ORDER BY sc DESC, node) AS r
+                        FROM s WHERE node != 'n3')
+                  WHERE r = 1 GROUP BY 1)
+            SELECT n.node, COALESCE(b.n_before, 0)::BIGINT AS n_before,
+                   COALESCE(a.n_after, 0)::BIGINT AS n_after
+            FROM nodes n LEFT JOIN b ON n.node = b.node
+                         LEFT JOIN a ON n.node = a.node
+            ORDER BY n.node
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -736,3 +736,49 @@ def q_fair_crawl_budget(sf_dir: str, budget_div: int = 3) -> pd.DataFrame:
         "demand": c,
         "allocation": alloc.astype(np.int64),
     }).sort_values("user_id").reset_index(drop=True)
+
+
+_HRW_NODES = tuple(f"n{i}" for i in range(8))
+_HRW_LEAVER = "n3"
+
+
+def q_rendezvous_routing(sf_dir: str) -> pd.DataFrame:
+    """Rendezvous (highest-random-weight) routing — the consistent
+    placement that, unlike mod-N, moves ONLY the leaving node's keys on
+    a topology change: every doc scores md5(doc_id|node) against all 8
+    nodes and lives on the argmax; the same pass also scores the
+    7-node world without n3, and the per-node (owned-before,
+    owned-after) counts PROVE the minimal-disruption property (nodes
+    other than the leaver only gain). Per-row hashing is the router's
+    inherent unit (batched in map_batches); ties are impossible in
+    practice and broken by node name in both engines; only 8 integer
+    cells leave each block."""
+    import hashlib
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        scores = np.empty((len(ids), len(_HRW_NODES)), dtype=np.uint64)
+        for j, node in enumerate(_HRW_NODES):
+            scores[:, j] = np.fromiter(
+                (int(hashlib.md5(f"{i}|{node}".encode())
+                     .hexdigest()[:16], 16) for i in ids),
+                dtype=np.uint64, count=len(ids))
+        full = scores.argmax(axis=1)
+        masked = scores.copy()
+        masked[:, _HRW_NODES.index(_HRW_LEAVER)] = 0
+        after = masked.argmax(axis=1)
+        g = pd.DataFrame({"node": np.array(_HRW_NODES)[full],
+                          "n_before": np.int64(1)})
+        b = g.groupby("node", as_index=False).sum()
+        a = (pd.DataFrame({"node": np.array(_HRW_NODES)[after],
+                           "n_after": np.int64(1)})
+             .groupby("node", as_index=False).sum())
+        return b.merge(a, on="node", how="outer").fillna(0)
+
+    out = (docs.map_batches(route, batch_format="pandas").to_pandas()
+           .groupby("node", as_index=False).sum())
+    out = out.astype({"n_before": "int64", "n_after": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
