@@ -1374,6 +1374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fair_crawl_budget": SO.q_fair_crawl_budget,
         # rendezvous routing with the minimal-disruption rebalance proven
         "rendezvous_routing": SO.q_rendezvous_routing,
+        # multiset EXCEPT ALL (bag difference with multiplicities)
+        "except_all_counts": R5.q_except_all_counts,
+        # lakehouse snapshot read: round increments <= 2, manifest filter
+        "store_time_travel": SO.q_store_time_travel,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4087,6 +4091,21 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN b ON n.node = b.node
                          LEFT JOIN a ON n.node = a.node
             ORDER BY n.node
+        """,
+        "except_all_counts": """
+            WITH x AS (SELECT user_id FROM events
+                       WHERE event_type = 'click'
+                       EXCEPT ALL
+                       SELECT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT user_id, COUNT(*)::BIGINT AS multiplicity
+            FROM x GROUP BY 1 ORDER BY 1
+        """,
+        "store_time_travel": """
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) <= 1999
+            GROUP BY 1 ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

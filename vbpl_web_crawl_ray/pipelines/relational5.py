@@ -855,3 +855,38 @@ def q_nation_share_of_region(sf_dir: str) -> pd.DataFrame:
                          / tot.to_numpy(np.float64))})
     return (out.sort_values(["region", "nation"])
                .reset_index(drop=True))
+
+
+def q_except_all_counts(sf_dir: str) -> pd.DataFrame:
+    """MULTISET set-op semantics beside the _distinct family: clicks
+    EXCEPT ALL purchases by user — each user survives with multiplicity
+    max(clicks - purchases, 0), the bag difference DISTINCT can't
+    express. Both multiplicities come from ONE scan as (user, +1/+1)
+    integer partials merged in user buckets; the clip is one vectorized
+    max. Only survivors emit (EXCEPT ALL yields no zero rows)."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("click", "purchase"))]
+        t = df["event_type"].to_numpy()
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                              "n_click": (t == "click").astype(np.int64),
+                              "n_purchase": (t == "purchase")
+                              .astype(np.int64)})
+                .groupby("user_id", as_index=False).sum())
+
+    def clip(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("user_id", as_index=False).sum()
+        mult = np.maximum(c["n_click"].to_numpy(np.int64)
+                          - c["n_purchase"].to_numpy(np.int64), 0)
+        keep = mult > 0
+        return pd.DataFrame({"user_id": c["user_id"].to_numpy()[keep],
+                             "multiplicity": mult[keep]})
+
+    out = bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        "user_id", clip, num_buckets=4).to_pandas()
+    return (out.astype({"user_id": "int64", "multiplicity": "int64"})
+               .sort_values("user_id").reset_index(drop=True))

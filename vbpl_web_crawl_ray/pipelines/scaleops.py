@@ -782,3 +782,46 @@ def q_rendezvous_routing(sf_dir: str) -> pd.DataFrame:
            .groupby("node", as_index=False).sum())
     out = out.astype({"n_before": "int64", "n_after": "int64"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_store_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Snapshot / time-travel read over a versioned store: the orders
+    table writes as three round-partitioned increments (round = year
+    bucket — the ingest-cycle analogue of the crawl's round=N dirs), and
+    the query reads the store AS OF round 2 — the union of increments
+    <= 2, exactly what a lakehouse snapshot read does with a manifest
+    filter instead of a data scan. Counts per priority of the snapshot
+    are the oracle-checked result; the round-3 increment existing on
+    disk but staying invisible IS the assertion."""
+    import shutil
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/vbpl_timetravel_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].dt.year.to_numpy(np.int64)
+        df = df.drop(columns=["o_orderdate"]).copy()
+        df["round"] = np.where(y <= 1996, 1, np.where(y <= 1999, 2, 3))
+        return df
+
+    o.map_batches(stamp, batch_format="pandas") \
+     .write_parquet(root, partition_cols=["round"])
+
+    import glob
+    snapshot = rd.read_parquet(sorted(
+        f for r in (1, 2)
+        for f in glob.glob(f"{root}/round={r}/*.parquet")
+    ))   # manifest filter: increments <= 2 only, round 3 never opens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_orderpriority", as_index=False).size()
+                  .rename(columns={"size": "n_orders"}))
+
+    out = (snapshot.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("o_orderpriority", as_index=False).sum())
+    return (out.astype({"n_orders": "int64"})
+               .sort_values("o_orderpriority").reset_index(drop=True))
