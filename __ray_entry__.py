@@ -1378,6 +1378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_all_counts": R5.q_except_all_counts,
         # lakehouse snapshot read: round increments <= 2, manifest filter
         "store_time_travel": SO.q_store_time_travel,
+        # LEB128 varint-delta byte-class audit per key block
+        "delta_encoding_audit": SO.q_delta_encoding_audit,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4106,6 +4108,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE EXTRACT(year FROM o_orderdate) <= 1999
             GROUP BY 1 ORDER BY 1
+        """,
+        "delta_encoding_audit": """
+            WITH d AS (SELECT o_orderkey AS k,
+                              o_orderkey // 4096 AS blk FROM orders),
+            dl AS (SELECT k - COALESCE(LAG(k) OVER (PARTITION BY blk
+                                                    ORDER BY k),
+                                       blk * 4096) AS delta
+                   FROM d),
+            c AS (SELECT CASE WHEN delta < 128 THEN 1
+                              WHEN delta < 16384 THEN 2
+                              WHEN delta < 2097152 THEN 3
+                              WHEN delta < 268435456 THEN 4
+                              ELSE 5 END AS varint_bytes
+                  FROM dl)
+            SELECT c.varint_bytes::BIGINT AS varint_bytes,
+                   COUNT(*)::BIGINT AS n_values,
+                   (c.varint_bytes * COUNT(*))::BIGINT AS total_bytes
+            FROM c GROUP BY c.varint_bytes ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -825,3 +825,48 @@ def q_store_time_travel(sf_dir: str) -> pd.DataFrame:
            .groupby("o_orderpriority", as_index=False).sum())
     return (out.astype({"n_orders": "int64"})
                .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_delta_encoding_audit(sf_dir: str, block_rows: int = 4096) -> pd.DataFrame:
+    """Varint-delta encoding audit — the storage planner's question
+    before choosing a key encoding: sorted within its 4096-key block,
+    how many bytes does each orderkey delta need under LEB128 (1 byte
+    per 7 bits)? Blocks sort independently inside block-hash buckets
+    (the first delta is taken from the block's base key, so blocks
+    never need their neighbour), the byte class is a pure integer
+    threshold chain, and only (class, n) cells leave. The oracle states
+    the same LAG-with-base-default and thresholds."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    o = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def classes(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(g["o_orderkey"].to_numpy(np.int64))
+        blk = k // block_rows
+        base = blk * block_rows
+        prev = np.empty_like(k)
+        prev[1:] = k[:-1]
+        prev[0] = base[0]
+        same = np.empty(len(k), dtype=bool)
+        same[1:] = blk[1:] == blk[:-1]
+        same[0] = False
+        delta = np.where(same, k - prev, k - base)
+        nbytes = (1 + (delta >= 1 << 7).astype(np.int64)
+                  + (delta >= 1 << 14).astype(np.int64)
+                  + (delta >= 1 << 21).astype(np.int64)
+                  + (delta >= 1 << 28).astype(np.int64))
+        return (pd.DataFrame({"varint_bytes": nbytes,
+                              "n_values": np.int64(1)})
+                .groupby("varint_bytes", as_index=False).sum())
+
+    def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__blk=df["o_orderkey"].to_numpy(np.int64)
+                         // block_rows)
+
+    out = (bucketed_group_apply(
+        o.map_batches(add_block, batch_format="pandas"),
+        "__blk", classes, num_buckets=4).to_pandas()
+        .groupby("varint_bytes", as_index=False).sum())
+    out = out.astype({"varint_bytes": "int64", "n_values": "int64"})
+    out["total_bytes"] = out["varint_bytes"] * out["n_values"]
+    return out.sort_values("varint_bytes").reset_index(drop=True)
