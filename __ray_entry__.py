@@ -1380,6 +1380,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_time_travel": SO.q_store_time_travel,
         # LEB128 varint-delta byte-class audit per key block
         "delta_encoding_audit": SO.q_delta_encoding_audit,
+        # hot/cold tiering via exact p90 over the pixel count-of-counts
+        "image_tier_plan": P.q_image_tier_plan,
+        # encoded-payload byte accounting per format (rows-only)
+        "image_bytes_stats": P.q_image_bytes_stats,
+        # Jain's fairness index over per-user loads, exact moments
+        "user_load_fairness": AN2.q_user_load_fairness,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4126,6 +4132,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_values,
                    (c.varint_bytes * COUNT(*))::BIGINT AS total_bytes
             FROM c GROUP BY c.varint_bytes ORDER BY 1
+        """,
+        "image_tier_plan": """
+            WITH d AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'png'
+                                   ELSE 'jpeg' END AS fmt,
+                              (48 + doc_id % 33)
+                              * (48 + (doc_id * 7) % 33) AS px
+                       FROM documents),
+            r AS (SELECT px, 100 * (SUM(COUNT(*)) OVER (ORDER BY px))
+                             AS cr,
+                         90 * (SELECT COUNT(*) FROM d) AS t
+                  FROM d GROUP BY px),
+            b AS (SELECT MIN(px) AS p90 FROM r WHERE cr >= t)
+            SELECT d.fmt,
+                   CASE WHEN d.px >= b.p90 THEN 'cold' ELSE 'hot' END
+                       AS tier,
+                   COUNT(*)::BIGINT AS n_images,
+                   SUM(d.px)::BIGINT AS pixels
+            FROM d, b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_load_fairness": """
+            WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS c
+                       FROM events GROUP BY 1)
+            SELECT COUNT(*)::BIGINT AS n_users,
+                   SUM(c)::BIGINT AS sum_events,
+                   SUM(c * c)::BIGINT AS sum_sq,
+                   (SUM(c)::BIGINT * SUM(c)::BIGINT)::DOUBLE
+                       / (COUNT(*)::BIGINT * SUM(c * c)::BIGINT)::DOUBLE
+                       AS jain_index
+            FROM c
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -142,3 +142,14 @@ def test_phash_bit_balance_shape_and_determinism(sf_dir):
     assert (a["n_set"] > 0).all() and (a["n_set"] < a["n_images"]).all()
     b = q_phash_bit_balance(sf_dir)
     assert a.equals(b)
+
+
+def test_image_bytes_stats_deterministic(sf_dir):
+    from vbpl_web_crawl_ray.pipelines.payloads import q_image_bytes_stats
+
+    a = q_image_bytes_stats(sf_dir)
+    b = q_image_bytes_stats(sf_dir)
+    assert a.equals(b)
+    assert set(a["fmt"]) == {"png", "jpeg"}
+    assert (a["min_bytes"] > 0).all()
+    assert (a["total_bytes"] >= a["max_bytes"]).all()

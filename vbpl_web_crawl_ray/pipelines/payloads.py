@@ -668,3 +668,73 @@ def q_payload_lance_roundtrip(sf_dir: str) -> pd.DataFrame:
            .groupby("fmt", as_index=False).sum())
     return (out.astype({"n_images": "int64", "pixels": "int64"})
                .sort_values("fmt").reset_index(drop=True))
+
+
+def q_image_tier_plan(sf_dir: str) -> pd.DataFrame:
+    """Hot/cold tiering plan for the image store: images at or above the
+    exact 90th-percentile pixel count go cold. The boundary resolves by
+    the integer rank rule (smallest pixel count whose 100*rank >= 90*n)
+    over the pixel COUNT-OF-COUNTS histogram — bounded by the distinct
+    dim grid, so no sort and no value shuffle, the selection-quantile
+    machinery in its smallest form — then one more streaming pass counts
+    (fmt, tier) cells. Integer geometry over the REAL encoded dims; the
+    oracle re-derives dims and states the same rank rule."""
+    imgs = payload_table(sf_dir).select_columns(["fmt", "w", "h"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        px = df["w"].to_numpy(np.int64) * df["h"].to_numpy(np.int64)
+        return (pd.DataFrame({"px": px, "n": np.int64(1)})
+                .groupby("px", as_index=False).sum())
+
+    h = (imgs.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby("px", as_index=False).sum().sort_values("px"))
+    total = int(h["n"].sum())
+    cum = h["n"].cumsum().to_numpy(np.int64)
+    p90 = int(h["px"].to_numpy()[np.argmax(100 * cum >= 90 * total)])
+
+    def tiers(df: pd.DataFrame) -> pd.DataFrame:
+        px = df["w"].to_numpy(np.int64) * df["h"].to_numpy(np.int64)
+        return (pd.DataFrame({"fmt": df["fmt"].to_numpy(),
+                              "tier": np.where(px >= p90, "cold", "hot"),
+                              "n_images": np.int64(1), "pixels": px})
+                .groupby(["fmt", "tier"], as_index=False).sum())
+
+    out = (imgs.map_batches(tiers, batch_format="pandas").to_pandas()
+           .groupby(["fmt", "tier"], as_index=False).sum())
+    return (out.astype({"n_images": "int64", "pixels": "int64"})
+               .sort_values(["fmt", "tier"]).reset_index(drop=True))
+
+
+def q_image_bytes_stats(sf_dir: str) -> pd.DataFrame:
+    """Encoded-payload byte accounting per format (rows-only: encoded
+    sizes are the codec's output, not SQL-derivable): count, total and
+    min/max encoded bytes, plus total pixels — the numerator/denominator
+    a decode-pool sizer divides. All integer partials off the REAL
+    `bytes` column that rode through encode; determinism is
+    pytest-pinned."""
+    imgs = payload_table(sf_dir).select_columns(["fmt", "bytes", "w", "h"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nb = df["bytes"].map(len).to_numpy(np.int64)
+        px = df["w"].to_numpy(np.int64) * df["h"].to_numpy(np.int64)
+        return (pd.DataFrame({"fmt": df["fmt"].to_numpy(),
+                              "n_images": np.int64(1), "total_bytes": nb,
+                              "min_bytes": nb, "max_bytes": nb,
+                              "total_pixels": px})
+                .groupby("fmt", as_index=False)
+                .agg(n_images=("n_images", "sum"),
+                     total_bytes=("total_bytes", "sum"),
+                     min_bytes=("min_bytes", "min"),
+                     max_bytes=("max_bytes", "max"),
+                     total_pixels=("total_pixels", "sum")))
+
+    out = (imgs.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("fmt", as_index=False)
+           .agg(n_images=("n_images", "sum"),
+                total_bytes=("total_bytes", "sum"),
+                min_bytes=("min_bytes", "min"),
+                max_bytes=("max_bytes", "max"),
+                total_pixels=("total_pixels", "sum")))
+    ints = [c for c in out.columns if c != "fmt"]
+    return (out.astype({c: "int64" for c in ints})
+               .sort_values("fmt").reset_index(drop=True))
