@@ -573,3 +573,48 @@ def q_cross_source_leakage(sf_dir: str) -> pd.DataFrame:
     return (out.astype({"n_shared_texts": "int64"})
                .sort_values(["source_a", "source_b"])
                .reset_index(drop=True))
+
+
+def q_dedup_token_savings(sf_dir: str) -> pd.DataFrame:
+    """Dedup accounting in the unit that bills: TOKENS. Per source,
+    the token volume before exact dedup vs after (one copy per distinct
+    text) — dedup_savings' character ledger restated in the budget a
+    trainer actually spends. Raw token partials come straight off each
+    batch; the after-side dedups (source, text) pairs inside text-hash
+    buckets and only (source, tokens) integers leave. One exact int/int
+    division closes the savings share."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = _docs(sf_dir, ("source", "text"))
+
+    def raw(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "tokens_raw": df["text"].str.split(" ").str.len()
+            .to_numpy(np.int64)})
+            .groupby("source", as_index=False).sum())
+
+    before = (docs.map_batches(raw, batch_format="pandas").to_pandas()
+              .groupby("source", as_index=False).sum())
+
+    def dedup_tokens(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["source", "text"])
+        return (pd.DataFrame({
+            "source": d["source"].to_numpy(),
+            "tokens_dedup": d["text"].str.split(" ").str.len()
+            .to_numpy(np.int64)})
+            .groupby("source", as_index=False).sum())
+
+    after = (bucketed_group_apply(
+        docs.map_batches(
+            lambda df: df.drop_duplicates(["source", "text"]),
+            batch_format="pandas"),
+        "text", dedup_tokens, num_buckets=8).to_pandas()
+        .groupby("source", as_index=False).sum())
+
+    out = before.merge(after, on="source")
+    out = out.astype({"tokens_raw": "int64", "tokens_dedup": "int64"})
+    out["savings_share"] = (
+        (out["tokens_raw"] - out["tokens_dedup"]).to_numpy(np.float64)
+        / out["tokens_raw"].to_numpy(np.float64))
+    return out.sort_values("source").reset_index(drop=True)
