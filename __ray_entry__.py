@@ -1388,6 +1388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_load_fairness": AN2.q_user_load_fairness,
         # dedup accounting in tokens (the unit a trainer bills)
         "dedup_token_savings": CU.q_dedup_token_savings,
+        # Q2 shape: cheapest supplier per part, fixed-point unit price
+        "cheapest_supplier_per_part": R5.q_cheapest_supplier_per_part,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4179,6 +4181,21 @@ def oracle_sql() -> dict[str, str]:
                        / raw.tokens_raw::DOUBLE AS savings_share
             FROM raw JOIN ded ON raw.source = ded.source
             ORDER BY raw.source
+        """,
+        "cheapest_supplier_per_part": """
+            WITH u AS (SELECT l_partkey, l_suppkey,
+                              MIN((CAST(ROUND(l_extendedprice * 100, 0)
+                                        AS BIGINT) * 1000000)
+                                  // CAST(ROUND(l_quantity, 0) AS BIGINT))
+                                  AS unit_u
+                       FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT l_partkey, l_suppkey, unit_u,
+                         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                             ORDER BY unit_u, l_suppkey) AS rn
+                  FROM u)
+            SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                   unit_u::DOUBLE / 1e8 AS unit_price
+            FROM r WHERE rn = 1 ORDER BY p_partkey
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -890,3 +890,44 @@ def q_except_all_counts(sf_dir: str) -> pd.DataFrame:
         "user_id", clip, num_buckets=4).to_pandas()
     return (out.astype({"user_id": "int64", "multiplicity": "int64"})
                .sort_values("user_id").reset_index(drop=True))
+
+
+def q_cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2's shape without a partsupp table: the cheapest observed
+    supplier per part from lineitem history. Unit price is the FIXED-
+    POINT integer (cents * 1e6) // qty — stated identically in both
+    engines, so the argmin never compares two float divisions whose last
+    ulps could disagree about a tie; ties break on suppkey. Per-batch
+    per-(part, supplier) min partials collapse the fact side, whole
+    parts co-locate in part-hash buckets for the exact argmin, and one
+    row per part leaves."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        unit_u = (cents * 1_000_000) // qty
+        return (pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
+                              "l_suppkey": df["l_suppkey"].to_numpy(),
+                              "unit_u": unit_u})
+                .groupby(["l_partkey", "l_suppkey"], as_index=False)
+                .min())
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["l_partkey", "l_suppkey"], as_index=False).min()
+        m = m.sort_values(["l_partkey", "unit_u", "l_suppkey"])
+        return m.drop_duplicates("l_partkey", keep="first")
+
+    out = bucketed_group_apply(
+        li.map_batches(partial, batch_format="pandas"),
+        "l_partkey", argmin, num_buckets=4).to_pandas()
+    out["unit_price"] = out["unit_u"].to_numpy(np.float64) / 1e8
+    return (out.drop(columns=["unit_u"])
+               .astype({"l_partkey": "int64", "l_suppkey": "int64"})
+               .rename(columns={"l_partkey": "p_partkey",
+                                "l_suppkey": "s_suppkey"})
+               .sort_values("p_partkey").reset_index(drop=True))
