@@ -1390,6 +1390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_savings": CU.q_dedup_token_savings,
         # Q2 shape: cheapest supplier per part, fixed-point unit price
         "cheapest_supplier_per_part": R5.q_cheapest_supplier_per_part,
+        # Fano-factor burstiness of per-minute arrivals, exact moments
+        "event_burstiness": AN2.q_event_burstiness,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4196,6 +4198,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
                    unit_u::DOUBLE / 1e8 AS unit_price
             FROM r WHERE rn = 1 ORDER BY p_partkey
+        """,
+        "event_burstiness": """
+            WITH m AS (SELECT event_type,
+                              CAST(EPOCH_US(ts) AS BIGINT) // 60000000
+                                  AS minute,
+                              COUNT(*)::BIGINT AS c
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT event_type, MIN(minute) AS mn, MAX(minute) AS mx,
+                         SUM(c)::BIGINT AS s, SUM(c * c)::BIGINT AS ss
+                  FROM m GROUP BY 1)
+            SELECT event_type, (mx - mn + 1)::BIGINT AS span_minutes,
+                   s AS n_events, ss AS sum_sq,
+                   ((mx - mn + 1) * ss - s * s)::DOUBLE
+                       / ((mx - mn + 1) * s)::DOUBLE AS fano
+            FROM a ORDER BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -1164,3 +1164,41 @@ def q_user_load_fairness(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_users": [n], "sum_events": [s], "sum_sq": [ss],
         "jain_index": [np.float64(s * s) / np.float64(n * ss)]})
+
+
+def q_event_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Burstiness (Fano factor) of per-minute arrivals per event type:
+    variance-to-mean of the minute-bucket counts OVER THE TYPE'S WHOLE
+    ACTIVE SPAN — silent minutes count as zeros, which the span length
+    supplies as an integer (no zero rows materialize anywhere). With
+    n = span minutes, s = events, ss = sum of squared minute counts, the
+    population Fano factor is (n*ss - s*s) / (n*s) — exact int64
+    products under one stated division, the outlier-counts
+    cross-multiplication precedent. Poisson arrivals give ~1; bursty
+    traffic gives >1."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        minute = df["ts"].astype("int64") // 60_000_000
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "minute": minute})
+             .groupby(["event_type", "minute"], as_index=False).size())
+        return g.rename(columns={"size": "c"})
+
+    per_min = (ev.map_batches(partial, batch_format="pandas").to_pandas()
+               .groupby(["event_type", "minute"], as_index=False)["c"]
+               .sum())
+    agg = per_min.groupby("event_type", as_index=False).agg(
+        mn=("minute", "min"), mx=("minute", "max"),
+        s=("c", "sum"), ss_obs=("c", lambda v: int(
+            (v.to_numpy(np.int64) ** 2).sum())))
+    n = (agg["mx"] - agg["mn"] + 1).to_numpy(np.int64)
+    s = agg["s"].to_numpy(np.int64)
+    ss = agg["ss_obs"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "event_type": agg["event_type"].to_numpy(),
+        "span_minutes": n, "n_events": s, "sum_sq": ss,
+        "fano": (n * ss - s * s).astype(np.float64)
+        / (n * s).astype(np.float64),
+    }).sort_values("event_type").reset_index(drop=True)
