@@ -1392,6 +1392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": R5.q_cheapest_supplier_per_part,
         # Fano-factor burstiness of per-minute arrivals, exact moments
         "event_burstiness": AN2.q_event_burstiness,
+        # per-source modal bigram: mergeable argmax over exploded counts
+        "commonest_bigram_per_source": CP.q_commonest_bigram_per_source,
     }
     # Rotate the driver window (slots 1-50): the judge-named round-3
     # rewrites keep their slots, then every oracle-backed entry that has
@@ -4213,6 +4215,22 @@ def oracle_sql() -> dict[str, str]:
                    ((mx - mn + 1) * ss - s * s)::DOUBLE
                        / ((mx - mn + 1) * s)::DOUBLE AS fano
             FROM a ORDER BY 1
+        """,
+        "commonest_bigram_per_source": """
+            WITH t AS (SELECT source, string_split(text, ' ') AS w
+                       FROM documents),
+            b AS (SELECT source,
+                         unnest([w[i] || ' ' || w[i+1]
+                                 FOR i IN range(1, len(w))]) AS bigram
+                  FROM t),
+            c AS (SELECT source, bigram, COUNT(*)::BIGINT AS n
+                  FROM b GROUP BY 1, 2),
+            r AS (SELECT source, bigram, n,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY n DESC, bigram) AS rn
+                  FROM c)
+            SELECT source, bigram, n AS n_occurrences
+            FROM r WHERE rn = 1 ORDER BY source
         """,
         # minhash_lsh_pairs / simhash_pairs / rolling_fingerprint / ann_lsh_topk:
         # approximate or hash-seeded operators — intentionally no SQL oracle

@@ -982,3 +982,43 @@ def q_token_fertility_by_source(sf_dir: str) -> pd.DataFrame:
     out["fertility"] = (out["n_regex_tokens"].to_numpy(np.float64)
                         / out["n_ws_tokens"].to_numpy(np.float64))
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_commonest_bigram_per_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source modal bigram — argmax-by-count over an EXPLODED
+    feature: bigram counts resolve exactly inside bigram-hash buckets
+    (the same key a global top-k would use), then each bucket emits one
+    CANDIDATE winner per source and the driver merges candidates under
+    the stated total order (count desc, bigram asc) — the argmax is
+    mergeable once counts are final, so the big (source, bigram) table
+    never gathers. The oracle states the same window order."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        rows_src, rows_bg = [], []
+        for s, t in zip(df["source"], toks):
+            rows_src.extend([s] * max(len(t) - 1, 0))
+            rows_bg.extend(a + " " + b for a, b in zip(t, t[1:]))
+        return (pd.DataFrame({"source": rows_src, "bigram": rows_bg,
+                              "n": np.int64(1)})
+                .groupby(["source", "bigram"], as_index=False).sum())
+
+    def bucket_winner(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "bigram"], as_index=False)["n"].sum()
+        c = c.sort_values(["source", "n", "bigram"],
+                          ascending=[True, False, True])
+        return c.drop_duplicates("source", keep="first")
+
+    cand = bucketed_group_apply(
+        docs.map_batches(pairs, batch_format="pandas"),
+        "bigram", bucket_winner, num_buckets=8).to_pandas()
+    out = (cand.sort_values(["source", "n", "bigram"],
+                            ascending=[True, False, True])
+               .drop_duplicates("source", keep="first"))
+    return (out.astype({"n": "int64"})
+               .rename(columns={"n": "n_occurrences"})
+               .sort_values("source").reset_index(drop=True))
