@@ -356,7 +356,7 @@ def _stream_user_state(sf_dir: str):
     from vbpl_web_crawl_ray.stages.streaming import run_stream
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
-    out = run_stream(ds, num_buckets=4, alpha=0.2)
+    out = run_stream(ds, alpha=0.2)
     out["total"] = out["total"].round(4)
     out["ema"] = out["ema"].round(4)
     return out
@@ -503,8 +503,7 @@ def _enriched_meta(sf_dir: str):
         bucket_fn=lambda g: g.groupby("vbpl_id", as_index=False)
                              .agg(n_sections=("n_sections", "sum")),
         partial_fn=lambda df: df.groupby("vbpl_id", as_index=False)
-                                .agg(n_sections=("vbpl_id", "size")),
-        num_buckets=4), 2)
+                                .agg(n_sections=("vbpl_id", "size"))), 2)
     joined = enriched.join(counts, join_type="left_outer", num_partitions=4,
                            on=("doc_id",), right_on=("vbpl_id",))
     pdf = joined.to_pandas()[["doc_id", "doc_type", "sector", "n_sections"]]

@@ -78,8 +78,7 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
         return (d.groupby(["prev_type", "next_type"], as_index=False)
                  .size().rename(columns={"size": "n"}))
 
-    parts = bucketed_group_apply(ev, "user_id", trans,
-                                 num_buckets=4).to_pandas()
+    parts = bucketed_group_apply(ev, "user_id", trans).to_pandas()
     out = (parts.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
                 .astype({"n": "int64"})
                 .sort_values(["prev_type", "next_type"])
@@ -132,7 +131,7 @@ def q_brand_pair_counts(sf_dir: str) -> pd.DataFrame:
         return (p.groupby(["brand_a", "brand_b"], as_index=False)
                  .size().rename(columns={"size": "n"}))
 
-    parts_ = bucketed_group_apply(li, "okey", pairs, num_buckets=8,
+    parts_ = bucketed_group_apply(li, "okey", pairs,
                                   partial_fn=lambda df: df.drop_duplicates())
     out = (parts_.to_pandas()
                  .groupby(["brand_a", "brand_b"], as_index=False)["n"].sum()
@@ -171,7 +170,7 @@ def q_user_entropy(sf_dir: str) -> pd.DataFrame:
                              "n_events": n.astype(np.int64),
                              "entropy": round_half_away(h, 4)})
 
-    out = bucketed_group_apply(ev, "user_id", ent, num_buckets=4,
+    out = bucketed_group_apply(ev, "user_id", ent,
                                partial_fn=partial).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -220,8 +219,7 @@ def q_percent_rank_orders(sf_dir: str) -> pd.DataFrame:
                              "pct_rank": pct,
                              "cume_d": r_max / n})
 
-    out = bucketed_group_apply(o, "o_orderpriority", ranks,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(o, "o_orderpriority", ranks).to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -282,8 +280,7 @@ def q_interval_union_per_user(sf_dir: str) -> pd.DataFrame:
                              "n_islands": out["size"].to_numpy(np.int64),
                              "covered_us": out["sum"].to_numpy(np.int64)})
 
-    out = bucketed_group_apply(ev, "user_id", islands,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "user_id", islands).to_pandas()
     return (out.astype({"n_islands": "int64", "covered_us": "int64"})
                .sort_values("user_id").reset_index(drop=True))
 
@@ -416,7 +413,7 @@ def q_ohlc_bars(sf_dir: str) -> pd.DataFrame:
         return out[["event_type", "minute", "open_v", "high_v",
                     "low_v", "close_v", "n"]]
 
-    out = bucketed_group_apply(ev, "event_type", merge, num_buckets=4,
+    out = bucketed_group_apply(ev, "event_type", merge,
                                partial_fn=partial).to_pandas()
     return (out.astype({"n": "int64"})
                .sort_values(["event_type", "minute"])
@@ -485,8 +482,7 @@ def q_rolling_avg_rows(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "mov_avg": s / k})
 
-    out = bucketed_group_apply(ev, "user_id", roll,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "user_id", roll).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -540,8 +536,7 @@ def q_brand_pair_lift(sf_dir: str) -> pd.DataFrame:
                                  "n": [d["okey"].nunique()]})
         return pd.concat([p, singles, sentinel], ignore_index=True)
 
-    parts = bucketed_group_apply(li, "okey", stats,
-                                 num_buckets=8).to_pandas()
+    parts = bucketed_group_apply(li, "okey", stats).to_pandas()
     agg = parts.groupby(["brand_a", "brand_b"], as_index=False)["n"].sum()
     n_orders = int(agg.loc[(agg["brand_a"] == "")
                            & (agg["brand_b"] == ""), "n"].iloc[0])

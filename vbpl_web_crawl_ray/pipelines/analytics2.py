@@ -80,7 +80,7 @@ def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
              .drop_duplicates())
         return d.assign(ts=pd.to_datetime(d.pop("wk") * _DAY_US, unit="us"))
 
-    parts = bucketed_group_apply(ev, "user_id", retention, num_buckets=4,
+    parts = bucketed_group_apply(ev, "user_id", retention,
                                  partial_fn=partial).to_pandas()
     out = (parts.groupby(["cohort", "week_offset"], as_index=False)
                 ["n_users"].sum())
@@ -121,7 +121,7 @@ def q_longest_streak(sf_dir: str) -> pd.DataFrame:
                     .agg(longest_streak=("size", "max"),
                          n_active_days=("size", "sum")))
 
-    out = bucketed_group_apply(ev, "user_id", streaks, num_buckets=4,
+    out = bucketed_group_apply(ev, "user_id", streaks,
                                partial_fn=partial).to_pandas()
     return (out.astype({"longest_streak": "int64", "n_active_days": "int64"})
                .sort_values("user_id").reset_index(drop=True))
@@ -169,7 +169,7 @@ def q_purchase_click_attribution(sf_dir: str,
         return pd.DataFrame({"event_id": g.loc[is_p, "event_id"].to_numpy(),
                              "n_clicks": n.astype(np.int64)})
 
-    out = bucketed_group_apply(ev, "user_id", attribute, num_buckets=4,
+    out = bucketed_group_apply(ev, "user_id", attribute,
                                partial_fn=pre).to_pandas()
     return (out.astype({"n_clicks": "int64"})
                .sort_values("event_id").reset_index(drop=True))
@@ -205,8 +205,7 @@ def q_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
                     / a["dur_us"].to_numpy(np.float64),
             "dur_us": a["dur_us"].to_numpy(np.int64)})
 
-    out = bucketed_group_apply(ev, "user_id", twap,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "user_id", twap).to_pandas()
     return (out.astype({"dur_us": "int64"})
                .sort_values("user_id").reset_index(drop=True))
 
@@ -272,7 +271,7 @@ def q_weighted_median(sf_dir: str) -> pd.DataFrame:
                    .agg(wmedian=("l_extendedprice", "first"),
                         total_qty=("tw", "first")))
 
-    out = bucketed_group_apply(li, "l_returnflag", wmedian, num_buckets=4,
+    out = bucketed_group_apply(li, "l_returnflag", wmedian,
                                partial_fn=partial).to_pandas()
     return (out.astype({"total_qty": "int64"})
                .sort_values("l_returnflag").reset_index(drop=True))
@@ -313,7 +312,7 @@ def q_rolling_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
         return (w.groupby("wday", as_index=False)
                  .size().rename(columns={"size": "n_users"}))
 
-    parts = bucketed_group_apply(ev, "user_id", cover, num_buckets=4,
+    parts = bucketed_group_apply(ev, "user_id", cover,
                                  partial_fn=partial).to_pandas()
     cnt = parts.groupby("wday", as_index=False)["n_users"].sum()
 
@@ -368,7 +367,7 @@ def q_last_touch_attribution(sf_dir: str) -> pd.DataFrame:
             "event_id": ids[is_p][ok],
             "click_id": cid[np.maximum(pos[ok], 0)]})
 
-    out = bucketed_group_apply(ev, "user_id", attribute, num_buckets=4,
+    out = bucketed_group_apply(ev, "user_id", attribute,
                                partial_fn=pre).to_pandas()
     return (out.astype({"click_id": "int64"})
                .sort_values("event_id").reset_index(drop=True))
@@ -434,8 +433,7 @@ def q_topk_frequent_paths(sf_dir: str, k: int = 10) -> pd.DataFrame:
         return pd.DataFrame({"path": c.index.to_numpy(),
                              "n": c.to_numpy(np.int64)})
 
-    parts = bucketed_group_apply(ev, "user_id", paths,
-                                 num_buckets=4).to_pandas()
+    parts = bucketed_group_apply(ev, "user_id", paths).to_pandas()
     out = (parts.groupby("path", as_index=False)["n"].sum()
                 .astype({"n": "int64"})
                 .sort_values(["n", "path"], ascending=[False, True])
@@ -478,7 +476,7 @@ def q_wau_mau_stickiness(sf_dir: str) -> pd.DataFrame:
                 .groupby(["tag", "wday"], as_index=False)
                 .size().rename(columns={"size": "n"}))
 
-    parts = bucketed_group_apply(ev, "user_id", cover, num_buckets=4,
+    parts = bucketed_group_apply(ev, "user_id", cover,
                                  partial_fn=partial).to_pandas()
     cnt = (parts.groupby(["tag", "wday"], as_index=False)["n"].sum()
                 .pivot(index="wday", columns="tag", values="n"))
@@ -603,8 +601,7 @@ def q_join_size_estimate(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"rows": [np.int64(prod.sum())],
                              "max_key_rows": [np.int64(prod.max())]})
 
-    parts = bucketed_group_apply(tagged, "key", combine,
-                                 num_buckets=8).to_pandas()
+    parts = bucketed_group_apply(tagged, "key", combine).to_pandas()
     return pd.DataFrame({
         "join_rows": [np.int64(parts["rows"].sum())],
         "max_single_key_rows": [np.int64(parts["max_key_rows"].max())]})
@@ -651,8 +648,7 @@ def q_locf_daily_values(sf_dir: str) -> pd.DataFrame:
             "day": pd.to_datetime(day * _DAY_US, unit="us"),
             "value": obs["value"].to_numpy()[pos]})
 
-    out = bucketed_group_apply(ev, "user_id", fill,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "user_id", fill).to_pandas()
     return out.sort_values(["user_id", "day"]).reset_index(drop=True)
 
 
@@ -705,8 +701,7 @@ def q_bounce_rate(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
             "n_sessions": [np.int64(len(size))],
             "n_bounce": [np.int64(int((size == 1).sum()))]})
 
-    parts = bucketed_group_apply(ev, "user_id", sessions,
-                                 num_buckets=4).to_pandas()
+    parts = bucketed_group_apply(ev, "user_id", sessions).to_pandas()
     ns = np.int64(parts["n_sessions"].sum())
     nb = np.int64(parts["n_bounce"].sum())
     return pd.DataFrame({"n_sessions": [ns], "n_bounce": [nb],
@@ -738,7 +733,7 @@ def q_user_simpson_diversity(sf_dir: str) -> pd.DataFrame:
             "simpson": 1.0 - (a["sq"].to_numpy(np.float64)
                               / (n * n).astype(np.float64))})
 
-    out = bucketed_group_apply(ev, "user_id", simpson, num_buckets=4,
+    out = bucketed_group_apply(ev, "user_id", simpson,
                                partial_fn=partial).to_pandas()
     return (out.astype({"n_events": "int64"})
                .sort_values("user_id").reset_index(drop=True))
@@ -970,8 +965,7 @@ def q_type_deciles(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(outs, columns=["event_type", "decile",
                                            "value"])
 
-    out = bucketed_group_apply(ev, "event_type", deciles,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "event_type", deciles).to_pandas()
     return (out.astype({"decile": "int64"})
                .sort_values(["event_type", "decile"])
                .reset_index(drop=True))
@@ -1003,8 +997,7 @@ def q_session_entry_exit(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
                 .groupby(["entry_type", "exit_type"], as_index=False)
                 .size().rename(columns={"size": "n_sessions"}))
 
-    parts = bucketed_group_apply(ev, "user_id", pairs,
-                                 num_buckets=4).to_pandas()
+    parts = bucketed_group_apply(ev, "user_id", pairs).to_pandas()
     out = (parts.groupby(["entry_type", "exit_type"], as_index=False)
                 ["n_sessions"].sum())
     return (out.astype({"n_sessions": "int64"})
@@ -1041,7 +1034,7 @@ def q_user_activity_span_stats(sf_dir: str) -> pd.DataFrame:
 
     out = (bucketed_group_apply(
         ev.map_batches(partial, batch_format="pandas"),
-        "user_id", spans, num_buckets=4).to_pandas()
+        "user_id", spans).to_pandas()
         .groupby("span_weeks", as_index=False).sum())
     return (out.astype({"span_weeks": "int64", "n_users": "int64"})
                .sort_values("span_weeks").reset_index(drop=True))
@@ -1085,7 +1078,7 @@ def q_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
 
     hist = (bucketed_group_apply(
         ev.map_batches(partial, batch_format="pandas"),
-        "user_id", mask_hist, num_buckets=4).to_pandas()
+        "user_id", mask_hist).to_pandas()
         .groupby("mask", as_index=False).sum())
     masks = hist["mask"].to_numpy(np.int64)
     counts = hist["n_users"].to_numpy(np.int64)

@@ -96,8 +96,7 @@ def q_bigram_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
         _docs(sf_dir, ("doc_id", "text")).map_batches(
             partial, batch_format="pandas"),
         "bigram", bucket_topk,
-        partial_fn=lambda df: df.groupby("bigram", as_index=False)["n"].sum(),
-        num_buckets=16).to_pandas()
+        partial_fn=lambda df: df.groupby("bigram", as_index=False)["n"].sum()).to_pandas()
     return (merged.sort_values(["n", "bigram"], ascending=[False, True])
                   .head(k).astype({"n": "int64"}).reset_index(drop=True))
 
@@ -133,8 +132,7 @@ def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
     joined = bucketed_group_apply(
         tf, "w",
         bucket_fn=lambda g: g.assign(
-            df=g.groupby("w")["w"].transform("size").astype(np.int64)),
-        num_buckets=8)
+            df=g.groupby("w")["w"].transform("size").astype(np.int64)))
 
     def per_doc_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(tfidf=round_half_away(
@@ -144,8 +142,7 @@ def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
                  .groupby("doc_id", as_index=False)
                  .head(k)[["doc_id", "w", "tfidf"]])
 
-    out = bucketed_group_apply(joined, "doc_id", per_doc_topk,
-                               num_buckets=8).to_pandas()
+    out = bucketed_group_apply(joined, "doc_id", per_doc_topk).to_pandas()
     return (out.sort_values(["doc_id", "tfidf", "w"],
                             ascending=[True, False, True])
                .reset_index(drop=True))
@@ -243,7 +240,7 @@ def q_quality_filter_counts(sf_dir: str, min_tokens: int = 20,
 
     survivors = bucketed_group_apply(
         _docs(sf_dir).map_batches(admit, batch_format="pandas"),
-        "content_hash", first_per_text, num_buckets=8)
+        "content_hash", first_per_text)
 
     parts = survivors.map_batches(
         lambda df: df.groupby("source", as_index=False)
@@ -424,8 +421,7 @@ def q_vocab_coverage(sf_dir: str, pct: int = 95) -> pd.DataFrame:
     words = bucketed_group_apply(
         _docs(sf_dir, ("doc_id", "text")).map_batches(
             partial, batch_format="pandas"),
-        "w", lambda g: g.groupby("w", as_index=False)["n"].sum(),
-        num_buckets=8).to_pandas()
+        "w", lambda g: g.groupby("w", as_index=False)["n"].sum()).to_pandas()
     words = words.sort_values(["n", "w"], ascending=[False, True],
                               kind="mergesort").reset_index(drop=True)
     cum = words["n"].cumsum().to_numpy()
@@ -875,7 +871,7 @@ def q_vocab_growth_curve(sf_dir: str, block_docs: int = 25) -> pd.DataFrame:
 
     births = (bucketed_group_apply(
         docs.map_batches(tok_partial, batch_format="pandas"),
-        "tok", first_seen, num_buckets=4).to_pandas()
+        "tok", first_seen).to_pandas()
         .groupby("checkpoint", as_index=False).sum())
 
     def occ_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1015,7 +1011,7 @@ def q_commonest_bigram_per_source(sf_dir: str) -> pd.DataFrame:
 
     cand = bucketed_group_apply(
         docs.map_batches(pairs, batch_format="pandas"),
-        "bigram", bucket_winner, num_buckets=8).to_pandas()
+        "bigram", bucket_winner).to_pandas()
     out = (cand.sort_values(["source", "n", "bigram"],
                             ascending=[True, False, True])
                .drop_duplicates("source", keep="first"))

@@ -328,7 +328,7 @@ def q_curated_pack(sf_dir: str, min_tokens: int = 20, min_stop_hits: int = 3,
 
     reps = bucketed_group_apply(
         _docs(sf_dir).map_batches(admit, batch_format="pandas"),
-        "content_hash", first_per_text, num_buckets=8)
+        "content_hash", first_per_text)
 
     def sample(df: pd.DataFrame) -> pd.DataFrame:
         keys = ("cur:" + df["source"].astype(str) + ":"
@@ -386,8 +386,7 @@ def q_dedup_savings(sf_dir: str) -> pd.DataFrame:
             "dup_docs": [np.int64(int(dup.sum()))],
             "chars_saved": [np.int64(int(g.loc[dup, "n_chars"].sum()))]})
 
-    parts = bucketed_group_apply(docs, "text", savings,
-                                 num_buckets=8).to_pandas()
+    parts = bucketed_group_apply(docs, "text", savings).to_pandas()
     return pd.DataFrame({
         "n_docs": [np.int64(parts["n_docs"].sum())],
         "dup_docs": [np.int64(parts["dup_docs"].sum())],
@@ -440,8 +439,7 @@ def q_dup_family_histogram(sf_dir: str) -> pd.DataFrame:
         return (fam.groupby("family_size", as_index=False)
                    .size().rename(columns={"size": "n_families"}))
 
-    parts = bucketed_group_apply(docs, "text", sizes,
-                                 num_buckets=8).to_pandas()
+    parts = bucketed_group_apply(docs, "text", sizes).to_pandas()
     out = (parts.groupby("family_size", as_index=False)
                 ["n_families"].sum())
     return (out.astype({"family_size": "int64", "n_families": "int64"})
@@ -507,13 +505,13 @@ def q_canonical_token_dedup(sf_dir: str) -> pd.DataFrame:
     n_ex = (bucketed_group_apply(
         fp.map_batches(lambda df: df.drop_duplicates(["source", "ex"]),
                        batch_format="pandas"),
-        "ex", distinct_per_source("ex"), num_buckets=4).to_pandas()
+        "ex", distinct_per_source("ex")).to_pandas()
         .groupby("source", as_index=False)["n"].sum()
         .rename(columns={"n": "n_exact"}))
     n_bag = (bucketed_group_apply(
         fp.map_batches(lambda df: df.drop_duplicates(["source", "bag"]),
                        batch_format="pandas"),
-        "bag", distinct_per_source("bag"), num_buckets=4).to_pandas()
+        "bag", distinct_per_source("bag")).to_pandas()
         .groupby("source", as_index=False)["n"].sum()
         .rename(columns={"n": "n_bags"}))
 
@@ -564,7 +562,7 @@ def q_cross_source_leakage(sf_dir: str) -> pd.DataFrame:
 
     out = bucketed_group_apply(
         docs.map_batches(plant, batch_format="pandas"),
-        "text", pairs, num_buckets=8).to_pandas()
+        "text", pairs).to_pandas()
     if out.empty:
         return pd.DataFrame({"source_a": pd.Series(dtype="object"),
                              "source_b": pd.Series(dtype="object"),
@@ -609,7 +607,7 @@ def q_dedup_token_savings(sf_dir: str) -> pd.DataFrame:
         docs.map_batches(
             lambda df: df.drop_duplicates(["source", "text"]),
             batch_format="pandas"),
-        "text", dedup_tokens, num_buckets=8).to_pandas()
+        "text", dedup_tokens).to_pandas()
         .groupby("source", as_index=False).sum())
 
     out = before.merge(after, on="source")

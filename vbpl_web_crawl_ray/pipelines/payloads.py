@@ -281,7 +281,7 @@ def q_curated_image_pack(sf_dir: str, per_bucket: int = 50) -> pd.DataFrame:
         idx = g.groupby("phash")["image_id"].idxmin()
         return g.loc[idx, ["image_id", "phash", "w", "h"]]
 
-    uniq = bucketed_group_apply(passed, "phash", dedup_min_id, num_buckets=4)
+    uniq = bucketed_group_apply(passed, "phash", dedup_min_id)
 
     def bucket_and_hash(df: pd.DataFrame) -> pd.DataFrame:
         w = df["w"].to_numpy(np.int64)
@@ -303,7 +303,7 @@ def q_curated_image_pack(sf_dir: str, per_bucket: int = 50) -> pd.DataFrame:
                           - g["n_px"])
         return g[["bucket", "image_id", "w", "h", "n_px", "offset_px"]]
 
-    out = bucketed_group_apply(uniq, "bucket", pack, num_buckets=2,
+    out = bucketed_group_apply(uniq, "bucket", pack,
                                partial_fn=bucket_and_hash).to_pandas()
     return (out.astype({"n_px": "int64", "offset_px": "int64"})
                .sort_values(["bucket", "offset_px"]).reset_index(drop=True))
@@ -434,8 +434,7 @@ def q_mosaic_grid_plan(sf_dir: str) -> pd.DataFrame:
                              "grid_y": (rn % 4) // 2})
 
     out = bucketed_group_apply(
-        imgs.map_batches(pre, batch_format="pandas"), "bucket", tile,
-        num_buckets=4).to_pandas()
+        imgs.map_batches(pre, batch_format="pandas"), "bucket", tile).to_pandas()
     return (out.astype({c: "int64" for c in ("mosaic_id", "grid_x", "grid_y")})
                .sort_values("image_id").reset_index(drop=True))
 
@@ -598,7 +597,7 @@ def q_caption_truncation_audit(sf_dir: str) -> pd.DataFrame:
     joined = bucketed_join(
         imgs.map_batches(img_key, batch_format="pandas"),
         _docs(sf_dir).map_batches(doc_prefix, batch_format="pandas"),
-        on="doc_id", num_buckets=4)
+        on="doc_id")
 
     def audit(df: pd.DataFrame) -> pd.DataFrame:
         trunc = ((df["text_len"].to_numpy(np.int64) > 120)

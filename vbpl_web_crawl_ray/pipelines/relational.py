@@ -22,7 +22,7 @@ from ray.data.aggregate import Sum
 from ..functions.numeric import round_half_away
 from ..stages.shuffle import bucketed_group_apply
 
-_NUM_BUCKETS = 8
+_NUM_BUCKETS = None  # resolved per-call from the cluster (shuffle.resolve_num_buckets)
 
 
 def _join_partitions() -> int:

@@ -104,8 +104,7 @@ def q_stats_per_group(sf_dir: str):
             "std_disc": round_half_away(np.sqrt(var).to_numpy(), 6),
         })
 
-    return bucketed_group_apply(ds, "l_returnflag", final,
-                                num_buckets=4, partial_fn=partial)
+    return bucketed_group_apply(ds, "l_returnflag", final, partial_fn=partial)
 
 
 def q_median_per_group(sf_dir: str):
@@ -122,7 +121,7 @@ def q_median_per_group(sf_dir: str):
 
     # medians are not mergeable -> no combiner; groups are few and the
     # bucketed shuffle still moves only (priority, price) pairs
-    return bucketed_group_apply(ds, "o_orderpriority", final, num_buckets=4)
+    return bucketed_group_apply(ds, "o_orderpriority", final)
 
 
 def q_orders_per_month(sf_dir: str):
@@ -141,8 +140,7 @@ def q_orders_per_month(sf_dir: str):
         out["total"] = round_half_away(out["total"].to_numpy(), 4)
         return out
 
-    return bucketed_group_apply(ds, "month", final,
-                                num_buckets=4, partial_fn=partial)
+    return bucketed_group_apply(ds, "month", final, partial_fn=partial)
 
 
 def q_conditional_agg(sf_dir: str):
@@ -161,8 +159,7 @@ def q_conditional_agg(sf_dir: str):
             out[c] = out[c].astype("int64")
         return out
 
-    return bucketed_group_apply(ds, "o_orderpriority", final,
-                                num_buckets=4, partial_fn=partial)
+    return bucketed_group_apply(ds, "o_orderpriority", final, partial_fn=partial)
 
 
 def q_distinct_users_per_type(sf_dir: str):
@@ -180,8 +177,7 @@ def q_distinct_users_per_type(sf_dir: str):
         out["n_users"] = out["n_users"].astype("int64")
         return out
 
-    return bucketed_group_apply(ds, "event_type", final,
-                                num_buckets=4, partial_fn=partial)
+    return bucketed_group_apply(ds, "event_type", final, partial_fn=partial)
 
 
 def q_running_total(sf_dir: str):
@@ -378,8 +374,7 @@ def q_range_join_counts(sf_dir: str, window_days: int = 7):
                                  "n_orders": pd.Series(dtype=np.int64)})
         return pd.concat(out, ignore_index=True)
 
-    return (bucketed_group_apply(both, "user_id", count_in_window,
-                                 num_buckets=8)
+    return (bucketed_group_apply(both, "user_id", count_in_window)
             .to_pandas().sort_values("event_id").reset_index(drop=True))
 
 
@@ -406,7 +401,7 @@ def q_event_gap(sf_dir: str):
             "event_id": g["event_id"].to_numpy().astype(np.int64),
             "gap_seconds": round_half_away(gap, 4)})
 
-    return (bucketed_group_apply(ev, "user_id", lag_per_user, num_buckets=8)
+    return (bucketed_group_apply(ev, "user_id", lag_per_user)
             .to_pandas().sort_values("event_id").reset_index(drop=True))
 
 
@@ -423,7 +418,7 @@ def q_p95_per_type(sf_dir: str):
         out["p95"] = round_half_away(out["p95"].to_numpy(), 4)
         return out
 
-    return (bucketed_group_apply(ev, "event_type", q95, num_buckets=4)
+    return (bucketed_group_apply(ev, "event_type", q95)
             .to_pandas().sort_values("event_type").reset_index(drop=True))
 
 
@@ -481,8 +476,7 @@ def q_corr_per_group(sf_dir: str):
             "corr_qty_price": round_half_away((num / den).to_numpy(), 4),
             "n": a["n"].astype("int64")})
 
-    return bucketed_group_apply(ds, "l_returnflag", final,
-                                num_buckets=4, partial_fn=partial)
+    return bucketed_group_apply(ds, "l_returnflag", final, partial_fn=partial)
 
 
 def q_pivot_orders(sf_dir: str):
@@ -590,8 +584,7 @@ def q_ntile_quartiles(sf_dir: str):
                         sum_price=("o_totalprice", "sum")))
 
     parts = bucketed_group_apply(
-        ds.map_batches(binned, batch_format="pandas"), "bin", rank_in_bin,
-        num_buckets=8).to_pandas()
+        ds.map_batches(binned, batch_format="pandas"), "bin", rank_in_bin).to_pandas()
     out = parts.groupby("quartile", as_index=False).agg(
         n=("n", "sum"), sum_price=("sum_price", "sum"))
     out["n"] = out["n"].astype("int64")
@@ -617,8 +610,7 @@ def q_dense_rank_top_orders(sf_dir: str, k: int = 3):
         sel["rnk"] = r[r <= k]
         return sel
 
-    out = bucketed_group_apply(o, "o_orderpriority", topr,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(o, "o_orderpriority", topr).to_pandas()
     return (out.astype({"rnk": "int64"})
                .sort_values(["o_orderpriority", "rnk", "o_orderkey"])
                .reset_index(drop=True))
@@ -646,7 +638,7 @@ def q_exact_k_sample(sf_dir: str, k: int = 100):
                 + df["event_id"].astype(str))
         return topk(df.assign(h=md5_hex_prefix(keys, 16)))
 
-    out = bucketed_group_apply(ev, "event_type", topk, num_buckets=4,
+    out = bucketed_group_apply(ev, "event_type", topk,
                                partial_fn=local_topk).to_pandas()
     return (out[["event_id", "event_type"]]
             .sort_values("event_id").reset_index(drop=True))
@@ -675,8 +667,7 @@ def q_funnel_counts(sf_dir: str):
         return pd.DataFrame({"n_view": [len(t1)], "n_view_click": [len(t2)],
                              "n_full_funnel": [len(t3)]})
 
-    parts = bucketed_group_apply(ev, "user_id", funnel,
-                                 num_buckets=4).to_pandas()
+    parts = bucketed_group_apply(ev, "user_id", funnel).to_pandas()
     out = parts.sum()
     return pd.DataFrame({"n_view": [int(out["n_view"])],
                          "n_view_click": [int(out["n_view_click"])],
@@ -720,8 +711,7 @@ def q_regr_per_group(sf_dir: str):
             "r2": round_half_away(r2.to_numpy(), 4),
             "n": a["n"].astype("int64")})
 
-    return bucketed_group_apply(ds, "l_returnflag", final,
-                                num_buckets=4, partial_fn=partial)
+    return bucketed_group_apply(ds, "l_returnflag", final, partial_fn=partial)
 
 
 def q_mad_per_group(sf_dir: str):
@@ -741,7 +731,7 @@ def q_mad_per_group(sf_dir: str):
             "median_value": round_half_away(
                 med.loc[mad.index].to_numpy(), 4)})
 
-    return bucketed_group_apply(ds, "event_type", final, num_buckets=4)
+    return bucketed_group_apply(ds, "event_type", final)
 
 
 def q_month_over_month(sf_dir: str):

@@ -46,8 +46,7 @@ def q_rank_topk_with_ties(sf_dir: str, k: int = 3) -> pd.DataFrame:
         out = g.assign(rk=rk)
         return out[out["rk"] <= k]
 
-    out = bucketed_group_apply(o, "o_orderpriority", ranks,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(o, "o_orderpriority", ranks).to_pandas()
     return (out.astype({"rk": "int64"})
                .sort_values(["o_orderpriority", "rk", "o_orderkey"])
                .reset_index(drop=True)
@@ -82,8 +81,7 @@ def q_range_frame_sum(sf_dir: str, radius: float = 5000.0) -> pd.DataFrame:
                 "cents_near": pre[hi] - pre[lo]}))
         return pd.concat(outs, ignore_index=True)
 
-    out = bucketed_group_apply(o, "o_orderpriority", frame,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(o, "o_orderpriority", frame).to_pandas()
     return (out.astype({"n_near": "int64", "cents_near": "int64"})
                .sort_values("o_orderkey").reset_index(drop=True))
 
@@ -183,8 +181,7 @@ def q_scd2_history(sf_dir: str) -> pd.DataFrame:
             "valid_to": nxt.where(same).to_numpy(),
             "is_current": np.where(same.to_numpy(), 0, 1).astype(np.int64)})
 
-    out = bucketed_group_apply(ev, "user_id", history,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "user_id", history).to_pandas()
     return (out.astype({"version": "int64", "is_current": "int64"})
                .sort_values(["user_id", "version"]).reset_index(drop=True))
 
@@ -253,7 +250,7 @@ def q_clamped_balance(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "balance_cents": bal.astype(np.int64)})
 
-    out = bucketed_group_apply(ev, "user_id", balance, num_buckets=4,
+    out = bucketed_group_apply(ev, "user_id", balance,
                                partial_fn=pre).to_pandas()
     return (out.astype({"balance_cents": "int64"})
                .sort_values("event_id").reset_index(drop=True))
@@ -362,8 +359,7 @@ def q_referential_integrity(sf_dir: str) -> pd.DataFrame:
             "childless_orders": [np.int64(len(a.index.difference(b.index)))],
             "linked_orders": [np.int64(len(a.index.intersection(b.index)))]})
 
-    parts = bucketed_group_apply(tagged, "key", audit,
-                                 num_buckets=8).to_pandas()
+    parts = bucketed_group_apply(tagged, "key", audit).to_pandas()
     return pd.DataFrame({c: [np.int64(parts[c].sum())]
                          for c in ("orphan_lineitems", "childless_orders",
                                    "linked_orders")})
@@ -436,8 +432,7 @@ def q_running_distinct_types(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "n_types_seen": run.to_numpy(np.int64)})
 
-    out = bucketed_group_apply(ev, "user_id", running,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "user_id", running).to_pandas()
     return (out.astype({"n_types_seen": "int64"})
                .sort_values("event_id").reset_index(drop=True))
 
@@ -586,7 +581,7 @@ def q_peak_minute_per_type(sf_dir: str) -> pd.DataFrame:
                            kind="mergesort"))
         return c.groupby("event_type", as_index=False).first()
 
-    out = bucketed_group_apply(ev, "event_type", peak, num_buckets=4,
+    out = bucketed_group_apply(ev, "event_type", peak,
                                partial_fn=partial).to_pandas()
     return (out.rename(columns={"minute": "peak_minute",
                                 "n": "n_events"})
@@ -639,7 +634,7 @@ def q_scd2_asof_lookup(sf_dir: str) -> pd.DataFrame:
 
     out = (bucketed_group_apply(
         ev.map_batches(pre, batch_format="pandas"),
-        "user_id", lookup, num_buckets=4).to_pandas()
+        "user_id", lookup).to_pandas()
         .groupby("version", as_index=False).sum())
     return (out.astype({"version": "int64", "n_clicks": "int64"})
                .sort_values("version").reset_index(drop=True))

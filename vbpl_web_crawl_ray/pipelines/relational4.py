@@ -32,44 +32,58 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def q_returned_item_customers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+def q_returned_item_customers(sf_dir: str, k: int = 20,
+                              gate_bytes: int | None = None) -> pd.DataFrame:
     """TPC-H Q10's shape: which customers returned the most revenue.
-    lineitem (returnflag = 'R') is the only big scan; the orderkey ->
-    custkey map rides as ONE ray.put broadcast (size-gated: orders'
-    key pair is ~16 bytes/row — past ~64 MB this hop becomes a bucketed
-    join on o_orderkey, same partials), per-customer integer revenue
-    units (cents x (100 - disc_pct), exact int64) merge on the driver,
-    and names/nations attach only for the k winners. Ties break on the
-    customer key in both engines."""
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    o2c = ray.put(dict(zip(orders["o_orderkey"], orders["o_custkey"])))
+    lineitem (returnflag = 'R') is the only big scan, collapsed per batch
+    to per-orderkey integer revenue partials (cents x (100 - disc_pct),
+    exact int64). The orderkey -> custkey hop goes through the measured
+    size gate (``attach_lookup``): under it the orders key pair rides as
+    ONE ray.put broadcast, past it the attach is a bucketed join on the
+    orderkey — orders is fact-proportional, so at 100 TB the gate picks
+    the join. Per-customer totals then close INSIDE custkey-hash buckets
+    (a custkey never straddles buckets) and each bucket emits only its
+    top-k candidates, so the driver merges B x k rows — never a
+    per-customer table. Names/nations attach via a winner-key pruned
+    read. Ties break on the customer key in both engines."""
+    from ..stages.shuffle import attach_lookup, bucketed_group_apply
 
-    class Partial:
-        def __init__(self):
-            self.o2c = ray.get(o2c)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df[df["l_returnflag"] == "R"]
-            ep = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
-                .astype(np.int64)
-            d = np.round(df["l_discount"].to_numpy() * 100.0) \
-                .astype(np.int64)
-            return (pd.DataFrame({
-                "c_custkey": df["l_orderkey"].map(self.o2c).to_numpy(),
-                "revenue_u4": ep * (100 - d)})
-                .groupby("c_custkey", as_index=False).sum())
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        ep = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        d = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return (pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                              "revenue_u4": ep * (100 - d)})
+                .groupby("l_orderkey", as_index=False).sum())
 
-    parts = (_read(sf_dir, "lineitem",
-                   ["l_orderkey", "l_returnflag",
-                    "l_extendedprice", "l_discount"])
-             .map_batches(Partial, batch_format="pandas",
-                          concurrency=(1, 4)).to_pandas())
-    agg = (parts.groupby("c_custkey", as_index=False).sum()
-                .sort_values(["revenue_u4", "c_custkey"],
+    parts = li.map_batches(partial, batch_format="pandas")
+    side = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    withc = attach_lookup(parts, "l_orderkey", side, "o_orderkey",
+                          ["o_custkey"], gate_bytes=gate_bytes)
+
+    def topk_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = (pd.DataFrame({"c_custkey": g["o_custkey"].to_numpy(np.int64),
+                           "revenue_u4": g["revenue_u4"].to_numpy(np.int64)})
+             .groupby("c_custkey", as_index=False).sum())
+        return (t.sort_values(["revenue_u4", "c_custkey"],
+                              ascending=[False, True], kind="mergesort")
+                 .head(k))
+
+    cands = bucketed_group_apply(withc, "o_custkey",
+                                 topk_in_bucket).to_pandas()
+    agg = (cands.sort_values(["revenue_u4", "c_custkey"],
                              ascending=[False, True], kind="mergesort")
                 .head(k))
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_name", "c_nationkey"])
+    import pyarrow.dataset as pads
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(
+            agg["c_custkey"].tolist())).to_pandas()
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
@@ -303,8 +317,7 @@ def q_cume_dist_prices(sf_dir: str) -> pd.DataFrame:
                 "cume_dist": le.astype(np.float64) / np.float64(len(gg))}))
         return pd.concat(outs, ignore_index=True)
 
-    out = bucketed_group_apply(o, "o_orderpriority", dist,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(o, "o_orderpriority", dist).to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -343,46 +356,40 @@ def q_fingerprint_hamming_histogram(sf_dir: str) -> pd.DataFrame:
 def q_above_customer_avg_orders(sf_dir: str) -> pd.DataFrame:
     """The classic correlated-subquery shape, decorrelated: per priority,
     how many orders are STRICTLY above their own customer's mean price.
-    The per-customer (n, sum_cents) partials merge from one fact scan and
-    ride back as a broadcast lookup (customer-bounded; past the gate the
-    second pass becomes a bucketed join on o_custkey), and the mean
-    comparison cross-multiplies into exact integers
-    (cents * n_c > sum_c) — no float mean exists anywhere, so the
-    boundary is unperturbable by sum order."""
+    ONE bucketed shuffle of (custkey, priority, cents) rows: a customer's
+    orders co-locate whole in their custkey-hash bucket, so the exact
+    per-customer (n, sum_cents) closes IN-BUCKET and gates the same rows
+    in place — no per-customer partial ever reaches the driver (only
+    B x |priorities| integer cells do), and the mean comparison
+    cross-multiplies into exact integers (cents * n_c > sum_c) — no
+    float mean exists anywhere, so the boundary is unperturbable by sum
+    order."""
+    from ..stages.shuffle import bucketed_group_apply
+
     o = _read(sf_dir, "orders",
               ["o_custkey", "o_orderpriority", "o_totalprice"])
 
-    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
-            .astype(np.int64)
-        return (pd.DataFrame({"c": df["o_custkey"].to_numpy(),
-                              "n": np.int64(1), "s": cents})
-                .groupby("c", as_index=False).sum())
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "o_orderpriority": df["o_orderpriority"].to_numpy(),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100.0)
+            .astype(np.int64)})
 
-    parts = o.map_batches(cust_partial, batch_format="pandas").to_pandas()
-    cstats = parts.groupby("c", as_index=False).sum()
-    nref = ray.put(dict(zip(cstats["c"], cstats["n"])))
-    sref = ray.put(dict(zip(cstats["c"], cstats["s"])))
-
-    class Gate:
-        def __init__(self):
-            self.n = ray.get(nref)
-            self.s = ray.get(sref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cents = np.round(df["o_totalprice"].to_numpy() * 100.0) \
-                .astype(np.int64)
-            nn = df["o_custkey"].map(self.n).to_numpy(np.int64)
-            ss = df["o_custkey"].map(self.s).to_numpy(np.int64)
-            above = cents * nn > ss
-            return (pd.DataFrame({
-                "o_orderpriority": df["o_orderpriority"].to_numpy(),
-                "n_above": above.astype(np.int64), "n": np.int64(1)})
-                .groupby("o_orderpriority", as_index=False).sum())
-
-    out = (o.map_batches(Gate, batch_format="pandas",
-                         concurrency=(1, 4)).to_pandas()
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.groupby("o_custkey")["cents"].agg(["size", "sum"])
+        nn = g["o_custkey"].map(st["size"]).to_numpy(np.int64)
+        ss = g["o_custkey"].map(st["sum"]).to_numpy(np.int64)
+        above = g["cents"].to_numpy(np.int64) * nn > ss
+        return (pd.DataFrame({
+            "o_orderpriority": g["o_orderpriority"].to_numpy(),
+            "n_above": above.astype(np.int64), "n": np.int64(1)})
             .groupby("o_orderpriority", as_index=False).sum())
+
+    out = (bucketed_group_apply(
+        o.map_batches(pre, batch_format="pandas"), "o_custkey", gate)
+        .to_pandas()
+        .groupby("o_orderpriority", as_index=False).sum())
     return (out.astype({"n_above": "int64", "n": "int64"})
                .rename(columns={"n": "n_orders"})
                .sort_values("o_orderpriority").reset_index(drop=True))
@@ -409,8 +416,7 @@ def q_supplier_part_breadth(sf_dir: str, min_parts: int = 5) -> pd.DataFrame:
         return c[c["n_parts"] >= min_parts]
 
     qual = bucketed_group_apply(li.map_batches(pre, batch_format="pandas"),
-                                "l_suppkey", breadth,
-                                num_buckets=4).to_pandas()
+                                "l_suppkey", breadth).to_pandas()
     sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_nationkey"])
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",

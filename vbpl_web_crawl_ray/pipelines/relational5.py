@@ -37,29 +37,21 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def q_late_ship_orders(sf_dir: str, grace_days: int = 60) -> pd.DataFrame:
+def q_late_ship_orders(sf_dir: str, grace_days: int = 60,
+                       gate_bytes: int | None = None) -> pd.DataFrame:
     """TPC-H Q4's shape: per order priority, how many orders have at
     least one lineitem shipped more than ``grace_days`` after the order
-    date. ONE shuffle total: per-batch per-orderkey max-shipdate
-    partials collapse the fact side to ~one row per order, the exact
-    max closes inside orderkey buckets, and the (orderdate, priority)
-    attributes resolve IN-BUCKET from a ray.put broadcast (~18
-    bytes/order; past ~64 MB this attach becomes the second half of the
-    same bucketed shuffle), so only (priority, n_late, n_orders) cells
-    ever leave a bucket. All date math is int64 microseconds.
-    (Measured: the earlier partials->bucketed_join form took 7.4 s at
-    sf0.1/32cpu in-suite; this one-shuffle form is ~2x cheaper.)"""
-    from ..stages.shuffle import bucketed_group_apply
+    date. Per-batch per-orderkey max-shipdate partials collapse the
+    fact side to ~one row per order, the exact max closes inside
+    orderkey buckets (one shuffle), and the (orderdate, priority)
+    attributes attach through the measured size gate
+    (``attach_lookup``): a ray.put broadcast under it, a bucketed join
+    on the per-order rows past it — orders is fact-proportional, so at
+    100 TB the gate picks the join. Only (priority, n_late, n_orders)
+    cells reach the driver. All date math is int64 microseconds."""
+    from ..stages.shuffle import attach_lookup, bucketed_group_apply
 
-    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_orderdate",
-                                      "o_orderpriority"])
-    dref = ray.put(dict(zip(orders["o_orderkey"],
-                            orders["o_orderdate"].astype("int64"))))
-    pref = ray.put(dict(zip(orders["o_orderkey"],
-                            orders["o_orderpriority"])))
     grace_us = grace_days * _US_PER_DAY
-
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -68,20 +60,35 @@ def q_late_ship_orders(sf_dir: str, grace_days: int = 60) -> pd.DataFrame:
             "max_ship_us": df["l_shipdate"].astype("int64")})
             .groupby("l_orderkey", as_index=False).max())
 
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("l_orderkey", as_index=False)["max_ship_us"].max()
-        odate = m["l_orderkey"].map(ray.get(dref)).to_numpy(np.int64)
-        prio = m["l_orderkey"].map(ray.get(pref)).to_numpy()
-        late = m["max_ship_us"].to_numpy(np.int64) > odate + grace_us
-        return (pd.DataFrame({"o_orderpriority": prio,
-                              "n_late": late.astype(np.int64),
-                              "n_orders": np.int64(1)})
-                .groupby("o_orderpriority", as_index=False).sum())
+    def close_max(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["max_ship_us"].max()
 
-    out = (bucketed_group_apply(
+    closed = bucketed_group_apply(
         li.map_batches(partial, batch_format="pandas"),
-        "l_orderkey", rollup, num_buckets=4).to_pandas()
-        .groupby("o_orderpriority", as_index=False).sum())
+        "l_orderkey", close_max)
+
+    raw_orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    side = raw_orders.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "o_date_us": df["o_orderdate"].astype("int64"),
+            "o_orderpriority": df["o_orderpriority"].to_numpy()}),
+        batch_format="pandas")
+    withattr = attach_lookup(closed, "l_orderkey", side, "o_orderkey",
+                             ["o_date_us", "o_orderpriority"],
+                             gate_bytes=gate_bytes, probe=raw_orders)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        late = df["max_ship_us"].to_numpy(np.int64) \
+            > df["o_date_us"].to_numpy(np.int64) + grace_us
+        return (pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"].to_numpy(),
+            "n_late": late.astype(np.int64), "n_orders": np.int64(1)})
+            .groupby("o_orderpriority", as_index=False).sum())
+
+    out = (withattr.map_batches(cells, batch_format="pandas").to_pandas()
+           .groupby("o_orderpriority", as_index=False).sum())
     return (out.astype({"n_late": "int64", "n_orders": "int64"})
                .sort_values("o_orderpriority").reset_index(drop=True))
 
@@ -114,7 +121,7 @@ def q_large_volume_orders(sf_dir: str, min_qty: int = 150,
 
     big = bucketed_group_apply(
         li.map_batches(partial, batch_format="pandas"),
-        "l_orderkey", gate, num_buckets=4).to_pandas()
+        "l_orderkey", gate).to_pandas()
 
     orders = pd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -169,8 +176,7 @@ def q_order_interarrival_stats(sf_dir: str) -> pd.DataFrame:
                      min_gap_days=("min_gap_days", "min"),
                      max_gap_days=("max_gap_days", "max")))
 
-    parts = bucketed_group_apply(orders, "o_custkey", gaps,
-                                 num_buckets=4).to_pandas()
+    parts = bucketed_group_apply(orders, "o_custkey", gaps).to_pandas()
     out = parts.groupby("segment", as_index=False).agg(
         n_gaps=("n_gaps", "sum"), sum_gap_days=("sum_gap_days", "sum"),
         min_gap_days=("min_gap_days", "min"),
@@ -243,8 +249,7 @@ def q_rolling_median_value(sf_dir: str, window: int = 4) -> pd.DataFrame:
                 "median_w4": (lo + hi) * 0.5}))
         return pd.concat(out, ignore_index=True)
 
-    out = bucketed_group_apply(ev, "event_type", med,
-                               num_buckets=4).to_pandas()
+    out = bucketed_group_apply(ev, "event_type", med).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -318,29 +323,48 @@ def q_discount_tax_grid(sf_dir: str) -> pd.DataFrame:
                .reset_index(drop=True))
 
 
-def q_nation_pair_trade(sf_dir: str) -> pd.DataFrame:
+def _orders_cust_nation_side(sf_dir: str, gate_bytes: int | None):
+    """(o_orderkey, c_nationkey) side table with the customer hop behind
+    its own size gate: customer is fact-proportional too, so past the
+    gate BOTH hops (customer -> orders, orders -> lineitem) run as
+    bucketed joins; under it each is one ray.put dict. Returns
+    (side_dataset, probe_dataset) — the probe is the raw orders read
+    whose size_bytes is metadata-only."""
+    from ..stages.shuffle import attach_lookup
+
+    raw_orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    withn = attach_lookup(raw_orders, "o_custkey", cust, "c_custkey",
+                          ["c_nationkey"], gate_bytes=gate_bytes)
+    side = withn.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    return side, raw_orders
+
+
+def q_nation_pair_trade(sf_dir: str,
+                        gate_bytes: int | None = None) -> pd.DataFrame:
     """TPC-H Q7's shape: trade volume between (supplier nation, customer
-    nation) pairs per ship year. ONE lineitem scan computes everything:
-    the supplier->nation map is a true broadcast dim, the orderkey->
-    custkey hop rides as a ray.put lookup (size-gated — ~16 bytes/order;
-    past ~64 MB this hop becomes a bucketed join on l_orderkey emitting
-    the same partials), and per-batch (supp_nation, cust_nation, year,
-    rev_u4, n) partials are all that move. Revenue compounds as exact
-    int64 u4 units (cents x (100 - disc_pct)); the display division by
-    1e4 is one exact op per cell."""
+    nation) pairs per ship year. ONE lineitem scan emits per-batch
+    (orderkey, supp_nation, year) integer partials (the supplier ->
+    nation map is a true broadcast dim); the customer-nation hop
+    attaches through the measured size gate (``attach_lookup`` over the
+    (orderkey, nationkey) side — ray.put dict under it, bucketed joins
+    past it, both the customer hop and the orders hop gated since both
+    tables are fact-proportional). Revenue compounds as exact int64 u4
+    units (cents x (100 - disc_pct)); the display division by 1e4 is
+    one exact op per cell."""
+    from ..stages.shuffle import attach_lookup
+
     sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_nationkey"])
     nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
                           columns=["n_nationkey", "n_name"])
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"])
-    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"])
     nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
     s2n = {k: nmap[v] for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])}
-    c2n = {k: nmap[v] for k, v in zip(cust["c_custkey"], cust["c_nationkey"])}
-    o2n = {o: c2n[c] for o, c in zip(orders["o_orderkey"], orders["o_custkey"])}
-    sref, oref = ray.put(s2n), ray.put(o2n)
+    sref = ray.put(s2n)
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -349,7 +373,6 @@ def q_nation_pair_trade(sf_dir: str) -> pd.DataFrame:
     class Partial:
         def __init__(self):
             self.s2n = ray.get(sref)
-            self.o2n = ray.get(oref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
@@ -357,18 +380,35 @@ def q_nation_pair_trade(sf_dir: str) -> pd.DataFrame:
             d = np.round(df["l_discount"].to_numpy() * 100.0) \
                 .astype(np.int64)
             return (pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].to_numpy(),
                 "supp_nation": df["l_suppkey"].map(self.s2n).to_numpy(),
-                "cust_nation": df["l_orderkey"].map(self.o2n).to_numpy(),
                 "ship_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
                 "n_items": np.int64(1),
                 "rev_u4": cents * (100 - d)})
-                .groupby(["supp_nation", "cust_nation", "ship_year"],
+                .groupby(["l_orderkey", "supp_nation", "ship_year"],
                          as_index=False).sum())
 
-    out = (li.map_batches(Partial, batch_format="pandas",
-                          concurrency=(1, 4)).to_pandas()
+    parts = li.map_batches(Partial, batch_format="pandas",
+                           concurrency=(1, 4))
+    side, probe = _orders_cust_nation_side(sf_dir, gate_bytes)
+    withn = attach_lookup(parts, "l_orderkey", side, "o_orderkey",
+                          ["c_nationkey"], gate_bytes=gate_bytes,
+                          probe=probe)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "supp_nation": df["supp_nation"].to_numpy(),
+            "cust_nation": df["c_nationkey"].to_numpy(np.int64),
+            "ship_year": df["ship_year"].to_numpy(np.int64),
+            "n_items": df["n_items"].to_numpy(np.int64),
+            "rev_u4": df["rev_u4"].to_numpy(np.int64)})
+            .groupby(["supp_nation", "cust_nation", "ship_year"],
+                     as_index=False).sum())
+
+    out = (withn.map_batches(cells, batch_format="pandas").to_pandas()
            .groupby(["supp_nation", "cust_nation", "ship_year"],
                     as_index=False).sum())
+    out["cust_nation"] = out["cust_nation"].map(nmap)
     out = out.astype({"ship_year": "int64", "n_items": "int64",
                       "rev_u4": "int64"})
     out["revenue"] = out["rev_u4"].to_numpy(np.float64) / 1e4
@@ -442,8 +482,7 @@ def q_order_priority_migration(sf_dir: str) -> pd.DataFrame:
                 .groupby(["prev_priority", "next_priority"],
                          as_index=False).sum())
 
-    out = (bucketed_group_apply(orders, "o_custkey", trans,
-                                num_buckets=4).to_pandas()
+    out = (bucketed_group_apply(orders, "o_custkey", trans).to_pandas()
            .groupby(["prev_priority", "next_priority"], as_index=False)
            .sum())
     return (out.astype({"n": "int64"})
@@ -481,7 +520,7 @@ def q_repeat_purchase_rate(sf_dir: str) -> pd.DataFrame:
 
     out = (bucketed_group_apply(
         orders.map_batches(partial, batch_format="pandas"),
-        "o_custkey", gate, num_buckets=4).to_pandas()
+        "o_custkey", gate).to_pandas()
         .groupby("segment", as_index=False).sum())
     out = out.astype({"n_customers": "int64", "n_repeat": "int64"})
     out["repeat_share"] = (out["n_repeat"].to_numpy(np.float64)
@@ -489,35 +528,52 @@ def q_repeat_purchase_rate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("segment").reset_index(drop=True)
 
 
-def q_linestatus_priority_counts(sf_dir: str) -> pd.DataFrame:
+def q_linestatus_priority_counts(sf_dir: str,
+                                 gate_bytes: int | None = None
+                                 ) -> pd.DataFrame:
     """TPC-H Q12's shape: a fact-side classifier counted against an
     order attribute reached through the key — per linestatus, how many
     items belong to urgent/high-priority orders vs the rest. The
-    orderkey -> priority map rides as ONE ray.put broadcast (2 bytes of
-    payload per order after the high/low bit is precomputed driver-side;
-    past ~64 MB this becomes a bucketed join emitting the same
-    partials); per-batch (status, high, low) integer cells are all that
-    move."""
-    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_orderpriority"])
-    high = orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
-    href = ray.put(dict(zip(orders["o_orderkey"], high)))
+    high/low bit is computed once on the orders side, then the
+    orderkey -> bit hop goes through the measured size gate
+    (``attach_lookup``): one ray.put broadcast under it, a bucketed
+    join over per-batch (orderkey, status, n) partials past it — orders
+    is fact-proportional, so at 100 TB the gate picks the join. Only
+    (status, high, low) integer cells reach the driver."""
+    from ..stages.shuffle import attach_lookup
 
-    class Partial:
-        def __init__(self):
-            self.high = ray.get(href)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            hi = df["l_orderkey"].map(self.high).to_numpy(bool)
-            return (pd.DataFrame({
-                "l_linestatus": df["l_linestatus"].to_numpy(),
-                "n_high": hi.astype(np.int64),
-                "n_low": (~hi).astype(np.int64)})
-                .groupby("l_linestatus", as_index=False).sum())
+    raw_orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_orderpriority"])
+    side = raw_orders.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "o_high": df["o_orderpriority"]
+            .isin(["1-URGENT", "2-HIGH"]).to_numpy().astype(np.int64)}),
+        batch_format="pandas")
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
-    out = (li.map_batches(Partial, batch_format="pandas",
-                          concurrency=(1, 4)).to_pandas()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                              "l_linestatus": df["l_linestatus"].to_numpy(),
+                              "n": np.int64(1)})
+                .groupby(["l_orderkey", "l_linestatus"], as_index=False)
+                .sum())
+
+    parts = li.map_batches(partial, batch_format="pandas")
+    withh = attach_lookup(parts, "l_orderkey", side, "o_orderkey",
+                          ["o_high"], gate_bytes=gate_bytes,
+                          probe=raw_orders)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df["o_high"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        return (pd.DataFrame({
+            "l_linestatus": df["l_linestatus"].to_numpy(),
+            "n_high": n * hi, "n_low": n * (1 - hi)})
+            .groupby("l_linestatus", as_index=False).sum())
+
+    out = (withh.map_batches(cells, batch_format="pandas").to_pandas()
            .groupby("l_linestatus", as_index=False).sum())
     return (out.astype({"n_high": "int64", "n_low": "int64"})
                .sort_values("l_linestatus").reset_index(drop=True))
@@ -612,8 +668,7 @@ def q_sole_late_supplier(sf_dir: str, k: int = 20) -> pd.DataFrame:
                               "n_blamed": np.int64(1)})
                 .groupby("l_suppkey", as_index=False).sum())
 
-    per_supp = (bucketed_group_apply(li, "l_orderkey", blame,
-                                     num_buckets=4).to_pandas()
+    per_supp = (bucketed_group_apply(li, "l_orderkey", blame).to_pandas()
                 .groupby("l_suppkey", as_index=False).sum())
     top = (per_supp.sort_values(["n_blamed", "l_suppkey"],
                                 ascending=[False, True]).head(k))
@@ -741,7 +796,7 @@ def q_customer_order_distribution(sf_dir: str) -> pd.DataFrame:
 
     parts = bucketed_group_apply(
         orders.map_batches(partial, batch_format="pandas"),
-        "o_custkey", coc, num_buckets=4).to_pandas()
+        "o_custkey", coc).to_pandas()
     out = (parts.groupby("n_orders", as_index=False)
                 ["n_customers"].sum())
     n_total = len(pd.read_parquet(f"{sf_dir}/customer.parquet",
@@ -800,46 +855,49 @@ def q_small_order_revenue(sf_dir: str) -> pd.DataFrame:
         "small_revenue": [np.float64(np.int64(out["cents"])) / 100.0]})
 
 
-def q_nation_share_of_region(sf_dir: str) -> pd.DataFrame:
+def q_nation_share_of_region(sf_dir: str,
+                             gate_bytes: int | None = None) -> pd.DataFrame:
     """TPC-H Q8's percent-of-parent shape: each nation's share of its
-    REGION's revenue. One fact scan produces per-nation exact u4
-    integer partials (customer nation via the size-gated broadcast
-    hop), the region totals close on the bounded nation table, and each
-    share is one exact int/int division — no float revenue ever
-    aggregates."""
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"])
-    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"])
+    REGION's revenue. One fact scan produces per-batch per-orderkey
+    exact u4 integer partials; the customer-nation hop attaches through
+    the measured size gate (``attach_lookup`` — ray.put dict under it,
+    bucketed joins past it, both the customer and orders hops gated
+    since both tables are fact-proportional). The region totals close
+    on the bounded nation table, and each share is one exact int/int
+    division — no float revenue ever aggregates."""
+    from ..stages.shuffle import attach_lookup
+
     nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
                           columns=["n_nationkey", "n_name", "n_regionkey"])
     reg = pd.read_parquet(f"{sf_dir}/region.parquet",
                           columns=["r_regionkey", "r_name"])
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    o2n = {o: c2n[c] for o, c in zip(orders["o_orderkey"],
-                                     orders["o_custkey"])}
-    oref = ray.put(o2n)
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    class Partial:
-        def __init__(self):
-            self.o2n = ray.get(oref)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        d = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "u4": cents * (100 - d)})
+            .groupby("l_orderkey", as_index=False).sum())
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
-                .astype(np.int64)
-            d = np.round(df["l_discount"].to_numpy() * 100.0) \
-                .astype(np.int64)
-            return (pd.DataFrame({
-                "nk": df["l_orderkey"].map(self.o2n).to_numpy(np.int64),
-                "u4": cents * (100 - d)})
-                .groupby("nk", as_index=False).sum())
+    parts = li.map_batches(partial, batch_format="pandas")
+    side, probe = _orders_cust_nation_side(sf_dir, gate_bytes)
+    withn = attach_lookup(parts, "l_orderkey", side, "o_orderkey",
+                          ["c_nationkey"], gate_bytes=gate_bytes,
+                          probe=probe)
 
-    per_nation = (li.map_batches(Partial, batch_format="pandas",
-                                 concurrency=(1, 4)).to_pandas()
-                  .groupby("nk", as_index=False).sum())
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "nk": df["c_nationkey"].to_numpy(np.int64),
+            "u4": df["u4"].to_numpy(np.int64)})
+            .groupby("nk", as_index=False).sum())
+
+    per_nation = (withn.map_batches(cells, batch_format="pandas")
+                  .to_pandas().groupby("nk", as_index=False).sum())
     per_nation["nation"] = per_nation["nk"].map(
         dict(zip(nat["n_nationkey"], nat["n_name"])))
     rk = per_nation["nk"].map(
@@ -887,7 +945,7 @@ def q_except_all_counts(sf_dir: str) -> pd.DataFrame:
 
     out = bucketed_group_apply(
         ev.map_batches(partial, batch_format="pandas"),
-        "user_id", clip, num_buckets=4).to_pandas()
+        "user_id", clip).to_pandas()
     return (out.astype({"user_id": "int64", "multiplicity": "int64"})
                .sort_values("user_id").reset_index(drop=True))
 
@@ -924,7 +982,7 @@ def q_cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
 
     out = bucketed_group_apply(
         li.map_batches(partial, batch_format="pandas"),
-        "l_partkey", argmin, num_buckets=4).to_pandas()
+        "l_partkey", argmin).to_pandas()
     out["unit_price"] = out["unit_u"].to_numpy(np.float64) / 1e8
     return (out.drop(columns=["unit_u"])
                .astype({"l_partkey": "int64", "l_suppkey": "int64"})

@@ -77,8 +77,7 @@ def q_bloom_semi_counts(sf_dir: str) -> pd.DataFrame:
         out = hit.groupby("rf", as_index=False).size()
         return out.rename(columns={"rf": "l_returnflag", "size": "n"})
 
-    parts = bucketed_group_apply(s.union(u), "k", count_in_bucket,
-                                 num_buckets=8).to_pandas()
+    parts = bucketed_group_apply(s.union(u), "k", count_in_bucket).to_pandas()
     out = parts.groupby("l_returnflag", as_index=False)["n"].sum()
     return (out.astype({"n": "int64"})
                .sort_values("l_returnflag").reset_index(drop=True))
@@ -125,8 +124,7 @@ def q_salted_event_stats(sf_dir: str) -> pd.DataFrame:
         return df.groupby("event_type", as_index=False).agg(
             s=("s", "sum"), n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
 
-    out = salted_group_agg(ev, "event_type", partial, merge,
-                           num_buckets=4, salt=4).to_pandas()
+    out = salted_group_agg(ev, "event_type", partial, merge, salt=4).to_pandas()
     out["total_value"] = round_half_away(out.pop("s").to_numpy(), 4)
     out["lo"] = round_half_away(out["lo"].to_numpy(), 4)
     out["hi"] = round_half_away(out["hi"].to_numpy(), 4)
@@ -177,8 +175,7 @@ def q_full_outer_user_counts(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"side": [label[int(v)] for v in vc.index],
                              "n": vc.to_numpy(np.int64)})
 
-    parts = bucketed_group_apply(cust.union(err), "k", count_sides,
-                                 num_buckets=4).to_pandas()
+    parts = bucketed_group_apply(cust.union(err), "k", count_sides).to_pandas()
     out = parts.groupby("side", as_index=False)["n"].sum()
     return (out.astype({"n": "int64"})
                .sort_values("side").reset_index(drop=True))
@@ -370,7 +367,7 @@ def q_key_skew_stats(sf_dir: str) -> pd.DataFrame:
                  .size().rename(columns={"size": "keys"}))
 
     hist = bucketed_group_apply(
-        ev, "user_id", per_user, num_buckets=4,
+        ev, "user_id", per_user,
         partial_fn=lambda df: (df.groupby("user_id", as_index=False)
                                  .size().rename(columns={"size": "n"}))
     ).to_pandas().groupby("n", as_index=False)["keys"].sum() \
@@ -459,7 +456,7 @@ def q_partition_manifest(sf_dir: str) -> pd.DataFrame:
                .size().rename(columns={"size": "n_users"}))
         return agg.merge(nu, on="event_type")
 
-    out = bucketed_group_apply(ev, "event_type", manifest, num_buckets=4,
+    out = bucketed_group_apply(ev, "event_type", manifest,
                                partial_fn=partial).to_pandas()
     return (out.astype({"n_rows": "int64", "n_users": "int64"})
                .sort_values("event_type").reset_index(drop=True))
@@ -501,7 +498,7 @@ def q_table_profile(sf_dir: str) -> pd.DataFrame:
               .rename(columns={"nulls": "n_nulls"}))
         return d.merge(n, on="col", how="outer").fillna(0)
 
-    parts = bucketed_group_apply(ds, "kv", profile, num_buckets=4,
+    parts = bucketed_group_apply(ds, "kv", profile,
                                  partial_fn=partial).to_pandas()
     out = parts.groupby("col", as_index=False).agg(
         n_distinct=("n_distinct", "sum"), n_nulls=("n_nulls", "sum"))
@@ -865,7 +862,7 @@ def q_delta_encoding_audit(sf_dir: str, block_rows: int = 4096) -> pd.DataFrame:
 
     out = (bucketed_group_apply(
         o.map_batches(add_block, batch_format="pandas"),
-        "__blk", classes, num_buckets=4).to_pandas()
+        "__blk", classes).to_pandas()
         .groupby("varint_bytes", as_index=False).sum())
     out = out.astype({"varint_bytes": "int64", "n_values": "int64"})
     out["total_bytes"] = out["varint_bytes"] * out["n_values"]

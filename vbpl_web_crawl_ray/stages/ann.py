@@ -412,8 +412,7 @@ def lsh_near_dup_pairs(embds: rd.Dataset, threshold: float,
             out["cos_sim"] = np.concatenate(out_s)
         return out
 
-    hits = bucketed_group_apply(sigs, "bucket_key", verify_in_bucket,
-                                num_buckets=8).to_pandas()
+    hits = bucketed_group_apply(sigs, "bucket_key", verify_in_bucket).to_pandas()
     if not len(hits):
         return empty()
     # a pair passing in several tables appears once per table; keep the

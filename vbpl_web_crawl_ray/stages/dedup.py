@@ -53,7 +53,7 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
 
     return bucketed_group_apply(
         ds.map_batches(add_hash, batch_format="pandas"),
-        "content_hash", first_per_text, num_buckets=8)
+        "content_hash", first_per_text)
 
 
 # ---------------------------------------------------------------------------
@@ -81,7 +81,7 @@ BROADCAST_MAX_BYTES = 64 << 20
 
 def _attach_pair_payloads(cand: rd.Dataset, payloads: rd.Dataset,
                           payload_col: str, id_col: str = "doc_id",
-                          num_buckets: int = 16,
+                          num_buckets: int | None = None,
                           placeholder: bytes | str = b"") -> rd.Dataset:
     """(id_a, id_b) candidate pairs + a per-doc payload table ->
     (id_a, id_b, <col>_a, <col>_b), distributed.
@@ -235,8 +235,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
             c=g.groupby("shingle_h")["shingle_h"].transform("size")
                .astype(np.int64))
 
-    with_df = bucketed_group_apply(exploded, "shingle_h", attach_df,
-                                   num_buckets=16)
+    with_df = bucketed_group_apply(exploded, "shingle_h", attach_df)
 
     def per_doc_prefix(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -254,8 +253,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
                                  "size": pd.Series(dtype=np.int64)})
         return pd.concat(out, ignore_index=True)
 
-    prefix = bucketed_group_apply(with_df, "doc_id", per_doc_prefix,
-                                  num_buckets=16)
+    prefix = bucketed_group_apply(with_df, "doc_id", per_doc_prefix)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # drop singleton shingles vectorized, then pair per surviving
@@ -278,8 +276,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3,
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = bucketed_group_apply(prefix, "shingle_h", pairs_in_bucket,
-                                num_buckets=16).materialize()
+    cand = bucketed_group_apply(prefix, "shingle_h", pairs_in_bucket).materialize()
     if cand.count() == 0:
         return pd.DataFrame({**_EMPTY_PAIRS,
                              "jaccard": pd.Series(dtype=np.float64)})
@@ -543,7 +540,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                              "hamming": ham[keep]})
 
     from .shuffle import bucketed_group_apply
-    return (bucketed_group_apply(chunked, "chunk_val", verify, num_buckets=8)
+    return (bucketed_group_apply(chunked, "chunk_val", verify)
             .to_pandas().drop_duplicates(["id_a", "id_b"])
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
@@ -633,8 +630,7 @@ def repeated_span_stats(ds: rd.Dataset, n: int = 8, text_col: str = "text",
         return g.loc[c >= 2, [id_col, "pos"]]
 
     flagged = bucketed_group_apply(
-        ds.map_batches(explode, batch_format="pandas"), "gh", flag,
-        num_buckets=8)
+        ds.map_batches(explode, batch_format="pandas"), "gh", flag)
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
         out_id, out_g, out_t = [], [], []
@@ -653,8 +649,7 @@ def repeated_span_stats(ds: rd.Dataset, n: int = 8, text_col: str = "text",
                              "dup_grams": np.array(out_g, np.int64),
                              "dup_tokens": np.array(out_t, np.int64)})
 
-    out = bucketed_group_apply(flagged, id_col, per_doc,
-                               num_buckets=8).to_pandas()
+    out = bucketed_group_apply(flagged, id_col, per_doc).to_pandas()
     if not len(out):       # no duplicated gram anywhere -> typed empty
         return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
                              "dup_grams": pd.Series(dtype=np.int64),
@@ -692,4 +687,4 @@ def keep_best_dedup(ds: rd.Dataset, key_col: str, id_col: str,
 
     return bucketed_group_apply(
         ds.map_batches(add_key, batch_format="pandas"),
-        "key_hash", best_per_key, num_buckets=8)
+        "key_hash", best_per_key)

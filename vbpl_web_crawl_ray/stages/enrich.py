@@ -155,4 +155,4 @@ def fuzzy_name_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
                              "id_b": np.concatenate(rows_b),
                              "name_sim": np.concatenate(rows_s)})
 
-    return bucketed_group_apply(ds, "p_brand", per_bucket, num_buckets=8)
+    return bucketed_group_apply(ds, "p_brand", per_bucket)

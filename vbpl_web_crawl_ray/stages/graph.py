@@ -70,8 +70,7 @@ def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
                               on=("u",), right_on=("node",))
                         .map_batches(as_cand(0), batch_format="pandas"))
         selfs = labels_ds.map_batches(as_cand(1), batch_format="pandas")
-        new_labels = bucketed_group_apply(prop.union(selfs), "node", take_min,
-                                          num_buckets=8).materialize()
+        new_labels = bucketed_group_apply(prop.union(selfs), "node", take_min).materialize()
         changed = new_labels.sum("changed")
         # compacted: labels feed the next round's hash joins, and
         # map_groups-derived datasets carry schema-less empty blocks
@@ -388,7 +387,7 @@ def pagerank(edges: pd.DataFrame | rd.Dataset, src: str = "src",
             edges_ds.map_batches(
                 lambda df: pd.DataFrame({"node": pd.concat(
                     [df[src], df[dst]]).unique()}), batch_format="pandas"),
-            "node", lambda g: g.drop_duplicates(), num_buckets=4).count()
+            "node", lambda g: g.drop_duplicates()).count()
     if force_partitioned or n_nodes > PR_BROADCAST_MAX_NODES:
         return _pagerank_actors(edges_ds, src, dst, d, iters)
     out = _pagerank_broadcast(edges_ds, src, dst, d, iters)
@@ -396,7 +395,7 @@ def pagerank(edges: pd.DataFrame | rd.Dataset, src: str = "src",
 
 
 def triangle_count(edges, src: str = "src", dst: str = "dst",
-                   num_buckets: int = 8) -> pd.DataFrame:
+                   num_buckets: int | None = None) -> pd.DataFrame:
     """Distributed triangle count by DEGREE-ORIENTED wedge generation —
     the classic O(m^1.5) shape: orient every undirected edge from its
     (degree, id)-smaller endpoint to the larger, so each node's oriented
@@ -496,7 +495,7 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
 
 
 def k_core(edges, k: int = 3, src: str = "src", dst: str = "dst",
-           num_buckets: int = 8, max_iters: int = 100) -> pd.DataFrame:
+           num_buckets: int | None = None, max_iters: int = 100) -> pd.DataFrame:
     """K-CORE decomposition by distributed iterative peeling: repeatedly
     drop every node of degree < k until a fixpoint — what survives is the
     maximal subgraph where every node keeps >= k neighbours (the dense
@@ -575,7 +574,7 @@ def k_core(edges, k: int = 3, src: str = "src", dst: str = "dst",
 
 
 def bfs_depths(edges, seed: str, src: str = "src", dst: str = "dst",
-               num_buckets: int = 8, max_depth: int = 64) -> pd.DataFrame:
+               num_buckets: int | None = None, max_depth: int = 64) -> pd.DataFrame:
     """Distributed BFS from a seed over an undirected edge set: classic
     frontier expansion — each round ONE vectorized pass over the edge
     dataset marks neighbours of the current frontier (broadcast as a

@@ -141,7 +141,7 @@ def bloom_anti_join(ds: rd.Dataset, key_col: str, bloom: BloomFilter,
 def salted_group_agg(ds: rd.Dataset, key: str,
                      partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
                      merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
-                     num_buckets: int = 8, salt: int = 4) -> rd.Dataset:
+                     num_buckets: int | None = None, salt: int = 4) -> rd.Dataset:
     """Two-round associative aggregation with hot-key salting.
 
     Round 1 groups by (key, salt_id) — a hot key's rows spread over ``salt``
@@ -149,6 +149,9 @@ def salted_group_agg(ds: rd.Dataset, key: str,
     (must keep ``key``). Round 2 groups by key alone over the tiny partials
     with ``merge_fn``. Correct for any associative+commutative aggregate.
     """
+    from .shuffle import resolve_num_buckets
+    num_buckets = resolve_num_buckets(num_buckets)
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         out = partial_fn(df).copy()               # per-batch per-key partials
         # salt id per partial row: which of the `salt` round-1 reducers this

@@ -281,7 +281,7 @@ def hash_near_dup_pairs(ds: rd.Dataset, hash_col: str = "phash",
     from .shuffle import bucketed_group_apply
     chunked = ds.select_columns([id_col, hash_col]) \
                 .map_batches(to_chunks, batch_format="pandas")
-    return (bucketed_group_apply(chunked, "chunk_val", verify, num_buckets=8)
+    return (bucketed_group_apply(chunked, "chunk_val", verify)
             .to_pandas().drop_duplicates(["id_a", "id_b"])
             .reset_index(drop=True))
 

@@ -78,8 +78,7 @@ def mg_heavy_hitters(ds: rd.Dataset,
     parts = ds.map_batches(partial, batch_format="pandas")
     merged = bucketed_group_apply(
         parts, "item",
-        lambda g: g.groupby("item", as_index=False)["w"].sum(),
-        num_buckets=8).to_pandas()
+        lambda g: g.groupby("item", as_index=False)["w"].sum()).to_pandas()
     if not len(merged):
         return pd.DataFrame({item_col: pd.Series(dtype=str),
                              count_col: pd.Series(dtype=np.int64)})

@@ -25,7 +25,7 @@ from .shuffle import bucket_of, bucketed_group_apply
 
 def last_write_wins(ds: rd.Dataset, key_cols: list[str],
                     ts_col: str | list[str],
-                    num_buckets: int = 8) -> rd.Dataset:
+                    num_buckets: int | None = None) -> rd.Dataset:
     """Keep the newest row per key. Pass a LIST of ts/tiebreak columns
     forming a total order (e.g. ["ts", "event_id"]) for determinism under
     any input partitioning; a bare timestamp with ties falls back to
@@ -41,12 +41,14 @@ def last_write_wins(ds: rd.Dataset, key_cols: list[str],
 
 
 def upsert_parquet(ds: rd.Dataset, out_dir: str, key_cols: list[str],
-                   ts_col: str, num_buckets: int = 8,
+                   ts_col: str, num_buckets: int | None = None,
                    driver_merge_threshold: int = 1_000_000) -> str:
     """Merge ``ds`` into the parquet table at ``out_dir`` (hash-partitioned
     by key into ``bucket=*/`` dirs), last-write-wins per key. Small results
     lay out on the driver; above ``driver_merge_threshold`` rows the
     partitioned write runs distributed."""
+    from .shuffle import resolve_num_buckets
+    num_buckets = resolve_num_buckets(num_buckets)
     key = key_cols[0]
     if os.path.isdir(out_dir) and any(
             e.startswith("bucket=") for e in os.listdir(out_dir)):
