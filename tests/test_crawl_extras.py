@@ -152,6 +152,21 @@ def test_point_lookup_prunes_by_footer_stats(crawl_out, tmp_path):
     # keys outside every range prune everything
     assert lk.prune_files_by_stats(files, "image_id", ["img09999999"]) == []
 
+    # physical-type mismatch (int stats vs string probe) must KEEP the
+    # file conservatively, not raise TypeError (ADVICE r4)
+    intdir = f"{out}/payload/round=3"
+    import os
+    os.makedirs(intdir)
+    pd.DataFrame({"image_id": [1, 2, 3],
+                  "caption": ["a", "b", "c"]}).to_parquet(
+        f"{intdir}/part-0.parquet", index=False)
+    files3 = lk._files(out, "payload")
+    kept = lk.prune_files_by_stats(files3, "image_id", ["img00001010"])
+    assert any("round=3" in f for f in kept)
+    assert any("round=2" in f for f in kept)
+    import shutil
+    shutil.rmtree(intdir)   # restore the two-file store for the e2e part
+
     # end-to-end: lookup reads ONLY the matching file's data
     opened = []
     real_read = lk.pq.read_table

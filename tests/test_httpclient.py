@@ -18,6 +18,7 @@ from vbpl_web_crawl_ray.sources.httpclient import HttpTransport
 from vbpl_web_crawl_ray.stages.fetch import FetchStage
 
 _FLAKY_HITS = {"n": 0}
+_BIG_HITS = {"n": 0}
 
 
 class _Handler(http.server.BaseHTTPRequestHandler):
@@ -42,6 +43,17 @@ class _Handler(http.server.BaseHTTPRequestHandler):
             self.send_response(301)
             self.send_header("Location", "/ok")
             self.end_headers()
+        elif self.path == "/redir307":
+            self.send_response(307)
+            self.send_header("Location", "/ok")
+            self.end_headers()
+        elif self.path == "/big":
+            _BIG_HITS["n"] += 1
+            body = b"x" * (64 * 1024)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self.send_response(404)
             self.end_headers()
@@ -70,6 +82,27 @@ def test_transport_contract_direct(base_url):
     # connection refused -> 599, not an exception
     status, _, body = c.get("http://127.0.0.1:9/x")
     assert (status, body) == (599, b"")
+    # 307 surfaces as a Location-in-body redirect like 301/302
+    status, _, body = c.get(f"{base_url}/redir307")
+    assert status == 307 and body == b"/ok"
+    # oversized body -> 598 (distinct from transport-failure 599)
+    small = HttpTransport(timeout=5, max_body_bytes=1024)
+    status, _, body = small.get(f"{base_url}/big")
+    assert (status, body) == (598, b"")
+
+
+def test_oversized_598_not_retried(base_url, ray_session):
+    """598 is terminal: FetchStage must NOT re-download an oversized
+    response through its 5xx backoff loop (ADVICE r4: a 599-coded size
+    cap burned max_retries full downloads before failing)."""
+    _BIG_HITS["n"] = 0
+    stage = FetchStage(cfg=None, max_retries=3,
+                       client_factory=lambda: HttpTransport(
+                           timeout=5, max_body_bytes=1024),
+                       backoff_base=0)
+    status, _, _, retries = stage.fetch_one(f"{base_url}/big")
+    assert status == 598 and retries == 0
+    assert _BIG_HITS["n"] == 1   # exactly one download attempt
 
 
 def test_fetch_stage_actor_pool_over_live_http(base_url, ray_session):

@@ -92,3 +92,21 @@ def test_triangle_count_planted(ray_session):
     assert out["n_triangles"].item() == 4
     assert out["n_edges"].item() == 6
     assert out["n_nodes"].item() == 4
+
+
+def test_triangle_count_pipe_in_node_ids(ray_session):
+    import pandas as pd
+
+    from vbpl_web_crawl_ray.stages.graph import triangle_count
+
+    # ADVICE r4: ids containing '|' aliased composite keys under the old
+    # lo + "|" + hi concatenation — ("a|b","c") == ("a","b|c"). This
+    # non-triangle wedge set must count 0, not phantom-close.
+    e = [("a|b", "c"), ("a", "b|c"), ("a", "c"),
+         ("x|", "y"), ("x", "|y"), ("x", "y")]
+    out = triangle_count(pd.DataFrame(e, columns=["src", "dst"]))
+    assert out["n_triangles"].item() == 0
+    # and a real triangle with pipes still counts exactly once
+    e2 = [("p|q", "r|s"), ("r|s", "t|u"), ("p|q", "t|u")]
+    out2 = triangle_count(pd.DataFrame(e2, columns=["src", "dst"]))
+    assert out2["n_triangles"].item() == 1

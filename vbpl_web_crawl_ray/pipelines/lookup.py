@@ -54,7 +54,15 @@ def prune_files_by_stats(files: list[str], col: str, keys) -> list[str]:
             if st is None or not st.has_min_max:
                 keep.append(f)        # no stats: keep (safe)
                 break
-            if any(st.min <= k <= st.max for k in keys):
+            try:
+                hit = any(st.min <= k <= st.max for k in keys)
+            except TypeError:
+                # physical type mismatch (store written with binary/int
+                # keys vs string probes): keep conservatively, exactly
+                # like the no-stats path — never prune on a bad compare
+                keep.append(f)
+                break
+            if hit:
                 keep.append(f)
                 break
     return keep

@@ -10,12 +10,17 @@ errors surfaced as status codes instead of exceptions so the retry /
 fails-table machinery treats live HTTP exactly like the sim.
 
 Contract details the crawl relies on (stages/parse.py:621-628):
-- 301/302 are NOT auto-followed; ``body`` carries the Location target
-  (the frontier re-offers it through the seen filter, so a target that
-  is also linked directly is fetched once).
+- Redirects (301/302/303/307/308) are NOT auto-followed; ``body``
+  carries the Location target (the frontier re-offers it through the
+  seen filter, so a target that is also linked directly is fetched
+  once).
 - Transport-level failures (DNS, refused, timeout) come back as status
   599 with an empty body — they land in the fails table and consume the
   bounded retry budget like a 5xx.
+- An oversized body (``max_body_bytes`` cap) comes back as status 598
+  with an empty body: NON-retryable (FetchStage skips the backoff loop
+  for it — re-downloading can't shrink the response), and the fails
+  table can tell 'too large' (598) from a transport failure (599).
 
 The import is attempted lazily at construction: the class exists (and
 is unit-referenceable) even in containers without ``requests``.
@@ -50,7 +55,7 @@ class HttpTransport:
         except self._rq.RequestException:
             return 599, "", b""
         try:
-            if r.status_code in (301, 302):
+            if r.status_code in (301, 302, 303, 307, 308):
                 return r.status_code, "", (r.headers.get("Location")
                                            or "").encode()
             ctype = (r.headers.get("Content-Type") or "").split(";")[0].strip()
@@ -62,7 +67,8 @@ class HttpTransport:
             for chunk in r.iter_content(chunk_size=1 << 20):
                 total += len(chunk)
                 if total > self.max_body_bytes:
-                    return 599, ctype, b""   # oversized: refuse, don't OOM
+                    return 598, ctype, b""   # oversized: refuse, don't OOM;
+                    # distinct non-retryable code — retrying can't shrink it
                 chunks.append(chunk)
             return r.status_code, ctype, b"".join(chunks)
         except Exception:

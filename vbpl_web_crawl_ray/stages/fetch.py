@@ -47,7 +47,10 @@ class FetchStage:
     def fetch_one(self, url: str) -> tuple[int, str, bytes, int]:
         retries = 0
         status, ctype, body = self.web.get(url, attempt=0)
-        while status >= 500 and retries < self.max_retries:
+        # 598 = oversized body (httpclient size cap): terminal, never
+        # retried — backoff can't shrink the response. 599 = transport
+        # failure: retryable like any 5xx.
+        while status >= 500 and status != 598 and retries < self.max_retries:
             retries += 1
             if self.backoff_base:
                 import time

@@ -471,13 +471,16 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         x, y = t[a_idx], t[b_idx]
         lo = np.minimum(x, y)
         hi = np.maximum(x, y)
-        return pd.DataFrame({"key": lo + "|" + hi,
+        # \x1f (unit separator) cannot appear in node ids (crawl ids are
+        # printable); "|" could, which would alias distinct (lo, hi)
+        # pairs into one composite key and miscount triangles
+        return pd.DataFrame({"key": lo + "\x1f" + hi,
                              "side": np.zeros(len(lo), np.int8)})
 
     w = bucketed_group_apply(oriented, "s", wedges,
                              num_buckets=num_buckets)
     e = ded.map_batches(
-        lambda df: pd.DataFrame({"key": df["u"] + "|" + df["v"],
+        lambda df: pd.DataFrame({"key": df["u"] + "\x1f" + df["v"],
                                  "side": np.ones(len(df), np.int8)}),
         batch_format="pandas")
 

@@ -618,7 +618,7 @@ class ParseStage:
         redirected = 0
         for rec in batch.to_pylist():
             retried += int(rec.get("retries") or 0)
-            if rec["status"] in (301, 302):
+            if rec["status"] in (301, 302, 303, 307, 308):
                 # redirect = deterministic frontier RE-OFFER at the same
                 # (depth, discovery_order) priority; the target dedups
                 # through the seen filter like any discovered link, so a
