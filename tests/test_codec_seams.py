@@ -26,8 +26,46 @@ def test_sim_paths_always_hermetic():
 
 
 def test_ole_doc_needs_transcoder():
-    with pytest.raises(NotImplementedError, match="Aspose"):
+    if pdfcodec.HAVE_SOFFICE:
+        pytest.skip("soffice present: the honest-seam branch unreachable")
+    with pytest.raises(NotImplementedError, match="soffice|LibreOffice"):
         pdfcodec.decode_document(pdfcodec.OLE_MAGIC + b"legacy doc body")
+
+
+def test_ole_doc_soffice_subprocess_seam(monkeypatch, tmp_path):
+    """The OLE2 branch drives the LibreOffice subprocess contract
+    end-to-end with a faked converter: the .doc bytes land in the
+    tempdir as in.doc, soffice is invoked headless with --convert-to
+    pdf, and the produced in.pdf bytes come back verbatim."""
+    calls = {}
+
+    def fake_run(cmd, check, capture_output, timeout):
+        calls["cmd"] = cmd
+        outdir = cmd[cmd.index("--outdir") + 1]
+        src = cmd[-1]
+        with open(src, "rb") as f:
+            assert f.read().startswith(pdfcodec.OLE_MAGIC)
+        with open(f"{outdir}/in.pdf", "wb") as f:
+            f.write(b"%PDF-1.4 converted")
+        return None
+
+    monkeypatch.setattr(pdfcodec, "_find_soffice", lambda: "/usr/bin/soffice")
+    import subprocess
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = pdfcodec.transcode_doc_via_soffice(
+        pdfcodec.OLE_MAGIC + b"legacy body")
+    assert out == b"%PDF-1.4 converted"
+    assert calls["cmd"][0] == "/usr/bin/soffice"
+    assert "--headless" in calls["cmd"] and "pdf" in calls["cmd"]
+
+
+@pytest.mark.skipif(not pdfcodec.HAVE_SOFFICE,
+                    reason="LibreOffice absent from this container")
+def test_ole_doc_real_soffice_branch():
+    # LibreOffice opens text content under a .doc name; the seam must
+    # return real %PDF bytes
+    out = pdfcodec.transcode_doc_via_soffice(b"plain text body")
+    assert out.startswith(b"%PDF")
 
 
 @pytest.mark.skipif(pdfcodec.HAVE_PDFPLUMBER,

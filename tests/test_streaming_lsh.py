@@ -20,6 +20,25 @@ def test_embedding_near_dup_lsh_recall(sf_dir):
         assert recall >= 0.8, (recall, len(exact_set))
 
 
+def test_embedding_near_dup_auto_gate(sf_dir):
+    """The corpus-size gate drives BOTH branches: default gate picks the
+    brute exact path at fixture scale (pair set == brute), a forced
+    max_brute_rows=0 picks the LSH path (subset of brute with the pinned
+    recall floor, same schema)."""
+    brute = dedup.embedding_near_dup_pairs(sf_dir, threshold=0.45)
+    auto = dedup.embedding_near_dup_auto(sf_dir, threshold=0.45)
+    pd.testing.assert_frame_equal(
+        auto.reset_index(drop=True), brute.reset_index(drop=True))
+    forced = dedup.embedding_near_dup_auto(sf_dir, threshold=0.45,
+                                           max_brute_rows=0)
+    assert list(forced.columns) == ["id_a", "id_b"]
+    f = set(zip(forced["id_a"], forced["id_b"]))
+    b = set(zip(brute["id_a"], brute["id_b"]))
+    assert f <= b
+    if b:
+        assert len(f & b) / len(b) >= 0.8
+
+
 def test_minhash_signature_roundtrip_integrity():
     """Signatures must survive the Arrow roundtrip as exact uint64s —
     identical docs estimate Jaccard exactly 1.0; estimates track true

@@ -37,6 +37,7 @@ import ray.data as rd
 
 from ..functions.numeric import round_half_away
 from ..stages.shuffle import bucketed_group_apply
+from ..sources.tablecache import base_dataset, base_pandas
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -57,7 +58,7 @@ def _exp(arr) -> np.ndarray:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return base_dataset(sf_dir, table, columns=columns)
 
 
 def q_event_transitions(sf_dir: str) -> pd.DataFrame:
@@ -100,8 +101,7 @@ def q_brand_pair_counts(sf_dir: str) -> pd.DataFrame:
     because brands are a bounded vocabulary over a dim table; were the
     dim to outgrow ray.put, the lookup becomes one bucketed_join on
     partkey BEFORE the okey shuffle — same downstream shape.)"""
-    part = pd.read_parquet(f"{sf_dir}/part.parquet",
-                           columns=["p_partkey", "p_brand"])
+    part = base_pandas(sf_dir, "part", columns=["p_partkey", "p_brand"])
     ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
     class ToBrand:
@@ -497,8 +497,7 @@ def q_brand_pair_lift(sf_dir: str) -> pd.DataFrame:
     (< 2^53, so the int -> double casts and the division are identical
     IEEE in both engines — unrounded). Output is bounded by the brand
     vocabulary, never the fact table."""
-    part = pd.read_parquet(f"{sf_dir}/part.parquet",
-                           columns=["p_partkey", "p_brand"])
+    part = base_pandas(sf_dir, "part", columns=["p_partkey", "p_brand"])
     ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
     class ToBrand:

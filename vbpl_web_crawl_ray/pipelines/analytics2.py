@@ -34,13 +34,14 @@ import ray.data as rd
 
 from ..functions.numeric import round_half_away
 from ..stages.shuffle import bucketed_group_apply
+from ..sources.tablecache import base_dataset, base_pandas
 
 _DAY_US = 86_400 * 1_000_000
 _WEEK_US = 7 * _DAY_US
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return base_dataset(sf_dir, table, columns=columns)
 
 
 def _week_start_day(day_idx: np.ndarray) -> np.ndarray:
@@ -1014,8 +1015,7 @@ def q_user_activity_span_stats(sf_dir: str) -> pd.DataFrame:
     n_users) cells leave the bucket."""
     from ..stages.shuffle import bucketed_group_apply
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"])
+    ev = base_dataset(sf_dir, "events", columns=["user_id", "ts"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         us = df["ts"].astype("int64")
@@ -1052,8 +1052,7 @@ def q_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
     self-join."""
     from ..stages.shuffle import bucketed_group_apply
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "event_type"])
+    ev = base_dataset(sf_dir, "events", columns=["user_id", "event_type"])
     types = sorted(ev.map_batches(
         lambda df: df[["event_type"]].drop_duplicates(),
         batch_format="pandas").to_pandas()["event_type"].unique())
@@ -1102,8 +1101,7 @@ def q_embedding_gram_pca(sf_dir: str, iters: int = 2000) -> pd.DataFrame:
     same Gram. Rows-only (the Gram partial merge order can drift a
     float ulp): top eigenvalue + leading loadings are pytest-pinned to
     numpy's eigh within 1e-6."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["embedding"])
+    emb = base_dataset(sf_dir, "embeddings", columns=["embedding"])
 
     def gram(df: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -1142,7 +1140,7 @@ def q_user_load_fairness(sf_dir: str) -> pd.DataFrame:
     two exactly-represented products (magnitudes < 2^53 here; past
     that the moments ride as float128-free split hi/lo int64 pairs).
     The oracle states the identical expression."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev = base_dataset(sf_dir, "events", columns=["user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby("user_id", as_index=False).size()
@@ -1169,8 +1167,7 @@ def q_event_burstiness(sf_dir: str) -> pd.DataFrame:
     products under one stated division, the outlier-counts
     cross-multiplication precedent. Poisson arrivals give ~1; bursty
     traffic gives >1."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_type", "ts"])
+    ev = base_dataset(sf_dir, "events", columns=["event_type", "ts"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         minute = df["ts"].astype("int64") // 60_000_000

@@ -16,10 +16,11 @@ import ray.data as rd
 
 from ..functions.numeric import round_half_away
 from ..stages.textstats import EN_STOPWORDS
+from ..sources.tablecache import base_dataset, base_pandas
 
 
 def _docs(sf_dir: str, cols=("doc_id", "source", "text")) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+    return base_dataset(sf_dir, "documents", columns=list(cols))
 
 
 def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
@@ -153,9 +154,7 @@ def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     ONE partial-aggregation pass over the fact table feeds all three
     rollup levels — the subtotals re-aggregate the (tiny) detail partials,
     never the input."""
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_returnflag", "l_linestatus",
-                                  "l_extendedprice", "l_discount"])
+    li = base_dataset(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
@@ -181,9 +180,7 @@ def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
     """GROUP BY CUBE (l_returnflag, l_linestatus): all four grouping sets
     from the SAME single partial pass as the rollup — the cube only adds
     the (linestatus) margin, re-aggregated from the tiny detail frame."""
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_returnflag", "l_linestatus",
-                                  "l_extendedprice", "l_discount"])
+    li = base_dataset(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
@@ -851,8 +848,7 @@ def q_vocab_growth_curve(sf_dir: str, block_docs: int = 25) -> pd.DataFrame:
     (token, min_doc) pairs and tiny integer cells move."""
     from ..stages.shuffle import bucketed_group_apply
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    docs = base_dataset(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.split(" ")
@@ -897,8 +893,7 @@ def q_stopword_ratio_by_source(sf_dir: str) -> pd.DataFrame:
     stop, total) integer partials only; the 7-word list is stated
     verbatim in the oracle so the classifier is identical, and the one
     share division is exact int/int."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["source", "text"])
+    docs = base_dataset(sf_dir, "documents", columns=["source", "text"])
     stops = EN_STOPWORDS
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -932,8 +927,7 @@ def q_compression_ratio_by_source(sf_dir: str) -> pd.DataFrame:
     Determinism + ratio-sanity are pytest-pinned."""
     import zlib
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["source", "text"])
+    docs = base_dataset(sf_dir, "documents", columns=["source", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         raw = df["text"].str.len().to_numpy(np.int64)
@@ -962,8 +956,7 @@ def q_token_fertility_by_source(sf_dir: str) -> pd.DataFrame:
     integers, and the fertility division is exact int/int."""
     from ..stages.textstats import _BPE_TOKEN
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["source", "text"])
+    docs = base_dataset(sf_dir, "documents", columns=["source", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ws = df["text"].str.split(" ").str.len().astype("int64")
@@ -990,8 +983,7 @@ def q_commonest_bigram_per_source(sf_dir: str) -> pd.DataFrame:
     never gathers. The oracle states the same window order."""
     from ..stages.shuffle import bucketed_group_apply
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["source", "text"])
+    docs = base_dataset(sf_dir, "documents", columns=["source", "text"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.split(" ")

@@ -31,6 +31,7 @@ import ray.data as rd
 
 from ..functions.hashing import md5_hex_prefix
 from ..functions.numeric import round_half_away
+from ..sources.tablecache import base_dataset, base_pandas
 
 # Bernoulli keep-threshold: first 8 md5 hex chars < this <=> u < 0.1 for
 # the uniform u = int(hex8,16)/2^32.  Hex strings of equal length compare
@@ -45,7 +46,7 @@ PACK_RANGE = 4096                 # doc_ids per prefix-scan range bucket
 
 
 def _docs(sf_dir: str, cols=("doc_id", "source", "text")) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+    return base_dataset(sf_dir, "documents", columns=list(cols))
 
 
 def q_hash_sample(sf_dir: str) -> pd.DataFrame:
@@ -268,8 +269,7 @@ def q_stratified_sample(sf_dir: str, cap: int = 300) -> pd.DataFrame:
     q_hash_sample's single global rate cannot express when stratum sizes
     are skewed (downsample the giant web slice, keep all of the rare
     curated slice)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "event_type"])
+    ev = base_dataset(sf_dir, "events", columns=["event_id", "event_type"])
     parts = ev.map_batches(
         lambda df: df.groupby("event_type", as_index=False)
                      .agg(n=("event_id", "size")),
@@ -375,8 +375,7 @@ def q_dedup_savings(sf_dir: str) -> pd.DataFrame:
     docs, dup chars) partials merge as integer sums."""
     from ..stages.shuffle import bucketed_group_apply
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "n_chars"])
+    docs = base_dataset(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
     def savings(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.groupby("text")["doc_id"].transform("min")
@@ -404,8 +403,7 @@ def q_contrastive_pairs(sf_dir: str) -> pd.DataFrame:
     oracle states the identical LEAD-over-md5 window."""
     import hashlib
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id"])
+    docs = base_dataset(sf_dir, "documents", columns=["doc_id"])
 
     def hashes(df: pd.DataFrame) -> pd.DataFrame:
         h = [hashlib.md5(str(i).encode()).hexdigest()
@@ -430,8 +428,7 @@ def q_dup_family_histogram(sf_dir: str) -> pd.DataFrame:
     wire-frugal shape as the key-skew histogram."""
     from ..stages.shuffle import bucketed_group_apply
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    docs = base_dataset(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sizes(g: pd.DataFrame) -> pd.DataFrame:
         fam = (g.groupby("text", as_index=False).size()

@@ -15,6 +15,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..stages.enrich import derive_effect_state_batch
+from ..sources.tablecache import base_dataset, base_pandas
 
 NOW = pd.Timestamp("2024-01-01")       # matches sources/simweb.SIM_NOW
 EPOCH = pd.Timestamp("2020-01-01")
@@ -25,7 +26,7 @@ def q_meta_effect_state(sf_dir: str) -> pd.DataFrame:
     arithmetic function of doc_id (every 3rd doc never expires), state is
     derive_effect_state_batch vs the fixed NOW. One map_batches pass —
     embarrassingly parallel, no shuffle."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = base_dataset(sf_dir, "documents", columns=["doc_id"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         did = df["doc_id"].to_numpy()

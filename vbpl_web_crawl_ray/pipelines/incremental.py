@@ -23,6 +23,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.numeric import round_half_away
+from ..sources.tablecache import base_dataset, base_pandas
 
 GROUP_COLS = ["source", "lang"]
 MOMENT_COLS = ["n", "s", "ss", "mn", "mx"]
@@ -91,8 +92,7 @@ def q_incremental_stats(sf_dir: str) -> pd.DataFrame:
     import tempfile
 
     store = tempfile.mkdtemp(prefix="vbpl_stats_store_")
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "source", "lang", "n_chars"])
+    docs = base_dataset(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
     for k in range(3):
         inc = docs.map_batches(
             lambda df, _k=k: df[df["doc_id"] % 3 == _k],

@@ -18,14 +18,14 @@ import ray.data as rd
 from ..sources.imaging import encode_image, gen_pixels, phash64
 from ..stages import multimodal as mm
 from ..stages.fulltext import parse_fulltext_batch, sectionize_pdf_batch
+from ..sources.tablecache import base_dataset, base_pandas
 
 _ROMAN = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X"]
 _BIG = ["nhất", "hai", "ba", "bốn", "năm"]
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    return base_dataset(sf_dir, "documents", columns=["doc_id", "text"])
 
 
 def vbpl_style_docs(sf_dir: str) -> rd.Dataset:

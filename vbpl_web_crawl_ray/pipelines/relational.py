@@ -21,6 +21,7 @@ from ray.data.aggregate import Sum
 
 from ..functions.numeric import round_half_away
 from ..stages.shuffle import bucketed_group_apply
+from ..sources.tablecache import base_dataset, base_pandas
 
 _NUM_BUCKETS = None  # resolved per-call from the cluster (shuffle.resolve_num_buckets)
 
@@ -38,8 +39,10 @@ def _join_partitions() -> int:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Pruned-column parquet read — only requested columns leave storage."""
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Pruned-column base-table read, decode shared across the suite
+    (sources/tablecache); with the cache off, only requested columns
+    leave storage."""
+    return base_dataset(sf_dir, table, columns=columns)
 
 
 def _round4(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -230,8 +233,8 @@ def q_join_revenue_by_priority(sf_dir: str):
 def q_broadcast_dim_join(sf_dir: str):
     """Broadcast map-join: customer x nation x region with the dims shipped
     once via ray.put — no shuffle (the J3 lookup-join pattern)."""
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
-    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nation = base_pandas(sf_dir, "nation")
+    region = base_pandas(sf_dir, "region")
     nk_to_rname = dict(zip(
         nation["n_nationkey"],
         nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"])))))
@@ -259,8 +262,7 @@ def q_broadcast_dim_join(sf_dir: str):
 def q_anti_join(sf_dir: str):
     """J1 insert-branch: left-anti join via broadcast key set — customers
     with no 'P'-status order (the engine form of the PK-miss probe)."""
-    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
-                        columns=["o_custkey", "o_orderstatus"])
+    o = base_pandas(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
     keys = set(o.loc[o["o_orderstatus"] == "P", "o_custkey"].unique().tolist())
     ref = ray.put(keys)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -275,8 +277,7 @@ def q_anti_join(sf_dir: str):
 def q_semi_join(sf_dir: str):
     """J1 update-branch: semi join via broadcast key set — parts that appear
     in lineitem."""
-    keys = set(pd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                               columns=["l_partkey"])["l_partkey"].unique().tolist())
+    keys = set(base_pandas(sf_dir, "lineitem", columns=["l_partkey"])["l_partkey"].unique().tolist())
     ref = ray.put(keys)
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
 
@@ -290,8 +291,7 @@ def q_semi_join(sf_dir: str):
 def q_string_agg_per_nation(sf_dir: str):
     """A5: per-group ordered string concat (' - ' join of sectors,
     app/service/vbpl.py:1253) — customers per nation."""
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
+    nation = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     lookup = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
     cust = _read(sf_dir, "customer", ["c_nationkey", "c_name"])
 

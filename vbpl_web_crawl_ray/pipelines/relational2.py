@@ -13,12 +13,13 @@ import ray.data as rd
 from ..functions.hashing import hash64
 from ..functions.numeric import round_half_away
 from ..stages.shuffle import bucketed_group_apply
+from ..sources.tablecache import base_dataset, base_pandas
 
 _NUM_BUCKETS = 8
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return base_dataset(sf_dir, table, columns=columns)
 
 
 def q_union_distinct(sf_dir: str):
@@ -43,9 +44,7 @@ def q_intersect_distinct(sf_dir: str):
     import ray
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment",
                                       "c_acctbal"])
-    rich = set(pd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal"]).query("c_acctbal > 5000")
+    rich = set(base_pandas(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).query("c_acctbal > 5000")
         ["c_custkey"].tolist())
     ref = ray.put(rich)
 
@@ -64,9 +63,7 @@ def q_except_distinct(sf_dir: str):
     import ray
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment",
                                       "c_acctbal"])
-    rich = set(pd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal"]).query("c_acctbal > 5000")
+    rich = set(base_pandas(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).query("c_acctbal > 5000")
         ["c_custkey"].tolist())
     ref = ray.put(rich)
 

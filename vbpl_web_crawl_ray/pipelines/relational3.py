@@ -25,10 +25,11 @@ import ray.data as rd
 
 from ..functions.numeric import round_half_away
 from ..stages.shuffle import bucketed_group_apply
+from ..sources.tablecache import base_dataset, base_pandas
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return base_dataset(sf_dir, table, columns=columns)
 
 
 def q_rank_topk_with_ties(sf_dir: str, k: int = 3) -> pd.DataFrame:
@@ -374,8 +375,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     Zero all-to-alls; everything integer until no division at all."""
     import ray
 
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
+    nation = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
     nref = ray.put(nmap)
 
@@ -470,10 +470,8 @@ def q_supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
     integer-cents partials (acctbal is 2-decimal), max is order-free."""
     import ray
 
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_regionkey"])
-    region = pd.read_parquet(f"{sf_dir}/region.parquet",
-                             columns=["r_regionkey", "r_name"])
+    nation = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = base_pandas(sf_dir, "region", columns=["r_regionkey", "r_name"])
     rmap = dict(zip(region["r_regionkey"], region["r_name"]))
     n2r = {k: rmap[v] for k, v in zip(nation["n_nationkey"],
                                       nation["n_regionkey"])}
@@ -524,8 +522,7 @@ def q_top_suppliers_by_volume(sf_dir: str, k: int = 10) -> pd.DataFrame:
                 .sort_values(["qty", "s_suppkey"],
                              ascending=[False, True], kind="mergesort")
                 .head(k))
-    names = pd.read_parquet(f"{sf_dir}/supplier.parquet",
-                            columns=["s_suppkey", "s_name"])
+    names = base_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     out = agg.merge(names, on="s_suppkey", how="left")
     return (pd.DataFrame({"s_suppkey": out["s_suppkey"].astype("int64"),
                           "s_name": out["s_name"],

@@ -26,10 +26,11 @@ import ray
 import ray.data as rd
 
 from ..functions.numeric import round_half_away
+from ..sources.tablecache import base_dataset, base_pandas
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return base_dataset(sf_dir, table, columns=columns)
 
 
 def q_returned_item_customers(sf_dir: str, k: int = 20,
@@ -84,8 +85,7 @@ def q_returned_item_customers(sf_dir: str, k: int = 20,
         columns=["c_custkey", "c_name", "c_nationkey"],
         filter=pads.field("c_custkey").isin(
             agg["c_custkey"].tolist())).to_pandas()
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
+    nation = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
     out = agg.merge(cust, on="c_custkey", how="left")
     return (pd.DataFrame({"c_custkey": out["c_custkey"].astype("int64"),
@@ -198,8 +198,7 @@ def q_idle_balance_by_nation(sf_dir: str) -> pd.DataFrame:
                               "cents": pd.Series([], dtype="int64"),
                               "n": pd.Series([], dtype="int64")})
     agg = parts.groupby("c_nationkey", as_index=False).sum()
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
+    nation = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
     return (pd.DataFrame({"nation": agg["c_nationkey"].map(nmap),
                           "n_customers": agg["n"].astype("int64"),
@@ -417,10 +416,8 @@ def q_supplier_part_breadth(sf_dir: str, min_parts: int = 5) -> pd.DataFrame:
 
     qual = bucketed_group_apply(li.map_batches(pre, batch_format="pandas"),
                                 "l_suppkey", breadth).to_pandas()
-    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
-                          columns=["s_suppkey", "s_nationkey"])
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
+    sup = base_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
     s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
     qual["nation"] = qual["l_suppkey"].map(s2n).map(nmap)

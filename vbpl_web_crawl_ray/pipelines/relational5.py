@@ -29,12 +29,13 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
+from ..sources.tablecache import base_dataset, base_pandas
 
 _US_PER_DAY = 86_400_000_000
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return base_dataset(sf_dir, table, columns=columns)
 
 
 def q_late_ship_orders(sf_dir: str, grace_days: int = 60,
@@ -123,12 +124,9 @@ def q_large_volume_orders(sf_dir: str, min_qty: int = 150,
         li.map_batches(partial, batch_format="pandas"),
         "l_orderkey", gate).to_pandas()
 
-    orders = pd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    orders = base_pandas(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
     out = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_name"])
+    cust = base_pandas(sf_dir, "customer", columns=["c_custkey", "c_name"])
     out["c_name"] = out["o_custkey"].map(
         dict(zip(cust["c_custkey"], cust["c_name"])))
     out = (out.sort_values(["o_totalprice", "o_orderkey"],
@@ -154,8 +152,7 @@ def q_order_interarrival_stats(sf_dir: str) -> pd.DataFrame:
     from ..stages.shuffle import bucketed_group_apply
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"])
+    cust = base_pandas(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     segref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
@@ -358,10 +355,8 @@ def q_nation_pair_trade(sf_dir: str,
     one exact op per cell."""
     from ..stages.shuffle import attach_lookup
 
-    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
-                          columns=["s_suppkey", "s_nationkey"])
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                          columns=["n_nationkey", "n_name"])
+    sup = base_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nat = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
     s2n = {k: nmap[v] for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])}
     sref = ray.put(s2n)
@@ -447,8 +442,7 @@ def q_top_supplier_quarter(sf_dir: str, start: str = "1996-01-01",
                 .groupby("l_suppkey", as_index=False).sum())
     best = int(per_supp["rev_u4"].max())
     win = per_supp[per_supp["rev_u4"] == best].copy()
-    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
-                          columns=["s_suppkey", "s_name"])
+    sup = base_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     win["s_name"] = win["l_suppkey"].map(
         dict(zip(sup["s_suppkey"], sup["s_name"])))
     return pd.DataFrame({
@@ -502,8 +496,7 @@ def q_repeat_purchase_rate(sf_dir: str) -> pd.DataFrame:
     from ..stages.shuffle import bucketed_group_apply
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"])
+    cust = base_pandas(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     segref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -596,8 +589,7 @@ def q_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
     branches counts in each (the report is per-branch, so the OR is an
     explicit union of branch cells, not a lost disjunction). Money is
     exact u4 integers."""
-    part = pd.read_parquet(f"{sf_dir}/part.parquet",
-                           columns=["p_partkey", "p_type", "p_size"])
+    part = base_pandas(sf_dir, "part", columns=["p_partkey", "p_type", "p_size"])
     tref = ray.put(dict(zip(part["p_partkey"], part["p_type"])))
     sref = ray.put(dict(zip(part["p_partkey"], part["p_size"])))
 
@@ -672,8 +664,7 @@ def q_sole_late_supplier(sf_dir: str, k: int = 20) -> pd.DataFrame:
                 .groupby("l_suppkey", as_index=False).sum())
     top = (per_supp.sort_values(["n_blamed", "l_suppkey"],
                                 ascending=[False, True]).head(k))
-    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
-                          columns=["s_suppkey", "s_name"])
+    sup = base_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     top["s_name"] = top["l_suppkey"].map(
         dict(zip(sup["s_suppkey"], sup["s_name"])))
     return pd.DataFrame({
@@ -799,8 +790,7 @@ def q_customer_order_distribution(sf_dir: str) -> pd.DataFrame:
         "o_custkey", coc).to_pandas()
     out = (parts.groupby("n_orders", as_index=False)
                 ["n_customers"].sum())
-    n_total = len(pd.read_parquet(f"{sf_dir}/customer.parquet",
-                                  columns=["c_custkey"]))
+    n_total = len(base_pandas(sf_dir, "customer", columns=["c_custkey"]))
     n_zero = n_total - int(out["n_customers"].sum())
     if n_zero > 0:
         out = pd.concat([pd.DataFrame({"n_orders": [0],
@@ -867,10 +857,8 @@ def q_nation_share_of_region(sf_dir: str,
     division — no float revenue ever aggregates."""
     from ..stages.shuffle import attach_lookup
 
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                          columns=["n_nationkey", "n_name", "n_regionkey"])
-    reg = pd.read_parquet(f"{sf_dir}/region.parquet",
-                          columns=["r_regionkey", "r_name"])
+    nat = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = base_pandas(sf_dir, "region", columns=["r_regionkey", "r_name"])
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])

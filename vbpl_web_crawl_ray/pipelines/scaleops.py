@@ -21,10 +21,11 @@ from ..functions.numeric import round_half_away
 from ..stages.joins import (bloom_anti_join, bloom_semi_join,
                             build_key_bloom_dist, salted_group_agg)
 from ..stages.shuffle import bucketed_group_apply
+from ..sources.tablecache import base_dataset, base_pandas
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return base_dataset(sf_dir, table, columns=columns)
 
 
 def q_bloom_semi_counts(sf_dir: str) -> pd.DataFrame:
@@ -329,8 +330,7 @@ def q_length_quartile_counts(sf_dir: str) -> pd.DataFrame:
     integer comparisons against bit-exact boundaries, so the class
     counts compare exactly. The composition a curation pipeline runs to
     build length-balanced training mixes."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["n_chars"])
+    docs = base_dataset(sf_dir, "documents", columns=["n_chars"])
     q = exact_quantiles_selection(docs, "n_chars",
                                   {"q1": 0.25, "q2": 0.5, "q3": 0.75})
     q1, q2, q3 = float(q["q1"][0]), float(q["q2"][0]), float(q["q3"][0])
@@ -517,8 +517,7 @@ def q_consistent_hash_shards(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
     the router's inherent unit, run batched inside map_batches."""
     import hashlib
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "n_chars"])
+    docs = base_dataset(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         shard = np.array([int(hashlib.md5(str(i).encode())
@@ -704,7 +703,7 @@ def q_fair_crawl_budget(sf_dir: str, budget_div: int = 3) -> pd.DataFrame:
     — the selection-quantile machinery — and only the remainder rule
     needs a rank pass). All integers, so the oracle's window-function
     restatement is bit-exact."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev = base_dataset(sf_dir, "events", columns=["user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby("user_id", as_index=False).size()
@@ -752,8 +751,7 @@ def q_rendezvous_routing(sf_dir: str) -> pd.DataFrame:
     cells leave each block."""
     import hashlib
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id"])
+    docs = base_dataset(sf_dir, "documents", columns=["doc_id"])
 
     def route(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy()

@@ -51,6 +51,58 @@ def decode_pdf_binary(data: bytes) -> str:
 SIMDOC_MAGIC = b"%SIMDOC%"
 
 
+def _find_soffice() -> str | None:
+    """LibreOffice binary, if this host has one (never in this
+    container; real deployments commonly do)."""
+    import shutil
+    for name in ("soffice", "libreoffice"):
+        p = shutil.which(name)
+        if p:
+            return p
+    return None
+
+
+HAVE_SOFFICE = _find_soffice() is not None
+
+
+def transcode_doc_via_soffice(data: bytes,
+                              timeout: float = 120.0) -> bytes:
+    """Legacy OLE2 ``.doc`` -> PDF via a LibreOffice subprocess
+    (``soffice --headless --convert-to pdf``) — the open-source
+    counterpart of the reference's Aspose.Words transcode
+    (app/service/anle.py:205-210: ``aw.Document(path).save('temp.pdf')``).
+
+    Subprocess, not in-process: no OSS library converts OLE2 Word
+    binaries in-process, and a crashed converter must not take the Ray
+    worker down. One tempdir per call keeps parallel actor-pool workers
+    isolated. Raises NotImplementedError when no soffice binary exists
+    (this container), so the dispatch in :func:`decode_document` keeps
+    its honest-seam contract."""
+    exe = _find_soffice()
+    if exe is None:
+        raise NotImplementedError(
+            "legacy .doc transcode needs a converter: no LibreOffice "
+            "(soffice) on PATH and no in-process OSS equivalent of "
+            "Aspose.Words exists; install libreoffice or register a "
+            "transcoder in PDF_CODECS")
+    import os
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory(prefix="docx2pdf_") as td:
+        src = os.path.join(td, "in.doc")
+        with open(src, "wb") as f:
+            f.write(data)
+        subprocess.run(
+            [exe, "--headless", "--norestore", "--convert-to", "pdf",
+             "--outdir", td, src],
+            check=True, capture_output=True, timeout=timeout)
+        out = os.path.join(td, "in.pdf")
+        if not os.path.exists(out):
+            raise RuntimeError("soffice produced no PDF output")
+        with open(out, "rb") as f:
+            return f.read()
+
+
 def transcode_simdoc(data: bytes) -> bytes:
     """DOC->PDF transcode seam (reference anle.py:205-210: ``is_pdf``
     check then ``aw.Document(path).save('temp.pdf')``). The sim transcode
@@ -76,9 +128,9 @@ def decode_document(data: bytes) -> str:
     if data.startswith(PDF_MAGIC):
         return decode_pdf_binary(data)
     if data.startswith(OLE_MAGIC):
-        raise NotImplementedError(
-            "legacy .doc transcode needs Aspose.Words (reference "
-            "anle.py:205-210); register a transcoder in PDF_CODECS")
+        # DOC -> PDF -> text, like SIMDOC but through the subprocess
+        # seam; raises NotImplementedError when no converter exists
+        return decode_pdf_binary(transcode_doc_via_soffice(data))
     return decode_simpdf(data)
 
 

@@ -28,6 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.numeric import blob_matrix, round_half_away
+from ..sources.tablecache import base_dataset, base_pandas
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -38,8 +39,7 @@ def _emb_blob_ds(sf_dir: str) -> rd.Dataset:
     """(vec_id, emb) with the embedding as a unit-normalized float64 blob —
     binary transports through Arrow joins, list<float> does not (Acero
     rejects list-typed non-key join fields)."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = base_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def blob(df: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
@@ -70,7 +70,7 @@ def brute_force_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.Data
     q = _query_vec(sf_dir, query_vec_id)
     qref = ray.put(q)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = base_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         qv = ray.get(qref)
@@ -452,8 +452,7 @@ def multi_query_topk(sf_dir: str, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3),
     qids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
     qref = ray.put((qids, qm))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = base_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         qids_, qm_ = ray.get(qref)
@@ -498,8 +497,7 @@ def projected_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
     from .embed import project_embeddings, projection_matrix
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = base_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     red = project_embeddings(ds, out_dim=out_dim)
 
     q = _query_vec(sf_dir, query_vec_id)
@@ -538,8 +536,7 @@ def projected_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         return pd.DataFrame({"vec_id": ids[m].astype(np.int64),
                              "cos_sim": round_half_away(sims, 4)})
 
-    full = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    full = base_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     scored = full.map_batches(rescore, batch_format="pandas").to_pandas()
     return (scored.sort_values(["cos_sim", "vec_id"],
                                ascending=[False, True])

@@ -20,6 +20,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.hashing import hash64
+from ..sources.tablecache import base_dataset, base_pandas
 
 
 class HashingEmbedder:
@@ -88,8 +89,7 @@ def doc_embedding_near_dup(sf_dir: str, threshold: float = 0.95,
     other dedup paths carry is tested for this pipeline too."""
     from .ann import lsh_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = base_dataset(sf_dir, "documents", columns=["doc_id", "text"])
 
     def blob(df: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)

@@ -15,6 +15,7 @@ import ray.data as rd
 
 from ..functions.fuzzy import pairwise_similarity, ratio, similarity
 from ..functions.numeric import round_half_away
+from ..sources.tablecache import base_dataset, base_pandas
 
 
 def fuzzy_lookup(ds: rd.Dataset, key_col: str, candidates: list[dict],
@@ -116,10 +117,8 @@ def fuzzy_name_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     DuckDB's levenshtein().)"""
     from .shuffle import bucketed_group_apply
 
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand", "p_name"])
-    names = sorted(set(pd.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_name"])["p_name"]))
+    ds = base_dataset(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+    names = sorted(set(base_pandas(sf_dir, "part", columns=["p_name"])["p_name"]))
     sims = pairwise_similarity(names)
     accepted = {(a, b) for (a, b), s in sims.items() if s >= threshold}
     acc_ref = ray.put((accepted, {k: sims[k] for k in accepted}))
