@@ -783,6 +783,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "minhash_dup_clusters": _minhash_dup_clusters,
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
+        # oracle-backed near-dup/ANN twins (round 5): the md5-contract
+        # MinHash family and the fixed-point exact top-k — the SQL
+        # restates the identical integer math (see stages/dedup.py /
+        # stages/ann.py docstrings)
+        "minhash_band_pairs": lambda sf: dedup.minhash_band_pairs(
+            sf, threshold=0.5, num_perm=64, bands=16),
+        "ann_topk_fixedpoint": lambda sf: ann.fixedpoint_topk(
+            sf, query_vec_id=0, k=10),
         # (b) oracle-backed entries whose only driver row is round 2:
         "bigram_topk": CP.q_bigram_topk,
         # batched model inference: logistic scorer, weights loaded once
@@ -1408,6 +1416,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # queries() order. Zero rows-only entries in-window.
 _WINDOW_R5 = [
     "simhash_pairs",
+    # round-5 additions: md5-contract MinHash-LSH and fixed-point exact
+    # top-k — the first external oracle rows for the MinHash and ANN
+    # families (both previously rows-only-only)
+    "minhash_band_pairs", "ann_topk_fixedpoint",
     "event_transitions", "brand_pair_counts", "user_entropy",
     "geomean_per_group", "percent_rank_orders", "skyline_parts",
     "exact_global_quantiles", "aspect_bucket_counts",
@@ -1425,7 +1437,6 @@ _WINDOW_R5 = [
     "vocab_coverage", "key_skew_stats", "augment_manifest",
     "mosaic_grid_plan", "last_touch_attribution",
     "embedding_quantization", "scd2_history", "conversion_time_stats",
-    "lm_logprob_scores", "stream_hopping_watermark",
 ]
 
 # Round-4 window, kept for the window-integrity test's history ledger.
@@ -4282,7 +4293,90 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
         """,
+        # minhash_band_pairs (round 5): the md5-contract MinHash family.
+        # The universal-hash coefficients are inlined from the SAME
+        # minhash_perm_params(64, 11) the engine's MD5MinHasher uses; the
+        # uint64 wrap of a*h+b is restated via UHUGEINT mod-2^64 before
+        # % (2^61-1). Candidates = pairs sharing >=1 exact band slice
+        # (4 consecutive minhash values), verify = signature agreement
+        # k/64 >= 0.5 — all exact integer math in both engines.
+        "minhash_band_pairs": _minhash_band_pairs_sql(),
+        # ann_topk_fixedpoint (round 5): floor(float64(x)*2^20) quantizes
+        # each float32 component identically in numpy and DuckDB (FLOOR
+        # has no half-tie convention), so the dot products are exact
+        # int64 and (dot_fx DESC, vec_id ASC) is a total order.
+        "ann_topk_fixedpoint": """
+            WITH q AS (
+              SELECT UNNEST(range(len(embedding))) AS i,
+                     CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)
+                                * 1048576.0) AS BIGINT) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ),
+            c AS (
+              SELECT vec_id, UNNEST(range(len(embedding))) AS i,
+                     CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)
+                                * 1048576.0) AS BIGINT) AS cv
+              FROM embeddings WHERE vec_id <> 0
+            )
+            SELECT c.vec_id::BIGINT AS vec_id,
+                   CAST(SUM(c.cv * q.qv) AS BIGINT) AS dot_fx
+            FROM c JOIN q USING (i) GROUP BY c.vec_id
+            ORDER BY dot_fx DESC, vec_id LIMIT 10
+        """,
         # minhash_lsh_pairs / rolling_fingerprint / ann_lsh_topk:
-        # approximate or hash-seeded operators — intentionally no SQL oracle
-        # (rows-only check); their conformance is pinned by pytest instead.
+        # hash-seeded operators on the siphash contract — intentionally no
+        # SQL oracle (rows-only check); their conformance is pinned by
+        # pytest brute-force parity, and the md5-contract twins above put
+        # the same LSH semantics under the external hash gate.
     }
+
+
+def _minhash_band_pairs_sql(num_perm: int = 64, bands: int = 16,
+                            n: int = 3, seed: int = 11) -> str:
+    a, b = dedup.minhash_perm_params(num_perm, seed)
+    rows = num_perm // bands
+    perm_rows = ",".join(f"({i},{int(a[i])},{int(b[i])})"
+                         for i in range(num_perm))
+    u64 = "CAST('18446744073709551616' AS UHUGEINT)"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= {n}
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST(CONCAT('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS h
+          FROM (SELECT doc_id,
+                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                               FOR i IN range(1, len(w) - 1)]) AS s FROM d)
+        ),
+        perm(i, a, b) AS (VALUES {perm_rows}),
+        mh AS (
+          SELECT doc_id, p.i AS i,
+                 MIN(CAST((((CAST(p.a AS UHUGEINT) * CAST(h AS UHUGEINT))
+                            % {u64} + CAST(p.b AS UHUGEINT)) % {u64})
+                          % CAST(2305843009213693951 AS UHUGEINT)
+                          AS UBIGINT)) AS v
+          FROM sh CROSS JOIN perm p GROUP BY doc_id, p.i
+        ),
+        bnd AS (
+          SELECT doc_id, i // {rows} AS band,
+                 STRING_AGG(v::VARCHAR, ',' ORDER BY i) AS bkey
+          FROM mh GROUP BY doc_id, i // {rows}
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bnd x JOIN bnd y ON x.band = y.band AND x.bkey = y.bkey
+           AND x.doc_id < y.doc_id
+        ),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+                 SUM(CASE WHEN p.v = q.v THEN 1 ELSE 0 END) AS k
+          FROM cand c JOIN mh p ON p.doc_id = c.id_a
+                      JOIN mh q ON q.doc_id = c.id_b AND q.i = p.i
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+               ROUND(k / {num_perm}.0, 4) AS est_jaccard
+        FROM agree WHERE k * 2 >= {num_perm} ORDER BY id_a, id_b
+    """

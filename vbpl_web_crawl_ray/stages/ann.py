@@ -88,6 +88,45 @@ def brute_force_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.Data
                   .head(k).reset_index(drop=True))
 
 
+def fixedpoint_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+                    scale: int = 1 << 20) -> pd.DataFrame:
+    """Exact top-k by FIXED-POINT dot product — the ANN family's
+    oracle-backed twin.
+
+    Every float32 component quantizes as ``floor(float64(x) * scale)``
+    into int64 — one IEEE float64 multiply + floor, identical in numpy
+    and DuckDB (FLOOR, unlike ROUND, has no half-tie convention to
+    disagree on) — so scores are exact integer dot products and the
+    (dot_fx DESC, vec_id ASC) total order leaves no last-ulp tie
+    ambiguity for the LIMIT to cut differently. Same streaming shape as
+    :func:`brute_force_topk`: per-batch local top-k against the ray.put
+    query vector, driver merges only the tiny per-batch winners.
+    """
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", query_vec_id)])
+    fscale = float(scale)
+    q = np.floor(np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+                 * fscale).astype(np.int64)
+    qref = ray.put(q)
+
+    ds = base_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        mat = np.floor(np.stack(df["embedding"].to_numpy())
+                       .astype(np.float64) * fscale).astype(np.int64)
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        mask = ids != query_vec_id
+        dots, ids = mat[mask] @ qv, ids[mask]
+        idx = np.lexsort((ids, -dots))[:k]
+        return pd.DataFrame({"vec_id": ids[idx], "dot_fx": dots[idx]})
+
+    merged = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (merged.sort_values(["dot_fx", "vec_id"], ascending=[False, True])
+                  .head(k).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # distributed k-means + IVF
 # ---------------------------------------------------------------------------

@@ -315,11 +315,8 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 128, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id", seed: int = 7):
-        rng = np.random.default_rng(seed)
-        m = np.uint64(((1 << 61) - 1))
-        self.a = rng.integers(1, m, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, m, size=num_perm, dtype=np.uint64)
-        self.m = m
+        self.a, self.b = minhash_perm_params(num_perm, seed)
+        self.m = np.uint64((1 << 61) - 1)
         self.n = n
         self.text_col, self.id_col = text_col, id_col
         self.num_perm = num_perm
@@ -340,6 +337,18 @@ class MinHasher:
                              "signature": list(sigs)})
 
 
+def minhash_perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) universal-hash coefficients for a MinHash family —
+    shared by the engine's hashers AND the DuckDB oracle generator in
+    ``__ray_entry__.oracle_sql`` (the SQL inlines these exact constants),
+    so the permutation family has one definition."""
+    m = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(m), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(m), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
                       bands: int = 32, n: int = 3) -> pd.DataFrame:
     """Near-dup candidate pairs via MinHash-LSH banding, verified by
@@ -349,23 +358,32 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
     -> groupby band bucket -> pairs -> verify. The shuffle carries only the
     banded hashes; documents never move.
     """
-    rows = num_perm // bands
     ds = base_dataset(sf_dir, "documents", columns=["doc_id", "text"])
-
-    # serialize signatures to fixed-width binary once: the SAME dataset
-    # feeds banding and the verify joins (pin in the object store, never
-    # on the driver)
-    def to_blob(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "sig": [np.asarray(s, dtype=np.uint64).tobytes()
-                    for s in df["signature"]]})
-
     sigs = (ds.map_batches(MinHasher, batch_format="pandas",
                            concurrency=(1, 8), batch_size=256,
                            fn_constructor_kwargs={"num_perm": num_perm, "n": n})
-              .map_batches(to_blob, batch_format="pandas")
+              .map_batches(_sig_to_blob, batch_format="pandas")
               .materialize())
+    return _lsh_pairs_from_sigs(sigs, num_perm=num_perm, bands=bands,
+                                threshold=threshold)
+
+
+def _sig_to_blob(df: pd.DataFrame) -> pd.DataFrame:
+    # serialize signatures to fixed-width binary once: the SAME dataset
+    # feeds banding and the verify joins (pin in the object store, never
+    # on the driver)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "sig": [np.asarray(s, dtype=np.uint64).tobytes()
+                for s in df["signature"]]})
+
+
+def _lsh_pairs_from_sigs(sigs, num_perm: int, bands: int,
+                         threshold: float) -> pd.DataFrame:
+    """Band -> bucket -> candidate pairs -> signature-agreement verify,
+    over a materialized (doc_id, sig-blob) dataset. Shared by the siphash
+    (`minhash_lsh_pairs`) and md5-contract (`minhash_band_pairs`) families."""
+    rows = num_perm // bands
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         n_docs = len(df)
@@ -446,6 +464,66 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
     return (with_ab.map_batches(verify, batch_format="pandas")
                    .to_pandas().sort_values(["id_a", "id_b"])
                    .reset_index(drop=True))
+
+
+class MD5MinHasher(MinHasher):
+    """MinHash on the md5 shingle-hash contract — the SQL-restatable
+    family behind the oracle-backed ``minhash_band_pairs``.
+
+    Differences from :class:`MinHasher` (both stated in the DuckDB twin):
+    the shingle hash is the shared md5 contract (first 16 hex chars of
+    ``md5(shingle)`` as one uint64 — the same contract as
+    ``simhash_pairs``), and documents with fewer than ``n`` tokens are
+    excluded (no sentinel all-max signatures). The universal-hash min,
+    including the uint64 wrap of ``a*h + b`` before ``% (2**61-1)``, is
+    restated in SQL via UHUGEINT arithmetic. The siphash family stays the
+    default (C-vectorized, faster) — this family exists so MinHash-LSH
+    semantics sit under the external hash gate."""
+
+    def signature(self, text: str) -> np.ndarray | None:
+        import hashlib
+        toks = text.split(" ")
+        if len(toks) < self.n:
+            return None
+        sh = set(_shingles(toks, self.n))
+        h = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:16], 16) for s in sh),
+            dtype=np.uint64, count=len(sh))
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % self.m
+        return vals.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [(i, s) for i, t in zip(df[self.id_col], df[self.text_col])
+                if (s := self.signature(t)) is not None]
+        if not sigs:
+            return pd.DataFrame({self.id_col: pd.Series(dtype=np.int64),
+                                 "signature": pd.Series(dtype=object)})
+        return pd.DataFrame({self.id_col: [i for i, _ in sigs],
+                             "signature": [s for _, s in sigs]})
+
+
+def minhash_band_pairs(sf_dir: str, threshold: float = 0.5,
+                       num_perm: int = 64, bands: int = 16,
+                       n: int = 3, seed: int = 11) -> pd.DataFrame:
+    """Oracle-backed MinHash-LSH near-dup pairs (md5 shingle contract).
+
+    Same banding pipeline as :func:`minhash_lsh_pairs` (band hashes
+    shuffle, documents never move, verify joins signatures onto the
+    candidate halves) over the SQL-restatable :class:`MD5MinHasher`
+    family, so the DuckDB twin reproduces candidates (exact band-slice
+    equality) and the agreement verify (k-of-num_perm >= threshold)
+    bit-for-bit. est_jaccard = k/num_perm with num_perm a power of two is
+    an exact binary fraction — ROUND(,4) agrees in both engines."""
+    ds = base_dataset(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = (ds.map_batches(MD5MinHasher, batch_format="pandas",
+                           concurrency=(1, 8), batch_size=256,
+                           fn_constructor_kwargs={"num_perm": num_perm,
+                                                  "n": n, "seed": seed})
+              .map_batches(_sig_to_blob, batch_format="pandas")
+              .materialize())
+    return _lsh_pairs_from_sigs(sigs, num_perm=num_perm, bands=bands,
+                                threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
