@@ -557,6 +557,19 @@ def _minhash_dup_clusters(sf_dir: str):
     return g
 
 
+def _minhash_band_clusters(sf_dir: str):
+    """Near-dup GROUPS on the md5 contract — same CC pipeline as
+    `minhash_dup_clusters` over the oracle-backed band pairs, so the
+    clusters themselves gain a DuckDB twin (recursive-CTE closure)."""
+    from vbpl_web_crawl_ray.stages.graph import dup_clusters
+    pairs = dedup.minhash_band_pairs(sf_dir, threshold=0.5,
+                                     num_perm=64, bands=16)
+    g = dup_clusters(pairs)
+    g["members"] = g["members"].map(
+        lambda xs: ",".join(str(x) for x in xs))
+    return g
+
+
 def _doc_pagerank(sf_dir: str):
     """PageRank over the crawl's discovered link graph (the reference's
     vbpl_doc_map / related-document tables form a citation graph between
@@ -789,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stages/ann.py docstrings)
         "minhash_band_pairs": lambda sf: dedup.minhash_band_pairs(
             sf, threshold=0.5, num_perm=64, bands=16),
+        "minhash_band_clusters": _minhash_band_clusters,
         "ann_topk_fixedpoint": lambda sf: ann.fixedpoint_topk(
             sf, query_vec_id=0, k=10),
         # (b) oracle-backed entries whose only driver row is round 2:
@@ -1419,7 +1433,7 @@ _WINDOW_R5 = [
     # round-5 additions: md5-contract MinHash-LSH and fixed-point exact
     # top-k — the first external oracle rows for the MinHash and ANN
     # families (both previously rows-only-only)
-    "minhash_band_pairs", "ann_topk_fixedpoint",
+    "minhash_band_pairs", "minhash_band_clusters", "ann_topk_fixedpoint",
     "event_transitions", "brand_pair_counts", "user_entropy",
     "geomean_per_group", "percent_rank_orders", "skyline_parts",
     "exact_global_quantiles", "aspect_bucket_counts",
@@ -1436,7 +1450,7 @@ _WINDOW_R5 = [
     "rank_topk_with_ties", "range_frame_sum", "q3_shipping_priority",
     "vocab_coverage", "key_skew_stats", "augment_manifest",
     "mosaic_grid_plan", "last_touch_attribution",
-    "embedding_quantization", "scd2_history", "conversion_time_stats",
+    "embedding_quantization", "scd2_history",
 ]
 
 # Round-4 window, kept for the window-integrity test's history ledger.
@@ -4301,6 +4315,7 @@ def oracle_sql() -> dict[str, str]:
         # (4 consecutive minhash values), verify = signature agreement
         # k/64 >= 0.5 — all exact integer math in both engines.
         "minhash_band_pairs": _minhash_band_pairs_sql(),
+        "minhash_band_clusters": _minhash_band_clusters_sql(),
         # ann_topk_fixedpoint (round 5): floor(float64(x)*2^20) quantizes
         # each float32 component identically in numpy and DuckDB (FLOOR
         # has no half-tie convention), so the dot products are exact
@@ -4333,13 +4348,48 @@ def oracle_sql() -> dict[str, str]:
 
 def _minhash_band_pairs_sql(num_perm: int = 64, bands: int = 16,
                             n: int = 3, seed: int = 11) -> str:
+    return f"""
+        WITH {_minhash_band_ctes(num_perm, bands, n, seed)}
+        SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+               ROUND(k / {num_perm}.0, 4) AS est_jaccard
+        FROM agree WHERE k * 2 >= {num_perm} ORDER BY id_a, id_b
+    """
+
+
+def _minhash_band_clusters_sql(num_perm: int = 64, bands: int = 16,
+                               n: int = 3, seed: int = 11) -> str:
+    # connected components over the verified pairs: undirected BFS
+    # closure via a recursive CTE (UNION dedups the frontier), component
+    # label = MIN reachable node — the same contract as
+    # stages/graph.connected_components; members sort ascending in both.
+    return f"""
+        WITH RECURSIVE {_minhash_band_ctes(num_perm, bands, n, seed)},
+        pairs AS (
+          SELECT id_a, id_b FROM agree WHERE k * 2 >= {num_perm}
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, r) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+        ),
+        comp AS (SELECT u AS member, MIN(r) AS component FROM reach GROUP BY u)
+        SELECT component::BIGINT AS component, COUNT(*)::BIGINT AS size,
+               STRING_AGG(member::VARCHAR, ',' ORDER BY member) AS members
+        FROM comp GROUP BY component ORDER BY component
+    """
+
+
+def _minhash_band_ctes(num_perm: int, bands: int, n: int, seed: int) -> str:
     a, b = dedup.minhash_perm_params(num_perm, seed)
     rows = num_perm // bands
     perm_rows = ",".join(f"({i},{int(a[i])},{int(b[i])})"
                          for i in range(num_perm))
     u64 = "CAST('18446744073709551616' AS UHUGEINT)"
-    return f"""
-        WITH d AS (
+    return f"""d AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents
           WHERE len(string_split(text, ' ')) >= {n}
         ),
@@ -4375,8 +4425,4 @@ def _minhash_band_pairs_sql(num_perm: int = 64, bands: int = 16,
           FROM cand c JOIN mh p ON p.doc_id = c.id_a
                       JOIN mh q ON q.doc_id = c.id_b AND q.i = p.i
           GROUP BY c.id_a, c.id_b
-        )
-        SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
-               ROUND(k / {num_perm}.0, 4) AS est_jaccard
-        FROM agree WHERE k * 2 >= {num_perm} ORDER BY id_a, id_b
-    """
+        )"""
