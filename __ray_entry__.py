@@ -634,6 +634,23 @@ def _cm_frequency_probe(sf_dir: str):
         probe_values=["click", "error", "purchase", "signup", "view"])
 
 
+def _cm_probe_md5(sf_dir: str):
+    """Count-Min frequency estimates on the md5 hash contract — the
+    frequency-sketch family's external oracle twin. Identical grid
+    math to `cm_frequency_probe` (wrap-multiply by the 4 seeds,
+    xor-shift 29, mod 2048 — exact integer ops DuckDB restates
+    verbatim); only the 64-bit base hash differs (md5-64 instead of
+    siphash) so the SQL can derive the same cells."""
+    from vbpl_web_crawl_ray.functions.hashing import md5_hash64
+    from vbpl_web_crawl_ray.stages.sketches import cm_sketch_counts
+
+    ds = base_dataset(sf_dir, "events", columns=["event_type"])
+    return cm_sketch_counts(
+        ds, "event_type",
+        probe_values=["click", "error", "purchase", "signup", "view"],
+        hash_fn=md5_hash64)
+
+
 def _doc_bfs_depths(sf_dir: str):
     """BFS depths from the first crawled doc over the citation graph —
     distributed frontier expansion, one vectorized edge pass per round
@@ -1043,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min frequency probe (rows-only: deterministic seeded
         # grids, additive merges; overestimate bound pytest-pinned)
         "cm_frequency_probe": _cm_frequency_probe,
+        "cm_probe_md5": _cm_probe_md5,
         # session bounce rate: gaps-and-islands in whole-user buckets,
         # one exact-int division at the close
         "bounce_rate": AN2.q_bounce_rate,
@@ -1438,7 +1456,7 @@ _WINDOW_R5 = [
     # top-k — the first external oracle rows for the MinHash and ANN
     # families (both previously rows-only-only)
     "minhash_band_pairs", "minhash_band_clusters", "ann_topk_fixedpoint",
-    "hll_distinct_md5",
+    "hll_distinct_md5", "cm_probe_md5",
     "event_transitions", "brand_pair_counts", "user_entropy",
     "geomean_per_group", "percent_rank_orders", "skyline_parts",
     "exact_global_quantiles", "aspect_bucket_counts",
@@ -1455,7 +1473,6 @@ _WINDOW_R5 = [
     "rank_topk_with_ties", "range_frame_sum", "q3_shipping_priority",
     "vocab_coverage", "key_skew_stats", "augment_manifest",
     "mosaic_grid_plan", "last_touch_attribution",
-    "embedding_quantization",
 ]
 
 # Round-4 window, kept for the window-integrity test's history ledger.
@@ -4322,6 +4339,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_pairs": _minhash_band_pairs_sql(),
         "minhash_band_clusters": _minhash_band_clusters_sql(),
         "hll_distinct_md5": _hll_distinct_md5_sql(),
+        "cm_probe_md5": _cm_probe_md5_sql(),
         # ann_topk_fixedpoint (round 5): floor(float64(x)*2^20) quantizes
         # each float32 component identically in numpy and DuckDB (FLOOR
         # has no half-tie convention), so the dot products are exact
@@ -4436,6 +4454,58 @@ def _hll_distinct_md5_sql(p: int = 12) -> str:
                                THEN {float(m)} * LN({float(m)} / zeros)
                                ELSE est END) AS BIGINT) AS approx_users
         FROM e
+    """
+
+
+def _cm_probe_md5_sql(width: int = 2048, depth: int = 4) -> str:
+    # Count-Min restated exactly: per-value exact counts enter the grid
+    # through the SAME row derivation the engine computes — h*seed
+    # wrapped mod 2^64 (UHUGEINT: (2^64-1)^2 < 2^128-1 fits), xor with
+    # the 29-shift, mod width — then cell sums and the MIN-across-depth
+    # probe are all exact integers. Probes hitting never-incremented
+    # cells read 0 via the LEFT JOIN COALESCE (the engine's zero grid).
+    from vbpl_web_crawl_ray.stages.sketches import CountMin
+    seed_rows = ",".join(f"({d},{CountMin.SEEDS[d]})" for d in range(depth))
+    probe_rows = ",".join(f"('{v}')" for v in
+                          ("click", "error", "purchase", "signup", "view"))
+    u64 = "CAST('18446744073709551616' AS UHUGEINT)"
+    return f"""
+        WITH base AS (
+          SELECT event_type::VARCHAR AS v, COUNT(*)::BIGINT AS c
+          FROM events GROUP BY 1
+        ),
+        hh AS (
+          SELECT v, c,
+                 CAST(CONCAT('0x', substr(md5(v), 1, 16)) AS UBIGINT) AS h
+          FROM base
+        ),
+        seeds(d, s) AS (VALUES {seed_rows}),
+        hx AS (
+          SELECT hh.c, s.d,
+                 CAST((CAST(hh.h AS UHUGEINT) * CAST(s.s AS UHUGEINT))
+                      % {u64} AS UBIGINT) AS w
+          FROM hh CROSS JOIN seeds s
+        ),
+        cells AS (
+          SELECT d, CAST(xor(w, w >> 29) % {width} AS BIGINT) AS idx,
+                 SUM(c)::BIGINT AS cell
+          FROM hx GROUP BY 1, 2
+        ),
+        probes(v) AS (VALUES {probe_rows}),
+        ph AS (
+          SELECT p.v, s.d,
+                 CAST((CAST(CAST(CONCAT('0x', substr(md5(p.v), 1, 16))
+                                 AS UBIGINT) AS UHUGEINT)
+                       * CAST(s.s AS UHUGEINT)) % {u64} AS UBIGINT) AS w
+          FROM probes p CROSS JOIN seeds s
+        ),
+        pidx AS (
+          SELECT v, d, CAST(xor(w, w >> 29) % {width} AS BIGINT) AS idx
+          FROM ph
+        )
+        SELECT pidx.v AS value, MIN(COALESCE(cells.cell, 0))::BIGINT AS est_count
+        FROM pidx LEFT JOIN cells ON cells.d = pidx.d AND cells.idx = pidx.idx
+        GROUP BY pidx.v ORDER BY value
     """
 
 

@@ -56,6 +56,18 @@ def mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def md5_hash64(values) -> np.ndarray:
+    """uint64 from the first 16 hex chars of md5 — THE deterministic
+    64-bit hash contract shared with the DuckDB oracles
+    (``CAST(CONCAT('0x', substr(md5(x), 1, 16)) AS UBIGINT)``). Slower
+    than :func:`hash64` (Python loop over hashlib); used only by the
+    oracle-backed sketch/near-dup twins where SQL must restate the hash."""
+    import hashlib
+    return np.fromiter(
+        (int(hashlib.md5(v.encode()).hexdigest()[:16], 16) for v in values),
+        dtype=np.uint64, count=len(values))
+
+
 def md5_hex_prefix(keys, width: int = 8) -> np.ndarray:
     """First ``width`` hex chars of md5 over each string — THE
     deterministic row-hash contract shared with the DuckDB oracles

@@ -261,19 +261,25 @@ class CountMin:
 
 
 def cm_sketch_counts(ds, col: str, probe_values: list,
-                     width: int = 2048, depth: int = 4):
+                     width: int = 2048, depth: int = 4, hash_fn=None):
     """Distributed Count-Min build: one serialized grid per batch (a few
     KB), merged by elementwise sum on the driver; probes estimate the
     given values' frequencies. Deterministic — seeded hashes, additive
-    merges."""
+    merges. ``hash_fn`` defaults to the C-vectorized siphash
+    (:func:`hash64`); the oracle-backed twin passes
+    :func:`~..functions.hashing.md5_hash64` so DuckDB can restate the
+    row derivation (wrap-multiply, xor-shift, mod width — all exact
+    integer ops in both engines)."""
     import pandas as pd
 
     from ..pipelines.relational2 import hash64
+    if hash_fn is None:
+        hash_fn = hash64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         cm = CountMin(width, depth)
         c = df[col].astype(str).value_counts()
-        cm.add_hashes(hash64(c.index.to_numpy()),
+        cm.add_hashes(hash_fn(c.index.to_numpy()),
                       c.to_numpy(np.int64))
         return pd.DataFrame({"grid": [cm.grid.tobytes()]})
 
@@ -284,6 +290,6 @@ def cm_sketch_counts(ds, col: str, probe_values: list,
             .reshape(depth, width).copy()
         merged.merge(other)
     est = merged.estimate_hashes(
-        hash64(np.array([str(v) for v in probe_values], dtype=object)))
+        hash_fn(np.array([str(v) for v in probe_values], dtype=object)))
     return pd.DataFrame({"value": [str(v) for v in probe_values],
                          "est_count": est.astype(np.int64)})
