@@ -634,6 +634,15 @@ def _cm_frequency_probe(sf_dir: str):
         probe_values=["click", "error", "purchase", "signup", "view"])
 
 
+def _rolling_fp_md5(sf_dir: str):
+    """Winnowing fingerprint on the md5 contract — MIN over the doc's
+    8-token window-gram hashes is order-free, so the DuckDB twin is a
+    plain MIN over the unnested grams (same slice semantics: a doc
+    shorter than the window contributes its whole text as one gram)."""
+    from vbpl_web_crawl_ray.functions.hashing import md5_hash64
+    return textstats.rolling_fingerprint(_docs(sf_dir), hash_fn=md5_hash64)
+
+
 def _cm_probe_md5(sf_dir: str):
     """Count-Min frequency estimates on the md5 hash contract — the
     frequency-sketch family's external oracle twin. Identical grid
@@ -1170,6 +1179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_image_pack": P.q_curated_image_pack,
         "phash_near_dup": P.q_phash_near_dup,
         "rolling_fingerprint": lambda sf: textstats.rolling_fingerprint(_docs(sf)),
+        # oracle-backed fingerprint twin (round 5): same winnowing MIN
+        # over 8-token window grams on the md5 contract
+        "rolling_fp_md5": _rolling_fp_md5,
         # rotated out this session (green r1+r2, unchanged since; still
         # re-verified every run by both conformance gates):
         "pricing_summary": R.q_pricing_summary,
@@ -1456,7 +1468,7 @@ _WINDOW_R5 = [
     # top-k — the first external oracle rows for the MinHash and ANN
     # families (both previously rows-only-only)
     "minhash_band_pairs", "minhash_band_clusters", "ann_topk_fixedpoint",
-    "hll_distinct_md5", "cm_probe_md5",
+    "hll_distinct_md5", "cm_probe_md5", "rolling_fp_md5",
     "event_transitions", "brand_pair_counts", "user_entropy",
     "geomean_per_group", "percent_rank_orders", "skyline_parts",
     "exact_global_quantiles", "aspect_bucket_counts",
@@ -1472,7 +1484,7 @@ _WINDOW_R5 = [
     "rolling_distinct_users", "table_checksum", "length_quartile_counts",
     "rank_topk_with_ties", "range_frame_sum", "q3_shipping_priority",
     "vocab_coverage", "key_skew_stats", "augment_manifest",
-    "mosaic_grid_plan", "last_touch_attribution",
+    "mosaic_grid_plan",
 ]
 
 # Round-4 window, kept for the window-integrity test's history ledger.
@@ -4340,6 +4352,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_clusters": _minhash_band_clusters_sql(),
         "hll_distinct_md5": _hll_distinct_md5_sql(),
         "cm_probe_md5": _cm_probe_md5_sql(),
+        # rolling_fp_md5 (round 5): winnowing fingerprint, md5 contract.
+        # MIN over window grams is order-free; DuckDB 1-based inclusive
+        # list slices clamp past the end exactly like Python's toks[0:8]
+        # on a short doc (one whole-text gram).
+        "rolling_fp_md5": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest([array_to_string(w[i : i + 7], ' ')
+                             FOR i IN range(1, greatest(1, len(w) - 7) + 1)])
+                         AS gram
+              FROM d
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   MIN(CAST(CONCAT('0x', substr(md5(gram), 1, 16))
+                            AS UBIGINT)) AS rolling_fp
+            FROM g GROUP BY doc_id ORDER BY doc_id
+        """,
         # ann_topk_fixedpoint (round 5): floor(float64(x)*2^20) quantizes
         # each float32 component identically in numpy and DuckDB (FLOOR
         # has no half-tie convention), so the dot products are exact

@@ -90,17 +90,24 @@ def md5_fingerprint(ds: rd.Dataset, text_col: str = "text",
 
 
 def rolling_fingerprint(ds: rd.Dataset, text_col: str = "text",
-                        id_col: str = "doc_id", window: int = 8) -> rd.Dataset:
+                        id_col: str = "doc_id", window: int = 8,
+                        hash_fn=None) -> rd.Dataset:
     """Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03):
-    min of rolling-window shingle hashes — robust to local edits. Not
-    SQL-expressible; conformance is rows-only + pytest determinism."""
+    min of rolling-window shingle hashes — robust to local edits. The
+    siphash default is rows-only (pytest determinism); passing
+    ``md5_hash64`` gives the oracle-backed twin — MIN over window-grams
+    is order-free, so DuckDB restates it as a plain MIN over the
+    unnested gram hashes."""
+    if hash_fn is None:
+        hash_fn = hash64
+
     def f(df: pd.DataFrame) -> pd.DataFrame:
         fps = np.zeros(len(df), dtype=np.uint64)
         for i, t in enumerate(df[text_col]):
             toks = t.split(" ")
             grams = [" ".join(toks[j:j + window])
                      for j in range(max(1, len(toks) - window + 1))]
-            fps[i] = hash64(grams).min()
+            fps[i] = hash_fn(grams).min()
         return pd.DataFrame({id_col: df[id_col].to_numpy(), "rolling_fp": fps})
     return ds.map_batches(f, batch_format="pandas")
 
