@@ -844,6 +844,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # selection steps; all deterministic, all but packing shuffle-free)
         "hash_sample": CU.q_hash_sample,
         "dup_ngram_fraction": CU.q_dup_ngram_fraction,
+        # round-5 curation additions: ingest-order novelty decay and
+        # per-source gram exclusivity (both oracle-backed, exact ints +
+        # one stated division)
+        "dedup_prefix_curve": CU.q_dedup_prefix_curve,
+        "ngram_novelty_by_source": CU.q_ngram_novelty_by_source,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -1468,6 +1473,7 @@ _WINDOW_R5 = [
     "simhash_pairs",
     "minhash_band_pairs", "minhash_band_clusters", "ann_topk_fixedpoint",
     "hll_distinct_md5", "cm_probe_md5", "rolling_fp_md5",
+    "dedup_prefix_curve", "ngram_novelty_by_source",
     "event_transitions", "brand_pair_counts", "user_entropy",
     "geomean_per_group", "percent_rank_orders", "skyline_parts",
     "exact_global_quantiles", "aspect_bucket_counts",
@@ -1482,8 +1488,7 @@ _WINDOW_R5 = [
     "weighted_median", "stream_click_attribution",
     "rolling_distinct_users", "table_checksum", "length_quartile_counts",
     "rank_topk_with_ties", "range_frame_sum", "q3_shipping_priority",
-    "vocab_coverage", "key_skew_stats", "augment_manifest",
-    "mosaic_grid_plan",
+    "vocab_coverage", "key_skew_stats",
 ]
 
 # Round-4 window, kept for the window-integrity test's history ledger.
@@ -4351,6 +4356,56 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_clusters": _minhash_band_clusters_sql(),
         "hll_distinct_md5": _hll_distinct_md5_sql(),
         "cm_probe_md5": _cm_probe_md5_sql(),
+        # dedup_prefix_curve: first-seen = min doc_id per exact text;
+        # deciles cut the dense id range as doc_id*10 // (max+1); all
+        # counts integer, the fraction is one stated double division.
+        "dedup_prefix_curve": """
+            WITH m AS (SELECT MAX(doc_id) + 1 AS denom FROM documents),
+            d AS (SELECT doc_id, (doc_id * 10) // denom AS decile
+                  FROM documents, m),
+            f AS (SELECT MIN(doc_id) AS fid FROM documents GROUP BY text),
+            fd AS (SELECT (fid * 10) // denom AS decile,
+                          COUNT(*)::BIGINT AS nf
+                   FROM f, m GROUP BY 1),
+            r AS (SELECT decile, COUNT(*)::BIGINT AS nr FROM d GROUP BY 1),
+            c AS (SELECT r.decile, r.nr, COALESCE(fd.nf, 0) AS nf
+                  FROM r LEFT JOIN fd USING (decile)),
+            w AS (SELECT decile, nr, nf,
+                         SUM(nr) OVER (ORDER BY decile) AS cum_rows,
+                         SUM(nf) OVER (ORDER BY decile) AS cum_distinct
+                  FROM c)
+            SELECT decile::BIGINT AS decile, nr::BIGINT AS n_rows,
+                   nf::BIGINT AS n_first_seen,
+                   cum_rows::BIGINT AS cum_rows,
+                   cum_distinct::BIGINT AS cum_distinct,
+                   ROUND(cum_distinct / CAST(cum_rows AS DOUBLE), 6)
+                       AS distinct_frac
+            FROM w ORDER BY decile
+        """,
+        # ngram_novelty_by_source: distinct word 8-grams per source;
+        # exclusive = grams appearing in exactly one source. The engine
+        # buckets md5-64 fingerprints; the SQL groups the gram strings
+        # (equal modulo 64-bit collisions, the standing assumption).
+        "ngram_novelty_by_source": """
+            WITH d AS (SELECT source, string_split(text, ' ') AS w
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 8),
+            e AS (SELECT source,
+                         unnest([array_to_string(w[i : i + 7], ' ')
+                                 FOR i IN range(1, len(w) - 6)]) AS gram
+                  FROM d),
+            g AS (SELECT DISTINCT source, gram FROM e),
+            per AS (SELECT gram, COUNT(DISTINCT source) AS ns
+                    FROM g GROUP BY gram),
+            agg AS (SELECT g.source, COUNT(*)::BIGINT AS n_grams,
+                           SUM(CASE WHEN per.ns = 1 THEN 1 ELSE 0 END)
+                               ::BIGINT AS n_exclusive
+                    FROM g JOIN per USING (gram) GROUP BY g.source)
+            SELECT source, n_grams, n_exclusive,
+                   ROUND(n_exclusive / CAST(n_grams AS DOUBLE), 6)
+                       AS novelty
+            FROM agg ORDER BY source
+        """,
         # rolling_fp_md5 (round 5): winnowing fingerprint, md5 contract.
         # MIN over window grams is order-free; DuckDB 1-based inclusive
         # list slices clamp past the end exactly like Python's toks[0:8]

@@ -613,3 +613,104 @@ def q_dedup_token_savings(sf_dir: str) -> pd.DataFrame:
         (out["tokens_raw"] - out["tokens_dedup"]).to_numpy(np.float64)
         / out["tokens_raw"].to_numpy(np.float64))
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_dedup_prefix_curve(sf_dir: str) -> pd.DataFrame:
+    """Cumulative distinct-text fraction at each corpus decile — the
+    curation-planning curve ("how fast does novelty decay as I ingest
+    more of this corpus?"). A doc is FIRST-SEEN if it holds the minimum
+    doc_id of its exact-text family; deciles cut the dense doc_id range
+    as ``doc_id * 10 // (max_id + 1)`` (stated identically in the
+    oracle). Per-decile row counts stream as 10-cell bincount partials;
+    first-occurrences resolve inside text-hash buckets (the exact-dedup
+    shape — each bucket emits only its 10-cell decile histogram), so
+    nothing per-doc ever reaches the driver. Integer counts end to end;
+    the fraction closes as ONE stated double division per decile."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    denom = int(base_pandas(sf_dir, "documents", ["doc_id"])
+                ["doc_id"].max()) + 1
+
+    def rows_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dec = (df["doc_id"].to_numpy(np.int64) * 10) // denom
+        return pd.DataFrame({"decile": np.arange(10, dtype=np.int64),
+                             "n": np.bincount(dec, minlength=10)
+                             .astype(np.int64)})
+
+    n_rows = (docs.map_batches(rows_partial, batch_format="pandas")
+              .to_pandas().groupby("decile")["n"].sum())
+
+    def firsts(g: pd.DataFrame) -> pd.DataFrame:
+        fid = g.groupby("text")["doc_id"].min().to_numpy(np.int64)
+        dec = (fid * 10) // denom
+        return pd.DataFrame({"decile": np.arange(10, dtype=np.int64),
+                             "nf": np.bincount(dec, minlength=10)
+                             .astype(np.int64)})
+
+    n_first = (bucketed_group_apply(docs, "text", firsts)
+               .to_pandas().groupby("decile")["nf"].sum())
+
+    out = pd.DataFrame({"decile": np.arange(10, dtype=np.int64)})
+    out["n_rows"] = n_rows.reindex(out["decile"], fill_value=0).to_numpy(np.int64)
+    out["n_first_seen"] = n_first.reindex(out["decile"],
+                                          fill_value=0).to_numpy(np.int64)
+    out["cum_rows"] = out["n_rows"].cumsum().astype(np.int64)
+    out["cum_distinct"] = out["n_first_seen"].cumsum().astype(np.int64)
+    out["distinct_frac"] = round_half_away(
+        out["cum_distinct"].to_numpy(np.float64)
+        / out["cum_rows"].to_numpy(np.float64), 6)
+    return out
+
+
+def q_ngram_novelty_by_source(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Per-source 8-gram novelty — the contamination-adjacent audit a
+    mixture designer reads before upweighting a source: of the distinct
+    word 8-grams a source contains, what fraction appears in NO other
+    source? Docs shorter than ``n`` tokens are excluded (stated in the
+    oracle). Grams transport as md5-64 fingerprints (the shared hash
+    contract; a 64-bit collision would merge two grams — ~1e-9 at this
+    vocabulary, the repo's standing banding assumption) and resolve
+    inside gram-hash buckets: each bucket emits per-source (n_grams,
+    n_exclusive) integer partials bounded by the source count, so the
+    exploded gram table shuffles once and never gathers."""
+    from ..functions.hashing import md5_hash64
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = _docs(sf_dir, ("source", "text"))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, grams = [], []
+        for s, t in zip(df["source"], df["text"]):
+            toks = t.split(" ")
+            if len(toks) < n:
+                continue
+            gs = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+            srcs.extend([s] * len(gs))
+            grams.extend(gs)
+        if not grams:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "h": pd.Series(dtype=np.uint64)})
+        return (pd.DataFrame({"source": srcs, "h": md5_hash64(grams)})
+                .drop_duplicates())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["h", "source"])
+        ns = d.groupby("h")["source"].transform("size")
+        total = d.groupby("source").size()
+        excl = d[ns == 1].groupby("source").size()
+        return pd.DataFrame({
+            "source": total.index,
+            "n_grams": total.to_numpy(np.int64),
+            "n_exclusive": excl.reindex(total.index, fill_value=0)
+            .to_numpy(np.int64)})
+
+    out = (bucketed_group_apply(docs.map_batches(explode,
+                                                 batch_format="pandas"),
+                                "h", per_bucket)
+           .to_pandas().groupby("source", as_index=False).sum())
+    out["novelty"] = round_half_away(
+        out["n_exclusive"].to_numpy(np.float64)
+        / out["n_grams"].to_numpy(np.float64), 6)
+    return (out.astype({"n_grams": "int64", "n_exclusive": "int64"})
+               .sort_values("source").reset_index(drop=True))
