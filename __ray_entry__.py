@@ -1356,6 +1356,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sparsity_by_label": AN.q_embedding_sparsity_by_label,
         # Q7 shape: nation-pair trade volume per ship year, one fact scan
         "nation_pair_trade": R5.q_nation_pair_trade,
+        # round-5 TPC-H completions (the partsupp-free remainder):
+        # Q5 local supplier volume, Q14 promo share, Q22 idle-rich
+        # customers (adapted to nation grouping — this schema has no
+        # phone column)
+        "local_supplier_volume": R5.q_local_supplier_volume,
+        "promo_revenue_share": R5.q_promo_revenue_share,
+        "idle_rich_customers": R5.q_idle_rich_customers,
         # Q15 shape: windowed argmax with ALL ties kept
         "top_supplier_quarter": R5.q_top_supplier_quarter,
         # per-customer priority LAG transition matrix
@@ -1474,6 +1481,7 @@ _WINDOW_R5 = [
     "minhash_band_pairs", "minhash_band_clusters", "ann_topk_fixedpoint",
     "hll_distinct_md5", "cm_probe_md5", "rolling_fp_md5",
     "dedup_prefix_curve", "ngram_novelty_by_source",
+    "local_supplier_volume", "promo_revenue_share", "idle_rich_customers",
     "event_transitions", "brand_pair_counts", "user_entropy",
     "geomean_per_group", "percent_rank_orders", "skyline_parts",
     "exact_global_quantiles", "aspect_bucket_counts",
@@ -1487,8 +1495,7 @@ _WINDOW_R5 = [
     "chi2_independence", "bigram_lm_scores", "crop_resize_plan",
     "weighted_median", "stream_click_attribution",
     "rolling_distinct_users", "table_checksum", "length_quartile_counts",
-    "rank_topk_with_ties", "range_frame_sum", "q3_shipping_priority",
-    "vocab_coverage", "key_skew_stats",
+    "rank_topk_with_ties", "range_frame_sum",
 ]
 
 # Round-4 window, kept for the window-integrity test's history ledger.
@@ -3794,6 +3801,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation nc ON c.c_nationkey = nc.n_nationkey
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                     AS BIGINT)))::DOUBLE / 1e4 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "promo_revenue_share": """
+            WITH f AS (
+              SELECT CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                   AS BIGINT)) AS u4,
+                     p.p_type
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l.l_shipdate < TIMESTAMP '1996-04-01'
+            ),
+            a AS (SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN u4
+                                       ELSE 0 END) AS BIGINT) AS promo_u4,
+                         CAST(SUM(u4) AS BIGINT) AS total_u4
+                  FROM f)
+            SELECT promo_u4, total_u4,
+                   ROUND(100.0 * (promo_u4 / CAST(total_u4 AS DOUBLE)), 6)
+                       AS promo_share
+            FROM a
+        """,
+        "idle_rich_customers": """
+            WITH cb AS (SELECT c_custkey, c_nationkey,
+                               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                                   AS cents
+                        FROM customer),
+            pos AS (SELECT CAST(SUM(CASE WHEN cents > 0 THEN cents
+                                         ELSE 0 END) AS BIGINT) AS s,
+                           CAST(SUM(CASE WHEN cents > 0 THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n
+                    FROM cb),
+            idle AS (SELECT cb.* FROM cb, pos
+                     WHERE cb.cents * pos.n > pos.s
+                       AND cb.c_custkey NOT IN
+                           (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '1999-01-01'))
+            SELECT n.n_name, COUNT(*)::BIGINT AS numcust,
+                   SUM(idle.cents)::DOUBLE / 100 AS totacctbal
+            FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY 1
         """,
         "top_supplier_quarter": """
             WITH r AS (SELECT l_suppkey,

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
+from ..functions.numeric import round_half_away
 from ..sources.tablecache import base_dataset, base_pandas
 
 _US_PER_DAY = 86_400_000_000
@@ -977,3 +978,209 @@ def q_cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
                .rename(columns={"l_partkey": "p_partkey",
                                 "l_suppkey": "s_suppkey"})
                .sort_values("p_partkey").reset_index(drop=True))
+
+
+def _orders_cust_nation_side_window(sf_dir: str, lo: str, hi: str,
+                                    gate_bytes: int | None):
+    """(o_orderkey, c_nationkey) side restricted to an orderdate window —
+    the Q5 variant of `_orders_cust_nation_side`: the date filter prunes
+    orders BEFORE the (gated) customer hop, and lineitems of out-of-window
+    orders later drop via the attach's null-fill (the semi-join effect)."""
+    from ..stages.shuffle import attach_lookup
+
+    lo_us = np.datetime64(lo, "us").astype(np.int64)
+    hi_us = np.datetime64(hi, "us").astype(np.int64)
+    raw = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].astype("int64").to_numpy()
+        return df.loc[(us >= lo_us) & (us < hi_us),
+                      ["o_orderkey", "o_custkey"]]
+
+    orders = raw.map_batches(window, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    withn = attach_lookup(orders, "o_custkey", cust, "c_custkey",
+                          ["c_nationkey"], gate_bytes=gate_bytes, probe=raw)
+    return withn.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)}),
+        batch_format="pandas"), raw
+
+
+def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                            year_lo: str = "1996-01-01",
+                            year_hi: str = "1997-01-01",
+                            gate_bytes: int | None = None) -> pd.DataFrame:
+    """TPC-H Q5's shape: revenue per nation from lineitems whose
+    SUPPLIER and CUSTOMER sit in the same nation of one region, for one
+    order year. Supplier->nation and nation->region are true broadcast
+    dims; the customer hop rides the measured size gate through the
+    date-windowed side (out-of-window lineitems drop at the attach's
+    null-fill); revenue compounds as exact int64 u4 units with the one
+    display division per nation."""
+    from ..stages.shuffle import attach_lookup
+
+    sup = base_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nat = base_pandas(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = base_pandas(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    in_region = set(nat.loc[nat["n_regionkey"] == rkey,
+                            "n_nationkey"].tolist())
+    s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    sref = ray.put((s2n, in_region))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    class Partial:
+        def __init__(self):
+            self.s2n, self.region_nations = ray.get(sref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            snat = df["l_suppkey"].map(self.s2n).to_numpy(np.int64)
+            keep = np.isin(snat, list(self.region_nations))
+            df, snat = df[keep], snat[keep]
+            cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            d = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+            return (pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                                  "supp_nation": snat,
+                                  "rev_u4": cents * (100 - d)})
+                    .groupby(["l_orderkey", "supp_nation"],
+                             as_index=False).sum())
+
+    parts = li.map_batches(Partial, batch_format="pandas",
+                           concurrency=(1, 4))
+    side, probe = _orders_cust_nation_side_window(sf_dir, year_lo, year_hi,
+                                                  gate_bytes)
+    withn = attach_lookup(parts, "l_orderkey", side, "o_orderkey",
+                          ["c_nationkey"], gate_bytes=gate_bytes,
+                          probe=probe)
+
+    def local_cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["c_nationkey"])
+        df = df[df["c_nationkey"].to_numpy(np.int64)
+                == df["supp_nation"].to_numpy(np.int64)]
+        return (pd.DataFrame({"n_nationkey": df["supp_nation"]
+                              .to_numpy(np.int64),
+                              "rev_u4": df["rev_u4"].to_numpy(np.int64)})
+                .groupby("n_nationkey", as_index=False).sum())
+
+    out = (withn.map_batches(local_cells, batch_format="pandas").to_pandas()
+           .groupby("n_nationkey", as_index=False).sum())
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    out["n_name"] = out["n_nationkey"].map(nmap)
+    out["revenue"] = out["rev_u4"].to_numpy(np.float64) / 1e4
+    return (out[["n_name", "revenue"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+def q_promo_revenue_share(sf_dir: str, lo: str = "1996-03-01",
+                          hi: str = "1996-04-01") -> pd.DataFrame:
+    """TPC-H Q14's shape: the PROMO share of one month's revenue. The
+    part->is_promo map is a true broadcast dim; ONE pruned lineitem scan
+    emits two int64 u4 partial sums; the share closes as
+    100 * promo/total in the stated order (two exact int sums, one
+    float division, one *100)."""
+    part = base_pandas(sf_dir, "part", columns=["p_partkey", "p_type"])
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"].tolist())
+    pref = ray.put(promo)
+    lo_us = np.datetime64(lo, "us").astype(np.int64)
+    hi_us = np.datetime64(hi, "us").astype(np.int64)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["l_shipdate"].astype("int64").to_numpy()
+        df = df[(us >= lo_us) & (us < hi_us)]
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        d = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        u4 = cents * (100 - d)
+        is_promo = df["l_partkey"].isin(ray.get(pref)).to_numpy()
+        return pd.DataFrame({"promo_u4": [int(u4[is_promo].sum())],
+                             "total_u4": [int(u4.sum())]})
+
+    s = li.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    share = 100.0 * (float(int(s["promo_u4"])) / float(int(s["total_u4"])))
+    return pd.DataFrame({"promo_u4": [int(s["promo_u4"])],
+                         "total_u4": [int(s["total_u4"])],
+                         "promo_share": [round_half_away(
+                             np.float64(share), 6)]})
+
+
+def q_idle_rich_customers(sf_dir: str, recent: str = "1999-01-01",
+                          gate_bytes: int | None = None) -> pd.DataFrame:
+    """TPC-H Q22's shape adapted to this schema (no phone column —
+    grouped by NATION): customers whose account balance exceeds the
+    average positive balance and who have placed no order SINCE the
+    ``recent`` cutoff (Q22's seven-idle-years test; every fixture
+    customer has SOME order, so the cutoff is what makes the anti-join
+    live), counted per nation with their total balance. The global
+    (sum, count) of positive balances is two int64 cells; the
+    above-average test cross-multiplies (cents * n > sum_cents) so no
+    per-row division exists; the "no recent order" test attaches a flag
+    from the date-filtered DISTINCT o_custkey side through the measured
+    size gate (orders is fact-proportional) and keeps the null-filled
+    rows — a gated ANTI join. Balance totals display via one /100
+    division per nation."""
+    from ..stages.shuffle import attach_lookup
+
+    recent_us = np.datetime64(recent, "us").astype(np.int64)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        pos = cents > 0
+        return pd.DataFrame({"s": [int(cents[pos].sum())],
+                             "n": [int(pos.sum())]})
+
+    tot = cust.map_batches(bal_partial, batch_format="pandas") \
+        .to_pandas().sum()
+    s_cents, n_pos = int(tot["s"]), int(tot["n"])
+
+    raw_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent_custkeys(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "o_custkey": pd.unique(df["o_custkey"].to_numpy()[us >= recent_us]),
+            "has_order": np.int64(1)})
+
+    seen = raw_orders.map_batches(recent_custkeys, batch_format="pandas")
+
+    def rich(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        keep = cents * n_pos > s_cents
+        out = df[keep].copy()
+        out["bal_cents"] = cents[keep]
+        return out[["c_custkey", "c_nationkey", "bal_cents"]]
+
+    flagged = attach_lookup(cust.map_batches(rich, batch_format="pandas"),
+                            "c_custkey", seen, "o_custkey", ["has_order"],
+                            gate_bytes=gate_bytes, probe=raw_orders)
+
+    def idle_cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["has_order"].isna()]
+        return (pd.DataFrame({"c_nationkey": df["c_nationkey"]
+                              .to_numpy(np.int64),
+                              "numcust": np.int64(1),
+                              "bal_cents": df["bal_cents"]
+                              .to_numpy(np.int64)})
+                .groupby("c_nationkey", as_index=False).sum())
+
+    out = (flagged.map_batches(idle_cells, batch_format="pandas")
+           .to_pandas().groupby("c_nationkey", as_index=False).sum())
+    nat = base_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    out["n_name"] = out["c_nationkey"].map(
+        dict(zip(nat["n_nationkey"], nat["n_name"])))
+    out = out.astype({"numcust": "int64", "bal_cents": "int64"})
+    out["totacctbal"] = out["bal_cents"].to_numpy(np.float64) / 100.0
+    return (out[["n_name", "numcust", "totacctbal"]]
+            .sort_values("n_name").reset_index(drop=True))
