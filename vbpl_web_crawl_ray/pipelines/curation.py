@@ -629,8 +629,8 @@ def q_dedup_prefix_curve(sf_dir: str) -> pd.DataFrame:
     from ..stages.shuffle import bucketed_group_apply
 
     docs = _docs(sf_dir, ("doc_id", "text"))
-    denom = int(base_pandas(sf_dir, "documents", ["doc_id"])
-                ["doc_id"].max()) + 1
+    # streaming max — one aggregate pass, no driver-side column read
+    denom = int(docs.max("doc_id")) + 1
 
     def rows_partial(df: pd.DataFrame) -> pd.DataFrame:
         dec = (df["doc_id"].to_numpy(np.int64) * 10) // denom
