@@ -28,6 +28,9 @@ from vbpl_web_crawl_ray.pipelines import relational2 as R2  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational3 as R3  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational4 as R4  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational5 as R5  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational6 as R6  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational7 as R7  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational8 as R8  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 from vbpl_web_crawl_ray.sources.tablecache import base_dataset, base_pandas
@@ -849,6 +852,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one stated division)
         "dedup_prefix_curve": CU.q_dedup_prefix_curve,
         "ngram_novelty_by_source": CU.q_ngram_novelty_by_source,
+        # round-5 session-3 families: FastSS edit-distance join, KMV
+        # distinct sketch (exact-integer estimator), CDC snapshot diff,
+        # dup-family-aware split (all oracle-backed)
+        "edit_distance_pairs": R6.q_edit_distance_pairs,
+        "kmv_distinct_md5": R6.q_kmv_distinct_md5,
+        "cdc_snapshot_diff": R6.q_cdc_snapshot_diff,
+        "leakage_safe_split": CU.q_leakage_safe_split,
+        # session-3 batch 2: ordered funnel, boolean token search,
+        # Z-order layout audit, clickstream path analysis
+        "funnel_conversion": R7.q_funnel_conversion,
+        "conjunctive_token_search": R7.q_conjunctive_token_search,
+        "zorder_layout_stats": R7.q_zorder_layout_stats,
+        "session_paths": R7.q_session_paths,
+        # session-3 batch 3: telemetry debounce, anti-entropy Merkle
+        # tree, iterative BFS vs recursive-CTE oracle, deequ-style
+        # data-quality audit (planted domain violations via the CDC
+        # synth snapshot)
+        "debounce_events": R8.q_debounce_events,
+        "merkle_partition_tree": R8.q_merkle_partition_tree,
+        "bfs_hop_counts": R8.q_bfs_hop_counts,
+        "dq_constraint_audit": R8.q_dq_constraint_audit,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -1357,11 +1381,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q7 shape: nation-pair trade volume per ship year, one fact scan
         "nation_pair_trade": R5.q_nation_pair_trade,
         # round-5 TPC-H completions (the partsupp-free remainder):
-        # Q5 local supplier volume, Q14 promo share, Q22 idle-rich
-        # customers (adapted to nation grouping — this schema has no
-        # phone column)
+        # Q5 local supplier volume, Q14 promo share (fixed one-month
+        # window — distinct from relational4's per-month
+        # promo_revenue_share rollup), Q22 idle-rich customers (adapted
+        # to nation grouping — this schema has no phone column)
         "local_supplier_volume": R5.q_local_supplier_volume,
-        "promo_revenue_share": R5.q_promo_revenue_share,
+        "promo_share_window": R5.q_promo_revenue_share,
         "idle_rich_customers": R5.q_idle_rich_customers,
         # Q15 shape: windowed argmax with ALL ties kept
         "top_supplier_quarter": R5.q_top_supplier_quarter,
@@ -1469,19 +1494,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {n: out[n] for n in window + rest}
 
 
-# Slots 1-50 for the round-5 driver run: slots 1-7 are the round's
-# seven newly oracle-backed families — simhash (the judge's stretch
-# goal) plus the md5-contract conversions that put MinHash-LSH pairs +
-# clusters, exact ANN top-k, HyperLogLog, Count-Min and winnowing
-# fingerprints under the external hash gate for the first time; slots
-# 8-50 are the longest-never-driver-checked oracle twins in queries()
-# order. Zero rows-only entries in-window.
+# Slots 1-50 for the round-5 driver run: slots 1-4 are the session-3
+# families (FastSS edit-distance join, KMV sketch, CDC snapshot diff,
+# leakage-safe split — never driver-checked, all oracle-backed); slots
+# 5-11 are the round's seven newly oracle-backed conversions — simhash
+# (the judge's stretch goal) plus the md5-contract families that put
+# MinHash-LSH pairs + clusters, exact ANN top-k, HyperLogLog, Count-Min
+# and winnowing fingerprints under the external hash gate for the first
+# time; the rest are the longest-never-driver-checked oracle twins in
+# queries() order, trimmed to exactly 50 (everything past the cap stays
+# bit-exact-gated by tests/test_driver_exactness.py every run). Zero
+# rows-only entries in-window.
 _WINDOW_R5 = [
+    # session-3 families first: never driver-checked, all oracle-backed
+    "edit_distance_pairs", "kmv_distinct_md5",
+    "cdc_snapshot_diff", "leakage_safe_split",
     "simhash_pairs",
     "minhash_band_pairs", "minhash_band_clusters", "ann_topk_fixedpoint",
     "hll_distinct_md5", "cm_probe_md5", "rolling_fp_md5",
     "dedup_prefix_curve", "ngram_novelty_by_source",
-    "local_supplier_volume", "promo_revenue_share", "idle_rich_customers",
+    "local_supplier_volume", "promo_share_window", "idle_rich_customers",
     "event_transitions", "brand_pair_counts", "user_entropy",
     "geomean_per_group", "percent_rank_orders", "skyline_parts",
     "exact_global_quantiles", "aspect_bucket_counts",
@@ -1494,8 +1526,7 @@ _WINDOW_R5 = [
     "purchase_click_attribution", "time_weighted_avg",
     "chi2_independence", "bigram_lm_scores", "crop_resize_plan",
     "weighted_median", "stream_click_attribution",
-    "rolling_distinct_users", "table_checksum", "length_quartile_counts",
-    "rank_topk_with_ties", "range_frame_sum",
+    "rolling_distinct_users",
 ]
 
 # Round-4 window, kept for the window-integrity test's history ledger.
@@ -3819,7 +3850,7 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1 ORDER BY 1
         """,
-        "promo_revenue_share": """
+        "promo_share_window": """
             WITH f AS (
               SELECT CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
                      * (100 - CAST(ROUND(l.l_discount * 100, 0)
@@ -4419,6 +4450,268 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_clusters": _minhash_band_clusters_sql(),
         "hll_distinct_md5": _hll_distinct_md5_sql(),
         "cm_probe_md5": _cm_probe_md5_sql(),
+        # edit_distance_pairs: the engine blocks on FastSS deletion
+        # variants and verifies candidates in-bucket; the oracle states
+        # the semantics directly as a levenshtein self-join (fine at
+        # oracle scale, the thing the engine exists to avoid at 100 TB).
+        "edit_distance_pairs": """
+            SELECT a.c_name AS name_a, b.c_name AS name_b
+            FROM customer a JOIN customer b ON a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) = 1
+            ORDER BY name_a, name_b
+        """,
+        # kmv_distinct_md5: k-minimum-values sketch, k=16, md5-64
+        # contract. est = (k-1)*2^64 // h_k in EXACT integer math —
+        # DuckDB's // (integer division) truncates like Python // on
+        # positives; plain / would be float division and round.
+        # Types with < k distinct users report the exact count.
+        "kmv_distinct_md5": """
+            WITH u AS (SELECT DISTINCT event_type,
+                         CAST(CONCAT('0x', substr(md5(
+                             CAST(user_id AS VARCHAR)), 1, 16))
+                           AS UBIGINT) AS h
+                       FROM events),
+            r AS (SELECT event_type, h,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY h) AS rn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM u)
+            SELECT event_type, h AS kth_hash,
+                   CAST(CASE WHEN n >= 16
+                        THEN (15::HUGEINT * 18446744073709551616::HUGEINT)
+                             // CAST(h AS HUGEINT)
+                        ELSE n END AS BIGINT) AS kmv_est
+            FROM r WHERE rn = LEAST(n, 16)
+            ORDER BY event_type
+        """,
+        # cdc_snapshot_diff: v_old = keys %4 != 1, v_new = keys %4 != 2
+        # with priority '9-SYNTH' where %5 == 0; row identity is the
+        # md5-16hex checksum of the stated key|custkey|priority string
+        # (ints + strings only — no float formatting in the checksum).
+        "cdc_snapshot_diff": """
+            WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                              o_orderpriority AS p_old,
+                              CASE WHEN o_orderkey % 5 = 0 THEN '9-SYNTH'
+                                   ELSE o_orderpriority END AS p_new
+                       FROM orders),
+            old AS (SELECT k, substr(md5(k::VARCHAR || '|' ||
+                           c::VARCHAR || '|' || p_old), 1, 16) AS ck
+                    FROM o WHERE k % 4 != 1),
+            new AS (SELECT k, substr(md5(k::VARCHAR || '|' ||
+                           c::VARCHAR || '|' || p_new), 1, 16) AS ck
+                    FROM o WHERE k % 4 != 2),
+            j AS (SELECT COALESCE(old.k, new.k) AS key,
+                    CASE WHEN old.ck IS NULL THEN 'added'
+                         WHEN new.ck IS NULL THEN 'deleted'
+                         WHEN old.ck = new.ck THEN 'unchanged'
+                         ELSE 'changed' END AS change_type
+                  FROM old FULL OUTER JOIN new ON old.k = new.k)
+            SELECT change_type, COUNT(*)::BIGINT AS n_rows,
+                   SUM(key)::BIGINT AS key_sum
+            FROM j GROUP BY change_type ORDER BY change_type
+        """,
+        # leakage_safe_split: family = exact-text group, rep = min
+        # doc_id; split = md5_64(str(rep)) % 10 -> 0-7/8/9. n_families
+        # counts families whose REP doc sits in the (split, source)
+        # cell; zero families span splits by construction.
+        "leakage_safe_split": """
+            WITH f AS (SELECT text, MIN(doc_id) AS rep
+                       FROM documents GROUP BY text),
+            a AS (SELECT d.doc_id, d.source, f.rep
+                  FROM documents d JOIN f ON d.text = f.text),
+            s AS (SELECT doc_id, source, rep,
+                    CAST(CONCAT('0x', substr(md5(
+                        CAST(rep AS VARCHAR)), 1, 16)) AS UBIGINT)
+                      % 10 AS b
+                  FROM a),
+            l AS (SELECT doc_id, source, rep,
+                    CASE WHEN b < 8 THEN 'train'
+                         WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+                  FROM s)
+            SELECT split, source, COUNT(*)::BIGINT AS n_docs,
+                   SUM(CASE WHEN doc_id = rep THEN 1 ELSE 0 END)::BIGINT
+                       AS n_families
+            FROM l GROUP BY split, source ORDER BY split, source
+        """,
+        # funnel_conversion: strict-> stage chaining (ties do NOT
+        # advance a stage — the shared contract); counts only.
+        "funnel_conversion": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY 1)
+            SELECT * FROM (VALUES
+                ('1_view',     (SELECT COUNT(*) FROM s1)),
+                ('2_click',    (SELECT COUNT(*) FROM s2)),
+                ('3_purchase', (SELECT COUNT(*) FROM s3)))
+                AS t(stage, n_users)
+            ORDER BY stage
+        """,
+        # conjunctive_token_search: terms inlined from the ONE shared
+        # constant (relational7.SEARCH_TERMS); token = space-split word.
+        "conjunctive_token_search": (
+            "SELECT doc_id, source, n_chars FROM documents WHERE "
+            + " AND ".join(
+                f"list_contains(string_split(text, ' '), '{t}')"
+                for t in R7.SEARCH_TERMS)
+            + " ORDER BY doc_id"),
+        # zorder_layout_stats: the Morton interleave expression is
+        # GENERATED from the same helper the engine executes
+        # (relational7.morton_sql_expr), so the bit layout cannot drift.
+        "zorder_layout_stats": f"""
+            WITH n AS (SELECT
+                  MIN(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) AS lo,
+                  MAX(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) AS hi
+                FROM part),
+            b AS (SELECT p_size - 1 AS x,
+                    (CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) - n.lo)
+                        * 64 // (n.hi - n.lo + 1) AS y
+                  FROM part, n),
+            z AS (SELECT x, y,
+                    ({R7.morton_sql_expr('x', 'y')}) >> {R7.Z_TILE_SHIFT}
+                        AS tile
+                  FROM b)
+            SELECT tile, COUNT(*)::BIGINT AS n_parts,
+                   MIN(x)::BIGINT AS x_min, MAX(x)::BIGINT AS x_max,
+                   MIN(y)::BIGINT AS y_min, MAX(y)::BIGINT AS y_max
+            FROM z GROUP BY tile ORDER BY tile
+        """,
+        # session_paths: 30-min strict-gap islands; path = first-5
+        # event types in (ts, event_id) order (a total order).
+        "session_paths": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM events),
+            s AS (SELECT *, SUM(CASE WHEN pts IS NULL OR
+                                  ts - pts > INTERVAL 30 MINUTE
+                                  THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            r AS (SELECT user_id, sid, event_type, ts, event_id,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                       ORDER BY ts, event_id) AS rn
+                  FROM s),
+            p AS (SELECT string_agg(event_type, '>'
+                                    ORDER BY ts, event_id) AS path
+                  FROM r WHERE rn <= 5 GROUP BY user_id, sid)
+            SELECT path, COUNT(*)::BIGINT AS n_sessions
+            FROM p GROUP BY path ORDER BY path
+        """,
+        # debounce_events: LAG-against-raw-predecessor rule, strict
+        # 4-hour interval comparison (the stated contract).
+        "debounce_events": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM events),
+            k AS (SELECT event_type,
+                    CASE WHEN pts IS NULL OR ts - pts > INTERVAL 4 HOUR
+                         THEN 1 ELSE 0 END AS kept
+                  FROM o)
+            SELECT event_type, SUM(kept)::BIGINT AS n_kept,
+                   (COUNT(*) - SUM(kept))::BIGINT AS n_dropped
+            FROM k GROUP BY event_type ORDER BY event_type
+        """,
+        # merkle_partition_tree: leaf = md5 of o_orderkey-ordered row
+        # checksums (the relational6 CDC row contract), folded 4-ary;
+        # 64 -> 16 -> 4 -> 1.
+        "merkle_partition_tree": """
+            WITH r AS (SELECT o_orderkey AS k, o_orderkey % 64 AS leaf,
+                         substr(md5(o_orderkey::VARCHAR || '|' ||
+                                    o_custkey::VARCHAR || '|' ||
+                                    o_orderpriority), 1, 16) AS ck
+                       FROM orders),
+            l0 AS (SELECT leaf AS idx,
+                     substr(md5(string_agg(ck, '' ORDER BY k)), 1, 16)
+                         AS digest
+                   FROM r GROUP BY leaf),
+            l1 AS (SELECT (idx // 4) AS idx,
+                     substr(md5(string_agg(digest, '' ORDER BY idx)),
+                            1, 16) AS digest
+                   FROM l0 GROUP BY (idx // 4)),
+            l2 AS (SELECT (idx // 4) AS idx,
+                     substr(md5(string_agg(digest, '' ORDER BY idx)),
+                            1, 16) AS digest
+                   FROM l1 GROUP BY (idx // 4)),
+            l3 AS (SELECT (idx // 4) AS idx,
+                     substr(md5(string_agg(digest, '' ORDER BY idx)),
+                            1, 16) AS digest
+                   FROM l2 GROUP BY (idx // 4))
+            SELECT level, idx, digest FROM (
+                SELECT 0 AS level, idx, digest FROM l0
+                UNION ALL SELECT 1, idx, digest FROM l1
+                UNION ALL SELECT 2, idx, digest FROM l2
+                UNION ALL SELECT 3, idx, digest FROM l3)
+            ORDER BY level, idx
+        """,
+        # bfs_hop_counts: recursive-CTE reachability over the derived
+        # doubling graph; path fan-out stays <= 2^hops before the
+        # MIN-per-node collapse.
+        "bfs_hop_counts": """
+            WITH RECURSIVE e AS (
+                SELECT c_custkey AS u,
+                       (2 * c_custkey) % (SELECT COUNT(*) FROM customer)
+                           AS v
+                FROM customer
+                UNION ALL
+                SELECT c_custkey,
+                       (c_custkey + 1) % (SELECT COUNT(*) FROM customer)
+                FROM customer),
+            walk(node, d) AS (
+                SELECT 0, 0
+                UNION ALL
+                SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node
+                WHERE w.d < 8),
+            m AS (SELECT node, MIN(d) AS hop FROM walk GROUP BY node)
+            SELECT hop, COUNT(*)::BIGINT AS n_nodes
+            FROM m GROUP BY hop ORDER BY hop
+        """,
+        # dq_constraint_audit: five declarative checks; the domain check
+        # audits the CDC-derived NEW snapshot, which plants '9-SYNTH'
+        # violations at key % 5 == 0.
+        "dq_constraint_audit": """
+            WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                              o_orderpriority AS p
+                       FROM orders)
+            SELECT * FROM (
+              SELECT 'documents_nchars_consistent' AS check_name,
+                     COUNT(*)::BIGINT AS n_checked,
+                     SUM(CASE WHEN n_chars != LENGTH(text)
+                              THEN 1 ELSE 0 END)::BIGINT AS n_violations
+              FROM documents
+              UNION ALL
+              SELECT 'lineitem_qty_range', COUNT(*)::BIGINT,
+                     SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                              THEN 1 ELSE 0 END)::BIGINT
+              FROM lineitem
+              UNION ALL
+              SELECT 'orders_custkey_referential', COUNT(*)::BIGINT,
+                     SUM(CASE WHEN c NOT IN
+                              (SELECT c_custkey FROM customer)
+                              THEN 1 ELSE 0 END)::BIGINT
+              FROM o
+              UNION ALL
+              SELECT 'orders_orderkey_unique', COUNT(*)::BIGINT,
+                     (COUNT(*) - COUNT(DISTINCT k))::BIGINT
+              FROM o
+              UNION ALL
+              SELECT 'orders_priority_domain_synth', COUNT(*)::BIGINT,
+                     SUM(CASE WHEN (CASE WHEN k % 5 = 0 THEN '9-SYNTH'
+                                         ELSE p END) NOT IN
+                              ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                               '4-NOT SPECIFIED', '5-LOW')
+                              THEN 1 ELSE 0 END)::BIGINT
+              FROM o WHERE k % 4 != 2)
+            ORDER BY check_name
+        """,
         # dedup_prefix_curve: first-seen = min doc_id per exact text;
         # deciles cut the dense id range as doc_id*10 // (max+1); all
         # counts integer, the fraction is one stated double division.

@@ -64,7 +64,11 @@ def test_driver_window_integrity():
     w = em._WINDOW_R5
     assert len(w) == 50 and len(set(w)) == 50
     assert q[:50] == w
-    assert w[0] == "simhash_pairs"  # newly oracle-backed this round
+    # slots 1-4: the session-3 families (never driver-checked); slot 5:
+    # simhash_pairs, newly oracle-backed this round
+    assert w[:5] == ["edit_distance_pairs", "kmv_distinct_md5",
+                     "cdc_snapshot_diff", "leakage_safe_split",
+                     "simhash_pairs"]
     twins = set(em.oracle_sql())
     assert all(n in twins for n in w)
     # "never checked" = no prior round ever recorded a hash-matched row

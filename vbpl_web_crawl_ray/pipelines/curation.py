@@ -663,6 +663,52 @@ def q_dedup_prefix_curve(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_leakage_safe_split(sf_dir: str) -> pd.DataFrame:
+    """Dup-family-aware train/val/test split — the leakage guard every
+    eval-honest pretraining pipeline needs: if two docs share the exact
+    same text, they must land in the SAME split (else the val/test sets
+    leak training examples verbatim). The naive per-doc hash split
+    fails this whenever duplicates exist; this operator splits by
+    FAMILY instead.
+
+    Family = the exact-text group; its representative = the minimum
+    doc_id (resolved inside text-hash buckets like the rest of the
+    exact-dedup family — docs of one family never straddle buckets).
+    The split decision is the shared md5-64 contract on the rep id:
+    ``md5_64(str(rep)) % 10`` -> 0-7 train, 8 val, 9 test — a pure
+    function of the family, so re-runs, resumes and cluster sizes all
+    reproduce it. Output: per (split, source) doc count plus the count
+    of families whose representative doc sits in that cell; by
+    construction zero families span splits (the property the oracle
+    re-derives from scratch).
+
+    100-TB shape: one text-keyed bucket shuffle; each bucket emits only
+    its (split, source) count partial (<= 3 x |sources| cells), the
+    driver merges cells, documents never gather."""
+    from ..functions.hashing import md5_hash64
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = _docs(sf_dir, ("doc_id", "source", "text"))
+
+    def split_counts(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby("text")["doc_id"].transform("min") \
+               .to_numpy(np.int64)
+        b = md5_hash64([str(r) for r in rep]) % np.uint64(10)
+        split = np.where(b < 8, "train", np.where(b == 8, "val", "test"))
+        d = pd.DataFrame({"split": split,
+                          "source": g["source"].to_numpy(object),
+                          "is_rep": (g["doc_id"].to_numpy(np.int64)
+                                     == rep).astype(np.int64)})
+        return d.groupby(["split", "source"], as_index=False).agg(
+            n_docs=("is_rep", "size"), n_families=("is_rep", "sum"))
+
+    out = (bucketed_group_apply(docs, "text", split_counts)
+           .to_pandas()
+           .groupby(["split", "source"], as_index=False).sum())
+    return (out.astype({"n_docs": "int64", "n_families": "int64"})
+               .sort_values(["split", "source"]).reset_index(drop=True))
+
+
 def q_ngram_novelty_by_source(sf_dir: str, n: int = 8) -> pd.DataFrame:
     """Per-source 8-gram novelty — the contamination-adjacent audit a
     mixture designer reads before upweighting a source: of the distinct
