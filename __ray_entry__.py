@@ -31,6 +31,7 @@ from vbpl_web_crawl_ray.pipelines import relational5 as R5  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational6 as R6  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational7 as R7  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational8 as R8  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational9 as R9  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 from vbpl_web_crawl_ray.sources.tablecache import base_dataset, base_pandas
@@ -873,6 +874,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merkle_partition_tree": R8.q_merkle_partition_tree,
         "bfs_hop_counts": R8.q_bfs_hop_counts,
         "dq_constraint_audit": R8.q_dq_constraint_audit,
+        # session-3 batch 4: RRF retrieval fusion (shuffle-free global
+        # ranks via key-histogram offsets), exact-integer Gini
+        # concentration, 72h-window funnel
+        "rrf_fusion": R9.q_rrf_fusion,
+        "gini_user_activity": R9.q_gini_user_activity,
+        "funnel_windowed": R9.q_funnel_windowed,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -4711,6 +4718,63 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END)::BIGINT
               FROM o WHERE k % 4 != 2)
             ORDER BY check_name
+        """,
+        # rrf_fusion: two ROW_NUMBER rankings fused as
+        # 1/(60+r1) + 1/(60+r2) in the stated operand order (the only
+        # floats; symmetric rank pairs tie exactly -> doc_id breaks).
+        "rrf_fusion": """
+            WITH t AS (SELECT doc_id, n_chars,
+                         CAST(len(list_distinct(string_split(text, ' ')))
+                              AS BIGINT) AS n_toks
+                       FROM documents),
+            r1 AS (SELECT doc_id, ROW_NUMBER() OVER
+                       (ORDER BY n_chars DESC, doc_id) AS r FROM t),
+            r2 AS (SELECT doc_id, ROW_NUMBER() OVER
+                       (ORDER BY n_toks DESC, doc_id) AS r FROM t)
+            SELECT t.doc_id, r1.r AS rank_chars, r2.r AS rank_toks,
+                   1.0 / (60 + r1.r) + 1.0 / (60 + r2.r) AS rrf_score
+            FROM t JOIN r1 ON t.doc_id = r1.doc_id
+                   JOIN r2 ON t.doc_id = r2.doc_id
+            ORDER BY rrf_score DESC, t.doc_id LIMIT 20
+        """,
+        # gini_user_activity: integer numerator (ROW_NUMBER form; the
+        # engine's per-tie-block closed form x*f*(2o+f-n) sums the same
+        # integers), ONE double division at the end.
+        "gini_user_activity": """
+            WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS x
+                       FROM events GROUP BY user_id),
+            s AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS tot
+                  FROM c),
+            r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id)
+                      AS i FROM c),
+            g AS (SELECT SUM((2 * i - (SELECT n FROM s) - 1) * x)
+                      ::BIGINT AS numer FROM r)
+            SELECT s.n AS n_users, s.tot AS total_events,
+                   g.numer AS gini_numer,
+                   CAST(g.numer AS DOUBLE) / (s.n * s.tot) AS gini
+            FROM s, g
+        """,
+        # funnel_windowed: strict lower / inclusive upper 72h bounds
+        # per stage (timestamp + INTERVAL arithmetic is exact in us).
+        "funnel_windowed": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL 72 HOUR
+                   GROUP BY 1)
+            SELECT * FROM (VALUES
+                ('1_view',         (SELECT COUNT(*) FROM s1)),
+                ('2_click_72h',    (SELECT COUNT(*) FROM s2)),
+                ('3_purchase_72h', (SELECT COUNT(*) FROM s3)))
+                AS t(stage, n_users)
+            ORDER BY stage
         """,
         # dedup_prefix_curve: first-seen = min doc_id per exact text;
         # deciles cut the dense id range as doc_id*10 // (max+1); all
