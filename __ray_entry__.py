@@ -32,6 +32,7 @@ from vbpl_web_crawl_ray.pipelines import relational6 as R6  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational7 as R7  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational8 as R8  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational9 as R9  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational10 as R10  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 from vbpl_web_crawl_ray.sources.tablecache import base_dataset, base_pandas
@@ -880,6 +881,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": R9.q_rrf_fusion,
         "gini_user_activity": R9.q_gini_user_activity,
         "funnel_windowed": R9.q_funnel_windowed,
+        # session-3 batch 5: hash-priority weighted sampling (A-Res
+        # shape on the md5 contract), exact power-of-two time decay
+        "weighted_reservoir_sample": R10.q_weighted_reservoir_sample,
+        "time_decayed_value": R10.q_time_decayed_value,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -4775,6 +4780,37 @@ def oracle_sql() -> dict[str, str]:
                 ('3_purchase_72h', (SELECT COUNT(*) FROM s3)))
                 AS t(stage, n_users)
             ORDER BY stage
+        """,
+        # weighted_reservoir_sample: A-Res priority = md5_64(id) /
+        # weight (one double division, tie-free), global 25 smallest.
+        "weighted_reservoir_sample": """
+            WITH p AS (SELECT doc_id, source, n_chars,
+                         CAST(CAST(CONCAT('0x', substr(md5(
+                             CAST(doc_id AS VARCHAR)), 1, 16))
+                           AS UBIGINT) AS DOUBLE) / n_chars AS priority
+                       FROM documents)
+            SELECT doc_id, source, n_chars, priority FROM p
+            ORDER BY priority, doc_id LIMIT 25
+        """,
+        # time_decayed_value: integer weights 2^(40-age) close the
+        # half-life sum exactly in HUGEINT; the two double ops at the
+        # end run in the stated order (numer / 2^40 / 100).
+        "time_decayed_value": """
+            WITH a AS (SELECT event_type,
+                         LEAST((epoch_us(TIMESTAMP '2024-02-01')
+                                - epoch_us(ts)) // 86400000000,
+                               40) AS age,
+                         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                       FROM events),
+            n AS (SELECT event_type,
+                    SUM(CAST(cents AS HUGEINT)
+                        * CAST((1::BIGINT << (40 - age)) AS HUGEINT))
+                        AS numer
+                  FROM a GROUP BY event_type)
+            SELECT event_type, CAST(numer AS VARCHAR) AS decay_numer,
+                   CAST(numer AS DOUBLE) / 1099511627776.0 / 100.0
+                       AS decayed_value
+            FROM n ORDER BY event_type
         """,
         # dedup_prefix_curve: first-seen = min doc_id per exact text;
         # deciles cut the dense id range as doc_id*10 // (max+1); all
