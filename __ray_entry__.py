@@ -33,6 +33,7 @@ from vbpl_web_crawl_ray.pipelines import relational7 as R7  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational8 as R8  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational9 as R9  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational10 as R10  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational11 as R11  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 from vbpl_web_crawl_ray.sources.tablecache import base_dataset, base_pandas
@@ -885,6 +886,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shape on the md5 contract), exact power-of-two time decay
         "weighted_reservoir_sample": R10.q_weighted_reservoir_sample,
         "time_decayed_value": R10.q_time_decayed_value,
+        # session-3 batch 6: Lorenz decile shares (Gini's curve
+        # companion), market-basket lift over 30-min sessions
+        "lorenz_decile_shares": R11.q_lorenz_decile_shares,
+        "session_cooccurrence_lift": R11.q_session_cooccurrence_lift,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -4811,6 +4816,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(numer AS DOUBLE) / 1099511627776.0 / 100.0
                        AS decayed_value
             FROM n ORDER BY event_type
+        """,
+        # lorenz_decile_shares: decile = (rank-1)*10 // n over
+        # (count ASC, user_id) ranks — exact integer cuts; each share
+        # one stated double division.
+        "lorenz_decile_shares": """
+            WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS x
+                       FROM events GROUP BY user_id),
+            r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id)
+                      AS i, (SELECT COUNT(*) FROM c) AS n FROM c),
+            d AS (SELECT (i - 1) * 10 // n AS decile, x FROM r)
+            SELECT decile, COUNT(*)::BIGINT AS n_users,
+                   SUM(x)::BIGINT AS n_events,
+                   CAST(SUM(x) AS DOUBLE) / (SELECT SUM(x) FROM c)
+                       AS event_share
+            FROM d GROUP BY decile ORDER BY decile
+        """,
+        # session_cooccurrence_lift: the relational7 session contract
+        # (strict 30-min gaps); lift = exact-int numerator over
+        # exact-int denominator, ONE double division.
+        "session_cooccurrence_lift": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM events),
+            s AS (SELECT user_id, event_type,
+                    SUM(CASE WHEN pts IS NULL OR
+                             ts - pts > INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+            tot AS (SELECT COUNT(*)::BIGINT AS s_total FROM
+                      (SELECT DISTINCT user_id, sid FROM st)),
+            singles AS (SELECT event_type, COUNT(*)::BIGINT AS n
+                        FROM st GROUP BY event_type),
+            pairs AS (SELECT a.event_type AS type_a,
+                             b.event_type AS type_b,
+                             COUNT(*)::BIGINT AS n_co
+                      FROM st a JOIN st b
+                        ON a.user_id = b.user_id AND a.sid = b.sid
+                       AND a.event_type < b.event_type
+                      GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b, p.n_co,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(p.n_co * tot.s_total AS DOUBLE) / (sa.n * sb.n)
+                       AS lift
+            FROM pairs p
+            JOIN singles sa ON p.type_a = sa.event_type
+            JOIN singles sb ON p.type_b = sb.event_type
+            CROSS JOIN tot
+            ORDER BY p.type_a, p.type_b
         """,
         # dedup_prefix_curve: first-seen = min doc_id per exact text;
         # deciles cut the dense id range as doc_id*10 // (max+1); all
