@@ -34,6 +34,7 @@ from vbpl_web_crawl_ray.pipelines import relational8 as R8  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational9 as R9  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational10 as R10  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational11 as R11  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational12 as R12  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 from vbpl_web_crawl_ray.sources.tablecache import base_dataset, base_pandas
@@ -890,6 +891,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # companion), market-basket lift over 30-min sessions
         "lorenz_decile_shares": R11.q_lorenz_decile_shares,
         "session_cooccurrence_lift": R11.q_session_cooccurrence_lift,
+        # session-3 batch 7: HDR log2 histogram (exact exponents, no
+        # float log), metanome-style FD profiling
+        "value_log_histogram": R12.q_value_log_histogram,
+        "fd_audit": R12.q_fd_audit,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -4868,6 +4873,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN singles sb ON p.type_b = sb.event_type
             CROSS JOIN tot
             ORDER BY p.type_a, p.type_b
+        """,
+        # value_log_histogram: bucket = floor(log2(cents)) via integer
+        # bit math (length(bin(x)) - 1 == np.frexp exponent - 1; no
+        # float log2 whose rounding could misplace 2^k boundaries).
+        "value_log_histogram": """
+            WITH a AS (SELECT event_type,
+                         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                       FROM events),
+            b AS (SELECT event_type, cents,
+                    CASE WHEN cents > 0 THEN length(bin(cents)) - 1
+                         ELSE -1 END AS bucket
+                  FROM a)
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   COUNT(*)::BIGINT AS n_rows,
+                   MIN(cents)::BIGINT AS c_min,
+                   MAX(cents)::BIGINT AS c_max
+            FROM b GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
+        """,
+        # fd_audit: per candidate FD, LHS group count + groups with >1
+        # distinct RHS.
+        "fd_audit": """
+            SELECT * FROM (
+              SELECT 'custkey_determines_priority' AS fd_name,
+                     COUNT(*)::BIGINT AS n_groups,
+                     SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+                         AS n_violating
+              FROM (SELECT o_custkey,
+                           COUNT(DISTINCT o_orderpriority) AS c
+                    FROM orders GROUP BY o_custkey)
+              UNION ALL
+              SELECT 'nationkey_determines_regionkey', COUNT(*)::BIGINT,
+                     SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+              FROM (SELECT n_nationkey,
+                           COUNT(DISTINCT n_regionkey) AS c
+                    FROM nation GROUP BY n_nationkey)
+              UNION ALL
+              SELECT 'orderkey_mod100_determines_priority',
+                     COUNT(*)::BIGINT,
+                     SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+              FROM (SELECT o_orderkey % 100 AS k,
+                           COUNT(DISTINCT o_orderpriority) AS c
+                    FROM orders GROUP BY k))
+            ORDER BY fd_name
         """,
         # dedup_prefix_curve: first-seen = min doc_id per exact text;
         # deciles cut the dense id range as doc_id*10 // (max+1); all
