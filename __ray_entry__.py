@@ -35,6 +35,7 @@ from vbpl_web_crawl_ray.pipelines import relational9 as R9  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational10 as R10  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational11 as R11  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational12 as R12  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational13 as R13  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 from vbpl_web_crawl_ray.sources.tablecache import base_dataset, base_pandas
@@ -895,6 +896,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # float log), metanome-style FD profiling
         "value_log_histogram": R12.q_value_log_histogram,
         "fd_audit": R12.q_fd_audit,
+        # session-3 batch 8: pairwise source vocab overlap matrix,
+        # join-key fanout histogram (the skew audit)
+        "source_vocab_overlap": R13.q_source_vocab_overlap,
+        "join_fanout_histogram": R13.q_join_fanout_histogram,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -4917,6 +4922,39 @@ def oracle_sql() -> dict[str, str]:
                            COUNT(DISTINCT o_orderpriority) AS c
                     FROM orders GROUP BY k))
             ORDER BY fd_name
+        """,
+        # source_vocab_overlap: distinct unigram vocabularies per
+        # source, pairwise inter/union/jaccard (one stated division).
+        "source_vocab_overlap": """
+            WITH v AS (SELECT DISTINCT source,
+                         UNNEST(string_split(text, ' ')) AS word
+                       FROM documents),
+            s AS (SELECT source, COUNT(*)::BIGINT AS n
+                  FROM v GROUP BY source),
+            co AS (SELECT a.source AS source_a, b.source AS source_b,
+                          COUNT(*)::BIGINT AS n_inter
+                   FROM v a JOIN v b ON a.word = b.word
+                    AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT co.source_a, co.source_b,
+                   sa.n AS n_a, sb.n AS n_b, co.n_inter,
+                   (sa.n + sb.n - co.n_inter)::BIGINT AS n_union,
+                   CAST(co.n_inter AS DOUBLE)
+                       / (sa.n + sb.n - co.n_inter) AS jaccard
+            FROM co JOIN s sa ON co.source_a = sa.source
+                    JOIN s sb ON co.source_b = sb.source
+            ORDER BY co.source_a, co.source_b
+        """,
+        # join_fanout_histogram: lineitems-per-orderkey count-of-counts
+        # including the 0-fanout keys only the orders side can see.
+        "join_fanout_histogram": """
+            WITH f AS (SELECT o.o_orderkey,
+                         COUNT(l.l_orderkey)::BIGINT AS fanout
+                       FROM orders o LEFT JOIN lineitem l
+                         ON o.o_orderkey = l.l_orderkey
+                       GROUP BY o.o_orderkey)
+            SELECT fanout, COUNT(*)::BIGINT AS n_keys
+            FROM f GROUP BY fanout ORDER BY fanout
         """,
         # dedup_prefix_curve: first-seen = min doc_id per exact text;
         # deciles cut the dense id range as doc_id*10 // (max+1); all
