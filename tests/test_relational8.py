@@ -117,3 +117,12 @@ def test_dq_audit_planted_and_clean(sf_dir):
     assert out.loc["orders_priority_domain_synth",
                    "n_violations"] == planted > 0
     assert (out["n_checked"] > 0).all()
+
+
+def test_dq_referential_gate_is_strategy_invariant(sf_dir):
+    """Forcing gate_bytes=1 pushes the referential check through the
+    bucketed-join path; the full audit output must be bit-identical to
+    the broadcast path."""
+    a = q_dq_constraint_audit(sf_dir)
+    b = q_dq_constraint_audit(sf_dir, ref_gate_bytes=1)
+    pd.testing.assert_frame_equal(a, b)

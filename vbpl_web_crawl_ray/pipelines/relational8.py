@@ -206,7 +206,9 @@ def q_bfs_hop_counts(sf_dir: str) -> pd.DataFrame:
 # Data-quality constraint audit
 
 
-def q_dq_constraint_audit(sf_dir: str) -> pd.DataFrame:
+def q_dq_constraint_audit(sf_dir: str,
+                          ref_gate_bytes: int | None = None
+                          ) -> pd.DataFrame:
     """Declarative data-quality audit (the deequ shape): each constraint
     one row of (check_name, n_checked, n_violations), alphabetical.
 
@@ -222,34 +224,45 @@ def q_dq_constraint_audit(sf_dir: str) -> pd.DataFrame:
     - ``documents_nchars_consistent``: n_chars == LENGTH(text).
 
     100-TB shape: every check is a scan-side count partial except
-    uniqueness (one bucket shuffle) and referential (broadcast key set
-    below the standing size gate, bucketed anti-join above it)."""
+    uniqueness (one bucket shuffle) and referential, which routes
+    through the standing size gate (:func:`..stages.shuffle.
+    attach_lookup`): a broadcast marker map below ~64 MB, ONE bucketed
+    left-join above it — both emit identical null-fills, so the
+    violation count is strategy-invariant (pinned by the forced-gate
+    test)."""
     legal = {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
 
-    import ray
-
-    cust_keys = set(
-        base_dataset(sf_dir, "customer", columns=["c_custkey"])
-        .to_pandas()["c_custkey"].to_numpy(np.int64).tolist())
-    keys_ref = ray.put(cust_keys)
+    from ..stages.shuffle import attach_lookup
 
     orders = base_dataset(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey",
                                    "o_orderpriority"])
 
+    cust = base_dataset(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(lambda df: df.assign(_ref=np.int8(1)),
+                     batch_format="pandas")
+    marked = attach_lookup(
+        orders.map_batches(lambda df: df[["o_custkey"]],
+                           batch_format="pandas"),
+        "o_custkey", cust, "c_custkey", ["_ref"],
+        gate_bytes=ref_gate_bytes)
+
+    def ref_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "check_name": ["orders_custkey_referential"],
+            "n_checked": [len(df)],
+            "n_violations": [int(df["_ref"].isna().sum())]})
+
     def orders_checks(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(keys_ref)
         k = df["o_orderkey"].to_numpy(np.int64)
-        ref_bad = (~df["o_custkey"].isin(ks)).sum()
         new_mask = k % 4 != 2
         p_new = np.where(k % 5 == 0, "9-SYNTH",
                          df["o_orderpriority"].to_numpy(object))
         dom_bad = int((~pd.Series(p_new[new_mask]).isin(legal)).sum())
         return pd.DataFrame({
-            "check_name": ["orders_custkey_referential",
-                           "orders_priority_domain_synth"],
-            "n_checked": [len(df), int(new_mask.sum())],
-            "n_violations": [int(ref_bad), dom_bad]})
+            "check_name": ["orders_priority_domain_synth"],
+            "n_checked": [int(new_mask.sum())],
+            "n_violations": [dom_bad]})
 
     def qty_checks(df: pd.DataFrame) -> pd.DataFrame:
         q = df["l_quantity"].to_numpy(np.float64)
@@ -276,6 +289,8 @@ def q_dq_constraint_audit(sf_dir: str) -> pd.DataFrame:
     docs = base_dataset(sf_dir, "documents", columns=["text", "n_chars"])
 
     parts = pd.concat([
+        marked.map_batches(ref_partial, batch_format="pandas")
+              .to_pandas(),
         orders.map_batches(orders_checks, batch_format="pandas")
               .to_pandas(),
         li.map_batches(qty_checks, batch_format="pandas").to_pandas(),
