@@ -36,6 +36,7 @@ from vbpl_web_crawl_ray.pipelines import relational10 as R10  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational11 as R11  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational12 as R12  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational13 as R13  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational14 as R14  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 from vbpl_web_crawl_ray.sources.tablecache import base_dataset, base_pandas
@@ -900,6 +901,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join-key fanout histogram (the skew audit)
         "source_vocab_overlap": R13.q_source_vocab_overlap,
         "join_fanout_histogram": R13.q_join_fanout_histogram,
+        # session-3 batch 9: lag-1 autocorrelation on exact integer
+        # moments, period-mix L1 drift with integer numerator
+        "daily_autocorr": R14.q_daily_autocorr,
+        "type_mix_drift": R14.q_type_mix_drift,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -4955,6 +4960,63 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY o.o_orderkey)
             SELECT fanout, COUNT(*)::BIGINT AS n_keys
             FROM f GROUP BY fanout ORDER BY fanout
+        """,
+        # daily_autocorr: dense per-type day series, raw integer
+        # moments, one stated double expression num/sqrt(float(d1*d2))
+        # — the d1*d2 product stays integer until ONE float conversion.
+        "daily_autocorr": """
+            WITH d AS (SELECT event_type,
+                         epoch_us(ts) // 86400000000 AS day,
+                         COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+                  FROM d GROUP BY 1),
+            g AS (SELECT b.event_type,
+                         UNNEST(range(b.lo, b.hi + 1)) AS day
+                  FROM b),
+            s AS (SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+                  FROM g LEFT JOIN d ON g.event_type = d.event_type
+                                    AND g.day = d.day),
+            p AS (SELECT event_type, n AS x,
+                    LEAD(n) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS y
+                  FROM s),
+            m AS (SELECT event_type, COUNT(*)::BIGINT AS n_pairs,
+                    SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                    SUM(x * y)::BIGINT AS sxy,
+                    SUM(x * x)::BIGINT AS sxx,
+                    SUM(y * y)::BIGINT AS syy
+                  FROM p WHERE y IS NOT NULL GROUP BY event_type)
+            SELECT event_type, n_pairs,
+                   (n_pairs * sxy - sx * sy)::BIGINT AS cov_num,
+                   (n_pairs * sxx - sx * sx)::BIGINT AS var1_num,
+                   (n_pairs * syy - sy * sy)::BIGINT AS var2_num,
+                   CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                         AND (n_pairs * syy - sy * sy) > 0
+                        THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST((n_pairs * sxx - sx * sx)
+                                    * (n_pairs * syy - sy * sy)
+                                    AS DOUBLE))
+                        ELSE 0.0 END AS lag1_r
+            FROM m ORDER BY event_type
+        """,
+        # type_mix_drift: L1 with the common-denominator integer
+        # numerator sum|c1*N2 - c2*N1|; ONE stated double division.
+        "type_mix_drift": """
+            WITH w AS (SELECT event_type,
+                         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                  THEN 1 ELSE 0 END)::BIGINT AS c1,
+                         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                  THEN 1 ELSE 0 END)::BIGINT AS c2
+                       FROM events GROUP BY event_type),
+            t AS (SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2
+                  FROM w)
+            SELECT t.n1 AS n_first, t.n2 AS n_second,
+                   SUM(ABS(w.c1 * t.n2 - w.c2 * t.n1))::BIGINT
+                       AS l1_numer,
+                   CAST(SUM(ABS(w.c1 * t.n2 - w.c2 * t.n1)) AS DOUBLE)
+                       / (t.n1 * t.n2) AS l1_drift
+            FROM w, t GROUP BY t.n1, t.n2
         """,
         # dedup_prefix_curve: first-seen = min doc_id per exact text;
         # deciles cut the dense id range as doc_id*10 // (max+1); all
