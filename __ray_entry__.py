@@ -37,6 +37,7 @@ from vbpl_web_crawl_ray.pipelines import relational11 as R11  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational12 as R12  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational13 as R13  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import relational14 as R14  # noqa: E402
+from vbpl_web_crawl_ray.pipelines import relational15 as R15  # noqa: E402
 from vbpl_web_crawl_ray.pipelines import scaleops as SO  # noqa: E402
 from vbpl_web_crawl_ray.stages import ann, dedup, embed, enrich, textstats  # noqa: E402
 from vbpl_web_crawl_ray.sources.tablecache import base_dataset, base_pandas
@@ -905,6 +906,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moments, period-mix L1 drift with integer numerator
         "daily_autocorr": R14.q_daily_autocorr,
         "type_mix_drift": R14.q_type_mix_drift,
+        # session-3 batch 10: bounded-domain histogram selection —
+        # exact global p99 outlier flags, range-partition planning
+        "p99_outlier_counts": R15.q_p99_outlier_counts,
+        "range_partition_plan": R15.q_range_partition_plan,
         "pack_sequences": CU.q_pack_sequences,
         "mixture_weights": CU.q_mixture_weights,
         "resample_plan": CU.q_resample_plan,
@@ -5017,6 +5022,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ABS(w.c1 * t.n2 - w.c2 * t.n1)) AS DOUBLE)
                        / (t.n1 * t.n2) AS l1_drift
             FROM w, t GROUP BY t.n1, t.n2
+        """,
+        # p99_outlier_counts: threshold = the ceil(0.99 n)-th smallest
+        # cents (1-based rank, stated integer arithmetic), strictly-
+        # above counting.
+        "p99_outlier_counts": """
+            WITH a AS (SELECT event_type,
+                         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                       FROM events),
+            n AS (SELECT COUNT(*)::BIGINT AS cnt FROM a),
+            th AS (SELECT cents AS thr FROM a ORDER BY cents
+                   LIMIT 1 OFFSET
+                   ((SELECT (99 * cnt + 99) // 100 FROM n) - 1))
+            SELECT event_type, COUNT(*)::BIGINT AS n_events,
+                   SUM(CASE WHEN cents > (SELECT thr FROM th)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_above,
+                   (SELECT thr FROM th)::BIGINT AS threshold_cents
+            FROM a GROUP BY event_type ORDER BY event_type
+        """,
+        # range_partition_plan: boundaries at 1-based ranks (i*n)//8,
+        # partition = #{boundary values strictly below cents} (ties go
+        # left).
+        "range_partition_plan": """
+            WITH a AS (SELECT CAST(ROUND(l_extendedprice * 100, 0)
+                              AS BIGINT) AS cents
+                       FROM lineitem),
+            n AS (SELECT COUNT(*)::BIGINT AS cnt FROM a),
+            r AS (SELECT cents,
+                    ROW_NUMBER() OVER (ORDER BY cents) AS rk FROM a),
+            b AS (SELECT r.cents AS bv FROM r, n
+                  WHERE r.rk IN ((1 * n.cnt) // 8, (2 * n.cnt) // 8,
+                                 (3 * n.cnt) // 8, (4 * n.cnt) // 8,
+                                 (5 * n.cnt) // 8, (6 * n.cnt) // 8,
+                                 (7 * n.cnt) // 8)),
+            p AS (SELECT cents,
+                    (SELECT COUNT(*) FROM b WHERE b.bv < a.cents)
+                        AS partition
+                  FROM a)
+            SELECT partition, COUNT(*)::BIGINT AS n_rows,
+                   MIN(cents)::BIGINT AS c_min,
+                   MAX(cents)::BIGINT AS c_max
+            FROM p GROUP BY partition ORDER BY partition
         """,
         # dedup_prefix_curve: first-seen = min doc_id per exact text;
         # deciles cut the dense id range as doc_id*10 // (max+1); all
